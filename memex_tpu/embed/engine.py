@@ -1,0 +1,195 @@
+"""EmbeddingEngine — load-once, shape-bucketed, data-parallel encoder.
+
+Reference hot spots being fixed (SURVEY.md §3):
+  - model reloaded per ingest job and per query (lib/worker/src/tasks.rs:17,
+    lib/api/src/endpoints/collections/handlers.rs:61) → params live on
+    device for the process lifetime;
+  - one-window-at-a-time encode → fixed-shape bucketed batches so XLA
+    compiles a handful of executables and the MXU sees large matmuls;
+  - single CPU thread → batch axis sharded over every device on the mesh
+    (pure data parallelism; MiniLM at 384 hidden fits trivially per chip).
+
+Shape-bucket policy: sequence length is fixed per call-site (windows are
+always `max_seq_length`; queries round up through `_SEQ_BUCKETS`), and the
+batch dimension rounds up through power-of-two buckets capped at
+`max_batch`, padding with zero-mask rows. Every (B, L) pair maps to one
+cached XLA executable.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..log import get_logger
+from ..models.minilm import MiniLMConfig, MiniLMEncoder, init_params, load_params
+from ..text import WordPieceTokenizer, encode_windows
+from ..text.segment import window_token_ids
+
+logger = get_logger(__name__)
+
+_SEQ_BUCKETS = (32, 64, 128, 256, 512)
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def _batch_bucket(n: int, max_batch: int) -> int:
+    b = 8
+    while b < n and b < max_batch:
+        b *= 2
+    return min(b, max_batch)
+
+
+class EmbeddingEngine:
+    """Thread-safe sentence-embedding front end.
+
+    API parity with the reference SentenceEmbedder:
+      encode(text)        -> (segments, [S, D] vectors)   (embedding.rs:137-142)
+      encode_single(text) -> [D] vector                    (embedding.rs:144-151)
+    plus `encode_batch(texts)` for pre-chunked inputs.
+    """
+
+    def __init__(
+        self,
+        model_dir: str | None = None,
+        max_seq_length: int = 256,
+        window_stride: int = 86,
+        max_batch: int = 256,
+        mesh: Mesh | None = None,
+        data_axis: str = "data",
+        seed: int = 0,
+    ):
+        self.max_seq_length = max_seq_length
+        self.window_stride = window_stride
+        self.max_batch = max_batch
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self._lock = threading.Lock()
+        self._compiled: dict[tuple[int, int], object] = {}
+
+        if model_dir and model_dir != "random":
+            self.cfg, params = load_params(model_dir)
+            self.tokenizer = WordPieceTokenizer.from_pretrained_dir(model_dir)
+            logger.info("loaded MiniLM checkpoint from %s", model_dir)
+        else:
+            self.tokenizer = WordPieceTokenizer()
+            self.cfg = MiniLMConfig(vocab_size=self.tokenizer.vocab_size)
+            params = init_params(self.cfg, seed=seed)
+            logger.info("initialized random MiniLM (hermetic mode, seed=%d)", seed)
+        self.encoder = MiniLMEncoder(self.cfg)
+        self.dim = self.cfg.hidden_size
+
+        if mesh is not None:
+            # Replicate params across the mesh; batch axis will be sharded.
+            rep = NamedSharding(mesh, P())
+            self.params = jax.device_put(params, rep)
+            self._in_sharding = NamedSharding(mesh, P(data_axis, None))
+            self._out_sharding = NamedSharding(mesh, P(data_axis, None))
+            self._n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        else:
+            self.params = jax.device_put(params)
+            self._in_sharding = None
+            self._out_sharding = None
+            self._n_dev = 1
+
+    # -- compile cache -------------------------------------------------------
+
+    def _fn_for(self, B: int, L: int):
+        key = (B, L)
+        fn = self._compiled.get(key)
+        if fn is None:
+            if self.mesh is not None:
+                fn = jax.jit(
+                    self.encoder.apply,
+                    in_shardings=(None, self._in_sharding, self._in_sharding),
+                    out_shardings=self._out_sharding,
+                )
+            else:
+                fn = jax.jit(self.encoder.apply)
+            self._compiled[key] = fn
+        return fn
+
+    def _run(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        """Run one fixed-shape batch; returns float32 [B, D]."""
+        B, L = ids.shape
+        fn = self._fn_for(B, L)
+        out = fn(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(out, dtype=np.float32)
+
+    # -- batching ------------------------------------------------------------
+
+    def _encode_padded(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        """Encode [N, L] in bucketed chunks of at most max_batch rows."""
+        N, L = ids.shape
+        out = np.empty((N, self.dim), dtype=np.float32)
+        start = 0
+        while start < N:
+            take = min(self.max_batch, N - start)
+            B = _batch_bucket(take, self.max_batch)
+            # Keep B divisible by the mesh size so DP sharding is even.
+            if self._n_dev > 1 and B % self._n_dev:
+                B = ((B + self._n_dev - 1) // self._n_dev) * self._n_dev
+            chunk_ids = np.zeros((B, L), dtype=np.int32)
+            chunk_mask = np.zeros((B, L), dtype=np.int32)
+            chunk_ids[:take] = ids[start : start + take]
+            chunk_mask[:take] = mask[start : start + take]
+            # Pad rows must still have >=1 unmasked token to avoid 0/0 in
+            # pooling; [CLS]-only rows are discarded below anyway.
+            chunk_mask[take:, 0] = 1
+            vecs = self._run(chunk_ids, chunk_mask)
+            out[start : start + take] = vecs[:take]
+            start += take
+        return out
+
+    # -- public API ----------------------------------------------------------
+
+    def encode(self, text: str) -> tuple[list[str], np.ndarray]:
+        """Segment a document into overlapping token windows and embed every
+        window (reference `encode`, embedding.rs:137-142 + segment_text
+        :154-198). Returns (decoded segments, [S, D] unit vectors)."""
+        raw = self.tokenizer.encode(text, add_special_tokens=False)
+        if not raw:
+            raw = [self.tokenizer.unk_id]
+        windows = window_token_ids(
+            raw, self.tokenizer, self.max_seq_length, self.window_stride
+        )
+        segments = [self.tokenizer.decode(w) for w in windows]
+        L = self.max_seq_length
+        ids = np.full((len(windows), L), self.tokenizer.pad_id, dtype=np.int32)
+        mask = np.zeros((len(windows), L), dtype=np.int32)
+        for i, w in enumerate(windows):
+            ids[i, : len(w)] = w
+            mask[i, : len(w)] = 1
+        with self._lock:
+            vecs = self._encode_padded(ids, mask)
+        return segments, vecs
+
+    def encode_single(self, text: str) -> np.ndarray:
+        """Truncate-and-embed one query (reference encode_single,
+        embedding.rs:144-151). Uses the smallest seq bucket that fits, so
+        short queries compile/execute on tiny shapes."""
+        ids_list = self.tokenizer.encode(text, add_special_tokens=True)[: self.max_seq_length]
+        L = _bucket(len(ids_list), [b for b in _SEQ_BUCKETS if b <= self.max_seq_length] or [self.max_seq_length])
+        ids = np.full((1, L), self.tokenizer.pad_id, dtype=np.int32)
+        mask = np.zeros((1, L), dtype=np.int32)
+        ids[0, : len(ids_list)] = ids_list
+        mask[0, : len(ids_list)] = 1
+        with self._lock:
+            return self._encode_padded(ids, mask)[0]
+
+    def encode_batch(self, texts: list[str]) -> np.ndarray:
+        """Embed pre-chunked texts, one vector each ([N, D])."""
+        if not texts:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        ids, mask = encode_windows(texts, self.tokenizer, self.max_seq_length)
+        with self._lock:
+            return self._encode_padded(ids, mask)

@@ -9,7 +9,9 @@ SURVEY.md §4).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the shell env may pin JAX_PLATFORMS to the real TPU tunnel
+# (e.g. "axon"); tests must stay hermetic and fast on virtual CPU devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,3 +20,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 # Repo root on sys.path so `import memex_tpu` works without installation.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# A site plugin may have force-registered a hardware backend and overridden
+# jax_platforms at interpreter startup; flip back to the virtual CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

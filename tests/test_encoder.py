@@ -1,0 +1,97 @@
+"""Encoder tests on a tiny MiniLM config (fast on CPU).
+
+Mirrors the reference's hermetic unit-test style (SURVEY.md §4) plus the
+multi-device additions: DP-sharded encode must equal single-device encode.
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from memex_tpu.embed.engine import EmbeddingEngine
+from memex_tpu.models.minilm import MiniLMConfig, MiniLMEncoder, init_params
+
+
+def tiny_engine(mesh=None, **kw):
+    eng = EmbeddingEngine.__new__(EmbeddingEngine)
+    # Build a small engine by hand to keep tests fast.
+    import threading
+
+    from memex_tpu.text import WordPieceTokenizer
+
+    eng.max_seq_length = kw.get("max_seq_length", 64)
+    eng.window_stride = kw.get("window_stride", 16)
+    eng.max_batch = kw.get("max_batch", 32)
+    eng.mesh = mesh
+    eng.data_axis = "data"
+    eng._lock = threading.Lock()
+    eng._compiled = {}
+    eng.tokenizer = WordPieceTokenizer()
+    eng.cfg = MiniLMConfig(
+        vocab_size=eng.tokenizer.vocab_size,
+        hidden_size=64,
+        num_layers=2,
+        num_heads=4,
+        intermediate_size=128,
+        compute_dtype="float32",
+    )
+    params = init_params(eng.cfg, seed=0)
+    eng.encoder = MiniLMEncoder(eng.cfg)
+    eng.dim = 64
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        eng.params = jax.device_put(params, NamedSharding(mesh, P()))
+        eng._in_sharding = NamedSharding(mesh, P("data", None))
+        eng._out_sharding = NamedSharding(mesh, P("data", None))
+        eng._n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    else:
+        eng.params = jax.device_put(params)
+        eng._in_sharding = None
+        eng._out_sharding = None
+        eng._n_dev = 1
+    return eng
+
+
+def test_encode_single_unit_norm():
+    eng = tiny_engine()
+    v = eng.encode_single("hello world, this is memex on TPU")
+    assert v.shape == (64,)
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-4
+
+
+def test_encode_document_windows():
+    eng = tiny_engine()
+    text = " ".join(f"word{i}" for i in range(200))
+    segments, vecs = eng.encode(text)
+    assert len(segments) == vecs.shape[0] > 1
+    norms = np.linalg.norm(vecs, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_padding_rows_do_not_affect_results():
+    eng = tiny_engine()
+    texts = [f"sample text number {i}" for i in range(5)]
+    batch = eng.encode_batch(texts)
+    singles = np.stack([eng.encode_batch([t])[0] for t in texts])
+    np.testing.assert_allclose(batch, singles, atol=1e-4)
+
+
+def test_determinism():
+    eng = tiny_engine()
+    v1 = eng.encode_single("determinism check")
+    v2 = eng.encode_single("determinism check")
+    np.testing.assert_array_equal(v1, v2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device")
+def test_data_parallel_matches_single_device():
+    devices = np.array(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devices, ("data",))
+    eng_dp = tiny_engine(mesh=mesh)
+    eng_1 = tiny_engine()
+    texts = [f"passage about topic {i}" for i in range(16)]
+    a = eng_dp.encode_batch(texts)
+    b = eng_1.encode_batch(texts)
+    np.testing.assert_allclose(a, b, atol=1e-4)
