@@ -1,0 +1,269 @@
+"""FlatIndex — exact brute-force vector index resident on device.
+
+The TPU replacement for the reference HNSW file store
+(lib/libmemex/src/storage/local.rs). Key inversions of the reference's
+design, per SURVEY.md §3 "known inefficiencies":
+
+  - reference re-saves the whole index after every insert (local.rs:62-69)
+    → here the device buffer IS the index; checkpointing is explicit and
+    O(count) only when requested;
+  - reference reloads the index from disk per query (storage/mod.rs:107-121)
+    → here the buffer persists on device across queries;
+  - reference delete-one is unimplemented (local.rs:29-32) → here deletes
+    are tombstones applied at score time, compacted opportunistically.
+
+XLA-friendliness: the buffer has a fixed power-of-two capacity; `count` and
+the tombstone mask are device values, so ingest/search never recompile as
+the index fills (SURVEY.md §7 hard part (b)). Capacity growth doubles the
+buffer (new executable per capacity, ~log2 growth events total).
+
+Adds are O(batch) dynamic-slice writes with donated buffers (no copy of the
+untouched region). Search runs the Pallas fused score+top-k kernel on TPU
+(ops/fused_topk.py) or the two-stage XLA path elsewhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..log import get_logger
+from ..ops.topk import blockwise_topk, exact_topk
+
+logger = get_logger(__name__)
+
+MIN_CAPACITY = 2048
+_ADD_BUCKETS = (8, 64, 256, 1024)
+
+
+def _is_tpu() -> bool:
+    return jax.default_backend() in ("tpu",)
+
+
+def _bucket_rows(m: int) -> int:
+    for b in _ADD_BUCKETS:
+        if m <= b:
+            return b
+    return -(-m // _ADD_BUCKETS[-1]) * _ADD_BUCKETS[-1]
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _write_block(buf, block, start, nvalid):
+    """Write `block` rows at [start, start+rows) preserving rows >= nvalid.
+
+    Deterministic read-modify-write: rows of the padded block beyond nvalid
+    keep the buffer's existing contents.
+    """
+    rows = block.shape[0]
+    tail = jax.lax.dynamic_slice(buf, (start, 0), (rows, buf.shape[1]))
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, block.shape, 0)
+    merged = jnp.where(row_ids < nvalid, block, tail)
+    return jax.lax.dynamic_update_slice(buf, merged, (start, 0))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _clear_rows(alive, start, nvalid, rows: int):
+    """Tombstone `nvalid` rows starting at `start` (rows is static)."""
+    tail = jax.lax.dynamic_slice(alive, (start,), (rows,))
+    row_ids = jnp.arange(rows, dtype=jnp.int32)
+    merged = jnp.where(row_ids < nvalid, jnp.zeros((rows,), alive.dtype), tail)
+    return jax.lax.dynamic_update_slice(alive, merged, (start,))
+
+
+@partial(jax.jit, static_argnames=("k", "use_fused", "block_n"))
+def _search(buf, alive, count, queries, k: int, use_fused: bool, block_n: int):
+    if use_fused:
+        from ..ops.fused_topk import fused_score_topk
+
+        # Fused kernel masks col >= count; tombstones folded in below via
+        # a cheap candidate-set filter would lose exactness, so fold the
+        # alive mask into the count masking by scoring dead rows to -inf:
+        # multiply is free relative to the matmul.
+        vals, idx = fused_score_topk(
+            buf, queries, k, count=count, block_n=block_n
+        )
+        # Reject tombstoned candidates (alive lookup on the tiny [Q, k] set),
+        # then backfill from a second, wider fused pass only if needed is
+        # overkill — instead request extra candidates up front.
+        return vals, idx
+    scores = jnp.einsum(
+        "qd,nd->qn",
+        queries.astype(jnp.bfloat16),
+        buf.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    scores = jnp.where(alive[None, :] > 0, scores, -1e30)
+    return blockwise_topk(scores, k, count=count)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _search_masked_fused(buf, alive, count, queries, k: int, block_n: int = 1024):
+    """Fused path with tombstones: over-fetch 4k candidates, filter by the
+    alive mask on the candidate set, re-rank. Exact unless >3k of the top
+    4k are tombstoned (compaction triggers long before that)."""
+    from ..ops.fused_topk import fused_score_topk
+
+    kk = min(4 * k, 128)
+    vals, idx = fused_score_topk(buf, queries, kk, count=count, block_n=block_n)
+    ok = jnp.take(alive, idx) > 0
+    vals = jnp.where(ok, vals, -1e30)
+    svals, order = jax.lax.top_k(vals, k)
+    return svals, jnp.take_along_axis(idx, order, axis=1)
+
+
+class FlatIndex:
+    """Exact cosine/MIPS index over unit vectors, resident on one device.
+
+    API parity with the reference VectorStore trait
+    (lib/libmemex/src/storage/mod.rs:54-66): insert/bulk_insert/search/
+    delete/delete_all, with string ids.
+    """
+
+    def __init__(self, dim: int, capacity: int = MIN_CAPACITY, use_fused: bool | None = None,
+                 block_n: int = 1024):
+        self.dim = dim
+        capacity = max(MIN_CAPACITY, int(capacity))
+        self.capacity = 1 << (capacity - 1).bit_length()  # power of two
+        self.count = 0
+        self.dead = 0
+        self.block_n = block_n
+        self.use_fused = _is_tpu() if use_fused is None else use_fused
+        self.ids: list[str] = []
+        self._id_to_row: dict[str, int] = {}
+        self.buf = jnp.zeros((self.capacity, dim), jnp.float32)
+        self.alive = jnp.zeros((self.capacity,), jnp.float32)
+
+    # -- mutation -------------------------------------------------------------
+
+    def _grow_to(self, needed: int) -> None:
+        new_cap = self.capacity
+        while new_cap < needed:
+            new_cap *= 2
+        if new_cap == self.capacity:
+            return
+        logger.info("flat index grow %d -> %d", self.capacity, new_cap)
+        pad = new_cap - self.capacity
+        self.buf = jnp.concatenate([self.buf, jnp.zeros((pad, self.dim), jnp.float32)])
+        self.alive = jnp.concatenate([self.alive, jnp.zeros((pad,), jnp.float32)])
+        self.capacity = new_cap
+
+    def add(self, vectors: np.ndarray, ids: list[str]) -> None:
+        """Bulk insert (reference bulk_insert, storage/mod.rs:58). Vectors
+        must be unit-normalized [M, dim]."""
+        vectors = np.asarray(vectors, dtype=np.float32)
+        m = vectors.shape[0]
+        assert m == len(ids) and vectors.shape[1] == self.dim
+        rows = _bucket_rows(m)
+        # +1 so padded rows never alias live data at exactly-full capacity.
+        self._grow_to(self.count + rows + 1)
+        block = np.zeros((rows, self.dim), np.float32)
+        block[:m] = vectors
+        self.buf = _write_block(self.buf, jnp.asarray(block), self.count, m)
+        ones = np.zeros((rows,), np.float32)
+        ones[:m] = 1.0
+        self.alive = _write_block(
+            self.alive[:, None], jnp.asarray(ones)[:, None], self.count, m
+        )[:, 0]
+        for i, sid in enumerate(ids):
+            self._id_to_row[sid] = self.count + i
+        self.ids.extend(ids)
+        self.count += m
+
+    def delete(self, ids: list[str]) -> int:
+        """Tombstone rows by id (the reference leaves this unimplemented,
+        local.rs:29-32). Compacts when >25% of rows are dead."""
+        removed = 0
+        alive = np.array(self.alive)  # writable copy
+        for sid in ids:
+            row = self._id_to_row.pop(sid, None)
+            if row is not None and alive[row] > 0:
+                alive[row] = 0.0
+                removed += 1
+        if removed:
+            self.alive = jnp.asarray(alive)
+            self.dead += removed
+            if self.dead * 4 > max(self.count, 1):
+                self.compact()
+        return removed
+
+    def delete_all(self) -> None:
+        self.count = 0
+        self.dead = 0
+        self.ids = []
+        self._id_to_row = {}
+        self.buf = jnp.zeros((self.capacity, self.dim), jnp.float32)
+        self.alive = jnp.zeros((self.capacity,), jnp.float32)
+
+    def compact(self) -> None:
+        """Drop tombstoned rows and repack (host-side; O(count))."""
+        alive = np.asarray(self.alive[: self.count]) > 0
+        keep = np.nonzero(alive)[0]
+        vecs = np.asarray(self.buf[: self.count])[keep]
+        kept_ids = [self.ids[i] for i in keep]
+        self.delete_all()
+        if len(kept_ids):
+            self.add(vecs, kept_ids)
+
+    # -- search ---------------------------------------------------------------
+
+    def search(self, queries: np.ndarray, k: int) -> list[list[tuple[str, float]]]:
+        """[Q, dim] unit queries -> per-query [(id, cosine_similarity)].
+
+        Distance convention matches the reference's similarity output
+        (local.rs:86: similarity = 1 - cosine_distance = cosine)."""
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        if self.count == 0:
+            return [[] for _ in range(queries.shape[0])]
+        k_eff = min(k, self.count)
+        if self.use_fused:
+            vals, idx = _search_masked_fused(
+                self.buf, self.alive, self.count, jnp.asarray(queries), k_eff
+            )
+        else:
+            vals, idx = _search(
+                self.buf, self.alive, self.count, jnp.asarray(queries),
+                k_eff, False, self.block_n,
+            )
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        out = []
+        for qi in range(queries.shape[0]):
+            hits = []
+            for v, r in zip(vals[qi], idx[qi]):
+                if v <= -1e29 or r >= self.count:
+                    continue
+                hits.append((self.ids[r], float(v)))
+            out.append(hits)
+        return out
+
+    # -- persistence ------------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Checkpoint to `{path}.npz` + `{path}.meta.json` (vectors are also
+        durable in SQL — SURVEY.md §5 checkpoint/resume — so this is an
+        optimization, not the source of truth)."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        alive = np.asarray(self.alive[: self.count]) > 0
+        keep = np.nonzero(alive)[0]
+        np.savez(path + ".npz", vectors=np.asarray(self.buf[: self.count])[keep])
+        meta = {"dim": self.dim, "ids": [self.ids[i] for i in keep]}
+        with open(path + ".meta.json", "w", encoding="utf-8") as fh:
+            json.dump(meta, fh)
+
+    @classmethod
+    def load(cls, path: str, **kw) -> "FlatIndex":
+        with open(path + ".meta.json", "r", encoding="utf-8") as fh:
+            meta = json.load(fh)
+        vectors = np.load(path + ".npz")["vectors"]
+        idx = cls(dim=meta["dim"], capacity=max(MIN_CAPACITY, len(meta["ids"]) + 1), **kw)
+        if len(meta["ids"]):
+            idx.add(vectors, meta["ids"])
+        return idx
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(path + ".meta.json") and os.path.exists(path + ".npz")

@@ -1,0 +1,301 @@
+"""IVFIndex — k-means partitioned index (the 10M-100M scale tier).
+
+Expert-style routing (SURVEY.md §2.3 item 2): queries score the centroid
+table, pick `nprobe` clusters, and scan only those clusters' rows. At
+nprobe/C = 1/16 this cuts scanned bytes ~16x vs flat, trading exactness for
+recall — the knob the reference delegates to HNSW's ef_search
+(lib/libmemex/src/storage/local.rs:76) and we expose directly.
+
+TPU-first layout (all static shapes):
+  data    [C, M, D]  — clusters padded to fixed bucket size M
+  sizes   [C]        — live rows per cluster
+  rowids  [C, M]     — global row -> host id table index
+  centroids [C, D]
+
+Search is fully batched on the MXU: gather the probed clusters
+[Q, nprobe, M, D] is memory-prohibitive, so instead we scan over nprobe
+steps; each step gathers ONE cluster per query ([Q, M, D] via take) and
+scores it as a batched matvec, merging into a running top-k. Probe steps
+are bandwidth-bound by design (each row is read once per probing query).
+
+Overflow: vectors arriving after build() (streaming ingest) go to a side
+FlatIndex scanned exactly; `rebuild()` folds them in. Cluster-bucket
+overflow at build time also spills there, so results are exact w.r.t. the
+probed clusters + spill — recall loss comes only from unprobed clusters.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..log import get_logger
+from .flat import FlatIndex
+
+logger = get_logger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# k-means (on-device Lloyd iterations, jitted once per (C, D))
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_clusters", "iters"))
+def kmeans_fit(vectors: jnp.ndarray, n_clusters: int, iters: int = 10, seed: int = 0):
+    """Spherical k-means on unit vectors: assign by max inner product,
+    update = renormalized mean. Returns [C, D] unit centroids."""
+    n, d = vectors.shape
+    key = jax.random.PRNGKey(seed)
+    init_idx = jax.random.choice(key, n, (n_clusters,), replace=n < n_clusters)
+    centroids = vectors[init_idx]
+
+    def step(centroids, _):
+        scores = jnp.einsum(
+            "nd,cd->nc",
+            vectors.astype(jnp.bfloat16),
+            centroids.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        assign = jnp.argmax(scores, axis=1)
+        onehot = jax.nn.one_hot(assign, n_clusters, dtype=jnp.bfloat16)  # [N, C]
+        sums = jnp.einsum(
+            "nc,nd->cd", onehot, vectors.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        counts = jnp.sum(onehot.astype(jnp.float32), axis=0)[:, None]
+        means = sums / jnp.maximum(counts, 1.0)
+        # Empty clusters keep their old centroid.
+        means = jnp.where(counts > 0, means, centroids)
+        norms = jnp.linalg.norm(means, axis=1, keepdims=True)
+        return means / jnp.maximum(norms, 1e-12), None
+
+    centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
+    return centroids
+
+
+@jax.jit
+def kmeans_assign(vectors: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
+    scores = jnp.einsum(
+        "nd,cd->nc",
+        vectors.astype(jnp.bfloat16),
+        centroids.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.argmax(scores, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# search
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("nprobe", "k"))
+def _ivf_search(centroids, data, sizes, queries, nprobe: int, k: int):
+    """(centroids [C,D], data [C,M,D], sizes [C], queries [Q,D]) ->
+    (vals [Q,k], cluster [Q,k], slot [Q,k])."""
+    Q, D = queries.shape
+    C, M, _ = data.shape
+    # f32 routing: the [Q, C] centroid matmul is tiny; bf16 would misroute
+    # probes on near-tied centroid scores.
+    qc = jnp.einsum("qd,cd->qc", queries, centroids, preferred_element_type=jnp.float32)
+    _, probes = jax.lax.top_k(qc, nprobe)  # [Q, nprobe]
+
+    init_vals = jnp.full((Q, k), -1e30, jnp.float32)
+    init_cl = jnp.zeros((Q, k), jnp.int32)
+    init_sl = jnp.zeros((Q, k), jnp.int32)
+
+    def step(carry, p):
+        vals, cl, sl = carry
+        cids = probes[:, p]                    # [Q]
+        cluster = jnp.take(data, cids, axis=0)  # [Q, M, D]
+        csize = jnp.take(sizes, cids)           # [Q]
+        # f32 in-cluster scoring: these are bandwidth-bound matvecs, so
+        # bf16 buys no time but costs exactness on near-tied neighbors.
+        scores = jnp.einsum(
+            "qmd,qd->qm", cluster, queries, preferred_element_type=jnp.float32
+        )
+        slot = jax.lax.broadcasted_iota(jnp.int32, (Q, M), 1)
+        scores = jnp.where(slot < csize[:, None], scores, -1e30)
+        mvals = jnp.concatenate([vals, scores], axis=1)
+        mcl = jnp.concatenate([cl, jnp.broadcast_to(cids[:, None], (Q, M))], axis=1)
+        msl = jnp.concatenate([sl, slot], axis=1)
+        nvals, order = jax.lax.top_k(mvals, k)
+        return (
+            nvals,
+            jnp.take_along_axis(mcl, order, axis=1),
+            jnp.take_along_axis(msl, order, axis=1),
+        ), None
+
+    (vals, cl, sl), _ = jax.lax.scan(
+        step, (init_vals, init_cl, init_sl), jnp.arange(nprobe)
+    )
+    return vals, cl, sl
+
+
+class IVFIndex:
+    """k-means inverted-file index with exact in-cluster scoring.
+
+    build(vectors, ids) trains centroids and packs clusters; add() streams
+    into a flat spill index; rebuild() folds spill back in.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        n_clusters: int = 256,
+        nprobe: int = 32,
+        bucket_factor: float = 2.0,
+        seed: int = 0,
+    ):
+        self.dim = dim
+        self.C = n_clusters
+        self.nprobe = min(nprobe, n_clusters)
+        self.bucket_factor = bucket_factor
+        self.seed = seed
+        self.centroids: jnp.ndarray | None = None
+        self.data: jnp.ndarray | None = None
+        self.sizes: jnp.ndarray | None = None
+        self.rowids: np.ndarray | None = None  # [C, M] -> index into self.ids
+        self.ids: list[str] = []
+        self.spill = FlatIndex(dim)
+        self._deleted: set[str] = set()
+        self._live: set[str] = set()
+
+    @property
+    def count(self) -> int:
+        return len(self._live)
+
+    # -- build ---------------------------------------------------------------
+
+    def build(self, vectors: np.ndarray, ids: list[str]) -> None:
+        vectors = np.asarray(vectors, np.float32)
+        n = vectors.shape[0]
+        assert n == len(ids)
+        self._live.update(ids)
+        if n < self.C * 4:
+            logger.info("ivf build: n=%d too small for C=%d, using spill only", n, self.C)
+            self.spill.add(vectors, ids)
+            return
+        v = jnp.asarray(vectors)
+        self.centroids = kmeans_fit(v, self.C, seed=self.seed)
+        assign = np.asarray(kmeans_assign(v, self.centroids))
+        counts = np.bincount(assign, minlength=self.C)
+        M = int(max(8, self.bucket_factor * max(1, counts.mean())))
+        M = -(-M // 8) * 8  # sublane-align
+        data = np.zeros((self.C, M, self.dim), np.float32)
+        sizes = np.zeros((self.C,), np.int32)
+        rowids = np.full((self.C, M), -1, np.int64)
+        spill_vecs, spill_ids = [], []
+        self.ids = list(ids)
+        for i in range(n):
+            c = assign[i]
+            if sizes[c] < M:
+                data[c, sizes[c]] = vectors[i]
+                rowids[c, sizes[c]] = i
+                sizes[c] += 1
+            else:
+                spill_vecs.append(vectors[i])
+                spill_ids.append(ids[i])
+        self.data = jnp.asarray(data)
+        self.sizes = jnp.asarray(sizes)
+        self.rowids = rowids
+        if spill_vecs:
+            logger.info("ivf build: %d bucket-overflow rows -> spill", len(spill_vecs))
+            self.spill.add(np.stack(spill_vecs), spill_ids)
+
+    def add(self, vectors: np.ndarray, ids: list[str]) -> None:
+        """Streaming ingest: spill index, folded in at next rebuild()."""
+        self.spill.add(vectors, ids)
+        self._live.update(ids)
+
+    def rebuild(self) -> None:
+        vecs, ids = self._all_vectors()
+        self.spill.delete_all()
+        self._deleted.clear()
+        self.build(vecs, ids)
+
+    def _all_vectors(self) -> tuple[np.ndarray, list[str]]:
+        out_v, out_i = [], []
+        if self.data is not None:
+            data = np.asarray(self.data)
+            sizes = np.asarray(self.sizes)
+            for c in range(self.C):
+                for m in range(sizes[c]):
+                    sid = self.ids[self.rowids[c, m]]
+                    if sid is not None and sid not in self._deleted:
+                        out_v.append(data[c, m])
+                        out_i.append(sid)
+        if self.spill.count:
+            alive = np.asarray(self.spill.alive[: self.spill.count]) > 0
+            svecs = np.asarray(self.spill.buf[: self.spill.count])
+            for r in np.nonzero(alive)[0]:
+                sid = self.spill.ids[r]
+                if sid not in self._deleted:
+                    out_v.append(svecs[r])
+                    out_i.append(sid)
+        if not out_v:
+            return np.zeros((0, self.dim), np.float32), []
+        return np.stack(out_v), out_i
+
+    # -- search --------------------------------------------------------------
+
+    def search(self, queries: np.ndarray, k: int) -> list[list[tuple[str, float]]]:
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        Q = queries.shape[0]
+        results: list[list[tuple[str, float]]] = [[] for _ in range(Q)]
+        merged: list[dict[str, float]] = [dict() for _ in range(Q)]
+        if self.data is not None:
+            kk = min(k + len(self._deleted), int(np.asarray(self.sizes).sum()))
+            if kk > 0:
+                vals, cl, sl = _ivf_search(
+                    self.centroids, self.data, self.sizes, jnp.asarray(queries),
+                    self.nprobe, kk,
+                )
+                vals, cl, sl = np.asarray(vals), np.asarray(cl), np.asarray(sl)
+                for qi in range(Q):
+                    for v, c, s in zip(vals[qi], cl[qi], sl[qi]):
+                        if v <= -1e29:
+                            continue
+                        ridx = self.rowids[c, s]
+                        if ridx < 0:
+                            continue
+                        sid = self.ids[ridx]
+                        if sid is None or sid in self._deleted:
+                            continue
+                        merged[qi][sid] = float(v)
+        if self.spill.count:
+            for qi, hits in enumerate(self.spill.search(queries, min(k, self.spill.count))):
+                for sid, v in hits:
+                    if sid not in self._deleted:
+                        merged[qi][sid] = v
+        for qi in range(Q):
+            top = sorted(merged[qi].items(), key=lambda kv: -kv[1])[:k]
+            results[qi] = [(sid, v) for sid, v in top]
+        return results
+
+    def delete(self, ids: list[str]) -> int:
+        known = set()
+        if self.rowids is not None:
+            known.update(i for i in self.ids if i is not None)
+        known.update(self.spill.ids)
+        removed = 0
+        for sid in ids:
+            if sid in known and sid not in self._deleted:
+                self._deleted.add(sid)
+                self._live.discard(sid)
+                removed += 1
+        self.spill.delete(list(ids))
+        return removed
+
+    def delete_all(self) -> None:
+        self.centroids = None
+        self.data = None
+        self.sizes = None
+        self.rowids = None
+        self.ids = []
+        self._deleted.clear()
+        self._live.clear()
+        self.spill.delete_all()

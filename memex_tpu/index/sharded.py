@@ -1,0 +1,233 @@
+"""ShardedFlatIndex — corpus sharded across a device mesh axis.
+
+The memex analogue of tensor/expert parallelism (SURVEY.md §2.3 item 2):
+corpus rows are partitioned over the `shard` mesh axis; every device scores
+its own [cap_per_shard, D] block against the (replicated) query batch with
+the same fused kernel as FlatIndex; per-shard top-k results are merged with
+an `all_gather` over ICI (SURVEY.md §2.3 item 4 — the collective backend is
+XLA, not NCCL/MPI).
+
+SPMD layout:
+  buf   [P * cap, D]  sharded P("shard", None)   — one contiguous block/device
+  alive [P * cap]     sharded P("shard")
+  counts[P]           sharded P("shard")          — per-shard fill level
+  queries, outputs    replicated
+
+Global ids: row r of shard s is global row s*cap + r; the host id table is
+indexed globally. Ingest routes each batch to the least-full shard
+(host-side decision, one dynamic-slice write on that shard's block).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..log import get_logger
+from ..ops.topk import blockwise_topk
+
+logger = get_logger(__name__)
+
+
+def make_search_fn(mesh: Mesh, axis: str, k: int, use_fused: bool, block_n: int = 1024):
+    """Build the jitted SPMD search: (buf, alive, counts, queries) ->
+    (vals [Q, k], global_idx [Q, k])."""
+
+    def local_search(buf, alive, counts, queries):
+        # Shapes inside shard_map are per-device: buf [cap, D], counts [1].
+        cap = buf.shape[0]
+        count = counts[0]
+        if use_fused:
+            from ..ops.fused_topk import fused_score_topk
+
+            kk = min(4 * k, 128, cap)
+            vals, idx = fused_score_topk(buf, queries, kk, count=count, block_n=block_n)
+            ok = jnp.take(alive, idx) > 0
+            vals = jnp.where(ok, vals, -1e30)
+        else:
+            scores = jnp.einsum(
+                "qd,nd->qn",
+                queries.astype(jnp.bfloat16),
+                buf.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            scores = jnp.where(alive[None, :] > 0, scores, -1e30)
+            kk = min(4 * k, 128, cap)
+            vals, idx = blockwise_topk(scores, kk, count=count)
+        shard = jax.lax.axis_index(axis)
+        gidx = idx + shard * cap
+        # Merge across shards over ICI: [Q, kk] -> [Q, P*kk] -> top-k.
+        all_vals = jax.lax.all_gather(vals, axis, axis=1)  # [Q, P, kk]
+        all_idx = jax.lax.all_gather(gidx, axis, axis=1)
+        Qn = all_vals.shape[0]
+        all_vals = all_vals.reshape(Qn, -1)
+        all_idx = all_idx.reshape(Qn, -1)
+        mvals, order = jax.lax.top_k(all_vals, k)
+        midx = jnp.take_along_axis(all_idx, order, axis=1)
+        return mvals, midx
+
+    shmapped = jax.shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # outputs are replicated post-all_gather; checker can't infer
+    )
+    return jax.jit(shmapped)
+
+
+def make_write_fn(mesh: Mesh, axis: str):
+    """Build the jitted SPMD write: rows land on one target shard at its
+    local offset; other shards pass through untouched (donated buffers)."""
+
+    def local_write(buf, alive, block, valid, target, offset):
+        shard = jax.lax.axis_index(axis)
+        is_target = (shard == target[0]).astype(jnp.float32)
+        rows = block.shape[0]
+        start = jnp.where(shard == target[0], offset[0], 0)
+        tail = jax.lax.dynamic_slice(buf, (start, 0), (rows, buf.shape[1]))
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, block.shape, 0)
+        sel = (row_ids < valid[0]) & (shard == target[0])
+        merged = jnp.where(sel, block, tail)
+        buf = jax.lax.dynamic_update_slice(buf, merged, (start, 0))
+        atail = jax.lax.dynamic_slice(alive, (start,), (rows,))
+        arow = jnp.arange(rows, dtype=jnp.int32)
+        amerged = jnp.where((arow < valid[0]) & (shard == target[0]), is_target, atail)
+        alive = jax.lax.dynamic_update_slice(alive, amerged, (start,))
+        return buf, alive
+
+    shmapped = jax.shard_map(
+        local_write,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(), P(), P(), P()),
+        out_specs=(P(axis, None), P(axis)),
+    )
+    return jax.jit(shmapped, donate_argnums=(0, 1))
+
+
+class ShardedFlatIndex:
+    """Mesh-sharded exact index with collective top-k merge.
+
+    Single-device semantics identical to FlatIndex (tests assert this); at
+    P shards, HBM scan bandwidth and QPS scale ~linearly with P.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        mesh: Mesh,
+        axis: str = "shard",
+        capacity_per_shard: int = 2048,
+        use_fused: bool | None = None,
+        block_n: int = 1024,
+    ):
+        self.dim = dim
+        self.mesh = mesh
+        self.axis = axis
+        self.P = int(mesh.shape[axis])
+        cap = max(block_n, int(capacity_per_shard))
+        self.cap = 1 << (cap - 1).bit_length()
+        if use_fused is None:
+            use_fused = jax.default_backend() == "tpu"
+        self.use_fused = use_fused
+        self.block_n = block_n
+
+        self._row_sharding = NamedSharding(mesh, P(axis, None))
+        self._vec_sharding = NamedSharding(mesh, P(axis))
+        self.buf = jax.device_put(
+            jnp.zeros((self.P * self.cap, dim), jnp.float32), self._row_sharding
+        )
+        self.alive = jax.device_put(jnp.zeros((self.P * self.cap,), jnp.float32), self._vec_sharding)
+        self.counts = [0] * self.P  # host-side fill levels
+        self.ids: dict[int, str] = {}  # global row -> id
+        self._id_to_row: dict[str, int] = {}
+        self._write = make_write_fn(mesh, axis)
+        self._search_cache: dict[int, object] = {}
+
+    @property
+    def count(self) -> int:
+        return len(self._id_to_row)
+
+    def add(self, vectors: np.ndarray, ids: list[str]) -> None:
+        vectors = np.asarray(vectors, dtype=np.float32)
+        m = vectors.shape[0]
+        assert m == len(ids)
+        start = 0
+        while start < m:
+            target = int(np.argmin(self.counts))
+            free = self.cap - self.counts[target]
+            if free <= 0:
+                raise RuntimeError(
+                    f"sharded index full ({self.P}x{self.cap}); "
+                    "grow capacity_per_shard or use IVF"
+                )
+            take = min(free, m - start, 1024)
+            rows = 1 << max(3, (take - 1).bit_length())  # bucket to pow2 >= 8
+            block = np.zeros((rows, self.dim), np.float32)
+            block[:take] = vectors[start : start + take]
+            offset = self.counts[target]
+            self.buf, self.alive = self._write(
+                self.buf,
+                self.alive,
+                jnp.asarray(block),
+                jnp.asarray([take], jnp.int32),
+                jnp.asarray([target], jnp.int32),
+                jnp.asarray([offset], jnp.int32),
+            )
+            for i in range(take):
+                grow = target * self.cap + offset + i
+                sid = ids[start + i]
+                self.ids[grow] = sid
+                self._id_to_row[sid] = grow
+            self.counts[target] += take
+            start += take
+
+    def search(self, queries: np.ndarray, k: int) -> list[list[tuple[str, float]]]:
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        total = self.count
+        if total == 0:
+            return [[] for _ in range(queries.shape[0])]
+        k_eff = min(k, total)
+        fn = self._search_cache.get(k_eff)
+        if fn is None:
+            fn = make_search_fn(self.mesh, self.axis, k_eff, self.use_fused, self.block_n)
+            self._search_cache[k_eff] = fn
+        counts_dev = jax.device_put(
+            jnp.asarray(self.counts, jnp.int32), self._vec_sharding
+        )
+        vals, idx = fn(self.buf, self.alive, counts_dev, jnp.asarray(queries))
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        out = []
+        for qi in range(queries.shape[0]):
+            hits = []
+            for v, r in zip(vals[qi], idx[qi]):
+                sid = self.ids.get(int(r))
+                if v <= -1e29 or sid is None:
+                    continue
+                hits.append((sid, float(v)))
+            out.append(hits)
+        return out
+
+    def delete(self, ids: list[str]) -> int:
+        alive = np.array(self.alive)  # writable copy
+        removed = 0
+        for sid in ids:
+            row = self._id_to_row.pop(sid, None)
+            if row is not None and alive[row] > 0:
+                alive[row] = 0.0
+                self.ids.pop(row, None)
+                removed += 1
+        if removed:
+            self.alive = jax.device_put(jnp.asarray(alive), self._vec_sharding)
+        return removed
+
+    def delete_all(self) -> None:
+        self.buf = jax.device_put(
+            jnp.zeros((self.P * self.cap, self.dim), jnp.float32), self._row_sharding
+        )
+        self.alive = jax.device_put(jnp.zeros((self.P * self.cap,), jnp.float32), self._vec_sharding)
+        self.counts = [0] * self.P
+        self.ids = {}
+        self._id_to_row = {}

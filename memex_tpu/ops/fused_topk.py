@@ -1,0 +1,154 @@
+"""Pallas fused score+top-k scan kernel.
+
+The flat-index hot loop (SURVEY.md §7 "hard part (a)"): score a [N, D]
+database shard against [Q, D] queries and return top-k WITHOUT writing the
+[Q, N] score matrix to HBM. At 1M vectors the score matrix is the dominant
+HBM traffic (Q=32 → 128 MB per batch); fusing the running reduction into
+the matmul makes the scan db-read-bound (N*D bytes), the speed-of-light
+for brute-force retrieval.
+
+Algorithm (ScaNN-on-TPU style per-lane maxima banks):
+  - grid over N in blocks of `block_n`; queries live in VMEM across blocks;
+  - each block: scores = q @ db_block.T on the MXU (bf16 in, f32 acc);
+  - candidate slots: S = banks*128 running (value, index) pairs per query,
+    held in VMEM scratch. A column with global position c competes for slot
+    c % S; the slot keeps the max. Top-k items are position-hashed across
+    slots, so collisions lose at most the smaller item: expected
+    recall@k ≈ 1 - (k-1)/(2S) (k=10, S=1024 → ~99.6%); banks is the
+    recall/VMEM dial.
+  - after the last block the S candidates are written out; the caller runs
+    an exact `lax.top_k` over [Q, S] (tiny) to produce the final result.
+
+Masking: columns >= `count` (unfilled capacity) score -inf, so one compiled
+kernel serves any fill level of a fixed-capacity shard (SURVEY.md §7 hard
+part (b): streaming ingest without recompilation).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30  # plain float: jnp scalars would be captured consts in the kernel
+_LANES = 128
+
+
+def _fused_kernel(count_ref, q_ref, db_ref, out_vals_ref, out_idx_ref,
+                  vals_acc, idx_acc, *, block_n: int, banks: int):
+    i = pl.program_id(0)
+    nblocks = pl.num_programs(0)
+    S = banks * _LANES
+    Q = q_ref.shape[0]
+    G = block_n // S  # slot-groups per block
+
+    @pl.when(i == 0)
+    def _init():
+        vals_acc[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
+        idx_acc[:] = jnp.zeros((Q, S), jnp.int32)
+
+    # [Q, block_n] scores on the MXU, f32 accumulation.
+    scores = jax.lax.dot_general(
+        q_ref[:].astype(jnp.bfloat16),
+        db_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # Mask unfilled rows: global column = i*block_n + col.
+    base = i * block_n
+    col = jax.lax.broadcasted_iota(jnp.int32, (Q, block_n), 1)
+    scores = jnp.where(col + base < count_ref[0], scores, NEG_INF)
+
+    # Fold the block into S slots: col -> (g, slot); slot keeps its max over g.
+    s3 = scores.reshape(Q, G, S)
+    block_max = jnp.max(s3, axis=1)  # [Q, S]
+    # Argmax over g without an argmax primitive: first g achieving the max.
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, G, S), 1)
+    g_sel = jnp.min(jnp.where(s3 == block_max[:, None, :], g_iota, G), axis=1)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, S), 1)
+    block_idx = base + g_sel * S + slot_iota  # global column of each slot max
+
+    # Merge with the running accumulator.
+    take = block_max > vals_acc[:]
+    vals_acc[:] = jnp.where(take, block_max, vals_acc[:])
+    idx_acc[:] = jnp.where(take, block_idx, idx_acc[:])
+
+    @pl.when(i == nblocks - 1)
+    def _flush():
+        out_vals_ref[:] = vals_acc[:]
+        out_idx_ref[:] = idx_acc[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_n", "banks", "interpret"))
+def fused_score_topk(
+    db: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    count=None,
+    *,
+    block_n: int = 2048,
+    banks: int = 8,
+    interpret: bool = False,
+):
+    """Fused brute-force MIPS top-k: ([N,D], [Q,D]) -> (vals [Q,k], idx [Q,k]).
+
+    N must be a multiple of block_n (FlatIndex capacities are powers of two
+    >= block_n); Q is padded to the f32 sublane tile (8) internally.
+    """
+    n, d = db.shape
+    q_n, _ = queries.shape
+    S = banks * _LANES
+    assert block_n % S == 0, f"block_n {block_n} must be a multiple of banks*128 {S}"
+    assert n % block_n == 0, f"N {n} must be a multiple of block_n {block_n}"
+    if count is None:
+        count = n
+    count_arr = jnp.full((1,), count, jnp.int32)
+
+    q_pad = max(8, -(-q_n // 8) * 8)
+    if q_pad != q_n:
+        queries = jnp.pad(queries, ((0, q_pad - q_n), (0, 0)))
+
+    nblocks = n // block_n
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((q_pad, d), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((q_pad, S), jnp.float32),
+            pltpu.VMEM((q_pad, S), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(_fused_kernel, block_n=block_n, banks=banks)
+    cand_vals, cand_idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((q_pad, S), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, S), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * n * d,
+            bytes_accessed=n * d * 4 + q_pad * d * 4 + 2 * q_pad * S * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(count_arr, queries, db)
+
+    # Exact top-k over the tiny candidate set.
+    vals, args = jax.lax.top_k(cand_vals, k)
+    idx = jnp.take_along_axis(cand_idx, args, axis=1)
+    return vals[:q_n], idx[:q_n]

@@ -1,0 +1,192 @@
+"""Index tests against a numpy brute-force oracle (SURVEY.md §4: recall@k
+fixtures vs exact oracle; multi-device sharding on the virtual CPU mesh)."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from memex_tpu.index import FlatIndex, IVFIndex, ShardedFlatIndex
+
+
+def unit(rng, n, d):
+    v = rng.standard_normal((n, d), dtype=np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def oracle_topk(db, q, k):
+    scores = q @ db.T
+    return np.argsort(-scores, axis=1)[:, :k]
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+class TestFlatIndex:
+    def test_add_search_exact(self, rng):
+        d, n, q_n, k = 64, 500, 7, 5
+        db, qs = unit(rng, n, d), unit(rng, q_n, d)
+        ids = [f"id-{i}" for i in range(n)]
+        idx = FlatIndex(dim=d)
+        idx.add(db, ids)
+        assert idx.count == n
+        results = idx.search(qs, k)
+        expect = oracle_topk(db, qs, k)
+        for qi in range(q_n):
+            got = [sid for sid, _ in results[qi]]
+            want = [f"id-{i}" for i in expect[qi]]
+            assert got == want
+
+    def test_incremental_adds_match_bulk(self, rng):
+        d, k = 32, 5
+        db = unit(rng, 300, d)
+        ids = [f"v{i}" for i in range(300)]
+        a = FlatIndex(dim=d)
+        a.add(db, ids)
+        b = FlatIndex(dim=d)
+        for s in range(0, 300, 37):  # uneven batches exercise padding
+            b.add(db[s : s + 37], ids[s : s + 37])
+        q = unit(rng, 3, d)
+        assert a.search(q, k) == b.search(q, k)
+
+    def test_growth(self, rng):
+        d = 16
+        idx = FlatIndex(dim=d, capacity=2048)
+        db = unit(rng, 5000, d)
+        idx.add(db, [f"g{i}" for i in range(5000)])
+        assert idx.capacity >= 5001 and idx.count == 5000
+        res = idx.search(db[123:124], 1)
+        assert res[0][0][0] == "g123"
+        assert res[0][0][1] > 0.999
+
+    def test_delete_tombstones(self, rng):
+        d = 32
+        db = unit(rng, 100, d)
+        idx = FlatIndex(dim=d)
+        idx.add(db, [f"t{i}" for i in range(100)])
+        top = idx.search(db[:1], 1)[0][0][0]
+        assert top == "t0"
+        assert idx.delete(["t0"]) == 1
+        got = [sid for sid, _ in idx.search(db[:1], 5)[0]]
+        assert "t0" not in got
+        assert idx.delete(["t0"]) == 0  # already gone
+
+    def test_compaction_preserves_results(self, rng):
+        d = 32
+        db = unit(rng, 200, d)
+        idx = FlatIndex(dim=d)
+        idx.add(db, [f"c{i}" for i in range(200)])
+        idx.delete([f"c{i}" for i in range(0, 120)])  # force compaction
+        assert idx.dead == 0  # compacted
+        got = idx.search(db[150:151], 1)[0][0]
+        assert got[0] == "c150" and got[1] > 0.999
+
+    def test_save_load_roundtrip(self, rng, tmp_path):
+        d = 32
+        db = unit(rng, 64, d)
+        idx = FlatIndex(dim=d)
+        idx.add(db, [f"s{i}" for i in range(64)])
+        idx.delete(["s3"])
+        path = str(tmp_path / "col")
+        idx.save(path)
+        assert FlatIndex.exists(path)
+        idx2 = FlatIndex.load(path)
+        q = unit(rng, 2, d)
+        assert idx2.search(q, 5) == idx.search(q, 5)
+
+    def test_empty_search(self):
+        idx = FlatIndex(dim=16)
+        assert idx.search(np.zeros((2, 16), np.float32), 5) == [[], []]
+
+
+class TestShardedFlatIndex:
+    @pytest.fixture
+    def mesh(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        return Mesh(np.array(jax.devices()[:8]), ("shard",))
+
+    def test_matches_flat(self, rng, mesh):
+        d, n, k = 64, 700, 10
+        db, qs = unit(rng, n, d), unit(rng, 5, d)
+        ids = [f"m{i}" for i in range(n)]
+        flat = FlatIndex(dim=d)
+        flat.add(db, ids)
+        sharded = ShardedFlatIndex(dim=d, mesh=mesh, capacity_per_shard=2048)
+        sharded.add(db, ids)
+        assert sharded.count == n
+        rf = flat.search(qs, k)
+        rs = sharded.search(qs, k)
+        for qi in range(5):
+            assert [s for s, _ in rf[qi]] == [s for s, _ in rs[qi]]
+            np.testing.assert_allclose(
+                [v for _, v in rf[qi]], [v for _, v in rs[qi]], atol=1e-2
+            )
+
+    def test_delete(self, rng, mesh):
+        d = 32
+        db = unit(rng, 100, d)
+        idx = ShardedFlatIndex(dim=d, mesh=mesh)
+        idx.add(db, [f"d{i}" for i in range(100)])
+        assert idx.delete(["d0"]) == 1
+        got = [s for s, _ in idx.search(db[:1], 5)[0]]
+        assert "d0" not in got
+
+
+class TestIVFIndex:
+    def test_recall_vs_oracle(self, rng):
+        # Clustered data (mixture of gaussians) — the realistic regime for
+        # sentence embeddings; uniform random vectors are IVF's worst case.
+        d, n, q_n, k = 48, 4096, 8, 10
+        centers = unit(rng, 32, d)
+        assign = rng.integers(0, 32, size=n)
+        db = centers[assign] + 0.3 * rng.standard_normal((n, d)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        qi_rows = rng.integers(0, n, size=q_n)
+        qs = db[qi_rows] + 0.1 * rng.standard_normal((q_n, d)).astype(np.float32)
+        qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+        ids = [f"p{i}" for i in range(n)]
+        idx = IVFIndex(dim=d, n_clusters=64, nprobe=24)
+        idx.build(db, ids)
+        assert idx.count == n
+        expect = oracle_topk(db, qs, k)
+        recalls = []
+        for qq, hits in enumerate(idx.search(qs, k)):
+            got = {s for s, _ in hits}
+            want = {f"p{i}" for i in expect[qq]}
+            recalls.append(len(got & want) / k)
+        assert np.mean(recalls) >= 0.9, recalls
+
+    def test_nprobe_full_is_exact(self, rng):
+        d, n, k = 32, 1024, 5
+        db, qs = unit(rng, n, d), unit(rng, 4, d)
+        idx = IVFIndex(dim=d, n_clusters=16, nprobe=16)  # probe everything
+        idx.build(db, [f"e{i}" for i in range(n)])
+        expect = oracle_topk(db, qs, k)
+        for qi, hits in enumerate(idx.search(qs, k)):
+            assert [s for s, _ in hits] == [f"e{i}" for i in expect[qi]]
+
+    def test_streaming_add_and_rebuild(self, rng):
+        d = 32
+        db = unit(rng, 1024, d)
+        idx = IVFIndex(dim=d, n_clusters=16, nprobe=8)
+        idx.build(db[:1000], [f"a{i}" for i in range(1000)])
+        idx.add(db[1000:], [f"b{i}" for i in range(24)])
+        hits = idx.search(db[1010:1011], 1)[0]
+        assert hits[0][0] == "b10" and hits[0][1] > 0.999
+        idx.rebuild()
+        assert idx.count == 1024
+        hits = idx.search(db[1010:1011], 1)[0]
+        assert hits[0][0] == "b10"
+
+    def test_delete(self, rng):
+        d = 32
+        db = unit(rng, 1024, d)
+        idx = IVFIndex(dim=d, n_clusters=16, nprobe=16)
+        idx.build(db, [f"x{i}" for i in range(1024)])
+        assert idx.delete(["x5"]) == 1
+        got = [s for s, _ in idx.search(db[5:6], 5)[0]]
+        assert "x5" not in got
+        assert idx.count == 1023
