@@ -1,0 +1,94 @@
+"""ctypes loader for the native C++ runtime components under native/.
+
+Native pieces (built by `make -C native`):
+  - libmemexhnsw.so: HNSW ANN index (the `hnsw://` parity backend and the
+    CPU recall baseline — replaces the reference's hnsw_rs crate role)
+  - libmemextext.so: WordPiece tokenizer (host-side ingest hot path)
+
+Loading is lazy and auto-builds once if the toolchain is present; callers
+get a clear ImportError otherwise (pure-Python fallbacks exist for both).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+from .log import get_logger
+
+logger = get_logger(__name__)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
+_cache: dict[str, ctypes.CDLL] = {}
+
+
+def _ensure_built() -> None:
+    targets = ["libmemexhnsw.so", "libmemextext.so"]
+    if all(os.path.exists(os.path.join(_BUILD_DIR, t)) for t in targets):
+        return
+    logger.info("building native components (make -C %s)", _NATIVE_DIR)
+    subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+
+
+def load(name: str) -> ctypes.CDLL:
+    lib = _cache.get(name)
+    if lib is None:
+        _ensure_built()
+        path = os.path.join(_BUILD_DIR, name)
+        lib = ctypes.CDLL(path)
+        _cache[name] = lib
+    return lib
+
+
+def hnsw_lib() -> ctypes.CDLL:
+    lib = load("libmemexhnsw.so")
+    if not getattr(lib, "_sigs_set", False):
+        c = ctypes
+        lib.hnsw_new.restype = c.c_void_p
+        lib.hnsw_new.argtypes = [c.c_int, c.c_int, c.c_int]
+        lib.hnsw_free.argtypes = [c.c_void_p]
+        lib.hnsw_add.restype = c.c_uint32
+        lib.hnsw_add.argtypes = [c.c_void_p, c.POINTER(c.c_float)]
+        lib.hnsw_add_batch.argtypes = [
+            c.c_void_p, c.POINTER(c.c_float), c.c_uint64, c.POINTER(c.c_uint32)
+        ]
+        lib.hnsw_search.restype = c.c_int
+        lib.hnsw_search.argtypes = [
+            c.c_void_p, c.POINTER(c.c_float), c.c_int, c.c_int,
+            c.POINTER(c.c_uint32), c.POINTER(c.c_float),
+        ]
+        lib.hnsw_mark_deleted.argtypes = [c.c_void_p, c.c_uint32]
+        lib.hnsw_count.restype = c.c_uint64
+        lib.hnsw_count.argtypes = [c.c_void_p]
+        lib.hnsw_save.restype = c.c_int
+        lib.hnsw_save.argtypes = [c.c_void_p, c.c_char_p]
+        lib.hnsw_load.restype = c.c_void_p
+        lib.hnsw_load.argtypes = [c.c_char_p]
+        lib._sigs_set = True
+    return lib
+
+
+def text_lib() -> ctypes.CDLL:
+    lib = load("libmemextext.so")
+    if not getattr(lib, "_sigs_set", False):
+        c = ctypes
+        lib.wp_new.restype = c.c_void_p
+        lib.wp_new.argtypes = [c.c_char_p, c.c_uint64, c.c_int32]
+        lib.wp_free.argtypes = [c.c_void_p]
+        lib.wp_encode.restype = c.c_int64
+        lib.wp_encode.argtypes = [
+            c.c_void_p, c.c_char_p, c.c_uint64, c.POINTER(c.c_int32), c.c_int64
+        ]
+        lib._sigs_set = True
+    return lib
+
+
+def available() -> bool:
+    try:
+        _ensure_built()
+        return True
+    except Exception as exc:  # toolchain missing etc.
+        logger.warning("native components unavailable: %s", exc)
+        return False

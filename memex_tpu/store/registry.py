@@ -1,0 +1,75 @@
+"""URI-scheme store factory + process-wide registry.
+
+Reference: `get_vector_storage` parses the connection URI scheme and
+builds a store per (uri, collection) (lib/libmemex/src/storage/mod.rs:95-139,
+dim hardcoded 384 at :126). Here the registry caches live handles so the
+index is constructed once per process — the reference rebuilds per call.
+"""
+
+from __future__ import annotations
+
+import threading
+from urllib.parse import urlparse
+
+from ..log import get_logger
+from .base import VectorStore
+
+logger = get_logger(__name__)
+
+DEFAULT_DIM = 384  # MiniLM-L12 output (reference storage/mod.rs:126)
+
+
+class StoreRegistry:
+    def __init__(self):
+        self._stores: dict[tuple[str, str], VectorStore] = {}
+        self._lock = threading.Lock()
+
+    def get(self, uri: str, collection: str, dim: int = DEFAULT_DIM) -> VectorStore:
+        key = (uri, collection)
+        with self._lock:
+            store = self._stores.get(key)
+            if store is None:
+                store = _build_store(uri, collection, dim)
+                self._stores[key] = store
+            return store
+
+    def drop(self, uri: str, collection: str) -> None:
+        with self._lock:
+            self._stores.pop((uri, collection), None)
+
+    def checkpoint_all(self) -> None:
+        with self._lock:
+            stores = list(self._stores.values())
+        for s in stores:
+            s.checkpoint()
+
+
+_REGISTRY = StoreRegistry()
+
+
+def get_vector_storage(uri: str, collection: str, dim: int = DEFAULT_DIM) -> VectorStore:
+    """Process-wide store lookup (live handle, not a fresh load)."""
+    return _REGISTRY.get(uri, collection, dim)
+
+
+def _build_store(uri: str, collection: str, dim: int) -> VectorStore:
+    parsed = urlparse(uri)
+    scheme = parsed.scheme or "tpu"
+    path = (parsed.netloc + parsed.path) or "./vector_data"
+    if scheme == "tpu":
+        from .tpu_store import TpuFlatStore
+
+        return TpuFlatStore(path, collection, dim=dim)
+    if scheme == "tpu+ivf":
+        from .tpu_store import TpuIVFStore
+
+        return TpuIVFStore(path, collection, dim=dim)
+    if scheme == "memory":
+        from .tpu_store import MemoryStore
+
+        return MemoryStore(None, collection, dim=dim)
+    if scheme == "hnsw":
+        from .hnsw_store import HnswStore
+
+        return HnswStore(path, collection, dim=dim)
+    raise ValueError(f"unsupported vector store scheme: {scheme!r} (uri {uri!r})")

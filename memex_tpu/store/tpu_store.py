@@ -1,0 +1,186 @@
+"""TPU-backed vector stores wrapping the index tier.
+
+One store per collection. The index stays resident (device HBM) for the
+process lifetime; `checkpoint()` persists to the collection dir, and
+construction restores from the latest checkpoint when present — replacing
+the reference's save-everything-per-insert / load-everything-per-query
+cycle (lib/libmemex/src/storage/local.rs:62-69, storage/mod.rs:107-121).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import numpy as np
+
+from ..index.flat import FlatIndex
+from ..index.ivf import IVFIndex
+from ..log import get_logger
+from .base import SearchHit, VectorData
+
+logger = get_logger(__name__)
+
+
+def _normalize(vectors: np.ndarray) -> np.ndarray:
+    vectors = np.asarray(vectors, np.float32)
+    norms = np.linalg.norm(vectors, axis=-1, keepdims=True)
+    return vectors / np.maximum(norms, 1e-12)
+
+
+class TpuFlatStore:
+    """Flat exact store (the default tier)."""
+
+    def __init__(self, base_dir: str | None, collection: str, dim: int = 384, **kw):
+        self.collection = collection
+        self.dim = dim
+        self._lock = threading.Lock()
+        self._path = None
+        if base_dir:
+            os.makedirs(base_dir, exist_ok=True)
+            self._path = os.path.join(base_dir, f"{collection}.flat")
+        if self._path and FlatIndex.exists(self._path):
+            self.index = FlatIndex.load(self._path, **kw)
+            logger.info("restored collection %s (%d vectors)", collection, self.index.count)
+        else:
+            self.index = FlatIndex(dim=dim, **kw)
+        self._doc_of: dict[str, str] = {}
+
+    @property
+    def count(self) -> int:
+        return self.index.count - self.index.dead
+
+    def add_vectors(self, data: list[VectorData]) -> None:
+        if not data:
+            return
+        vecs = _normalize(np.stack([d.vector for d in data]))
+        ids = [d.id for d in data]
+        with self._lock:
+            self.index.add(vecs, ids)
+            for d in data:
+                self._doc_of[d.id] = d.document_id
+
+    def search(self, vector: np.ndarray, limit: int) -> list[SearchHit]:
+        return self.search_batch(np.asarray(vector)[None, :], limit)[0]
+
+    def search_batch(self, vectors: np.ndarray, limit: int) -> list[list[SearchHit]]:
+        vecs = _normalize(np.atleast_2d(vectors))
+        with self._lock:
+            raw = self.index.search(vecs, limit)
+        return [
+            [SearchHit(id=sid, score=score, document_id=self._doc_of.get(sid)) for sid, score in hits]
+            for hits in raw
+        ]
+
+    def delete(self, ids: list[str]) -> int:
+        with self._lock:
+            n = self.index.delete(ids)
+            for sid in ids:
+                self._doc_of.pop(sid, None)
+            return n
+
+    def delete_all(self) -> None:
+        with self._lock:
+            self.index.delete_all()
+            self._doc_of.clear()
+            if self._path:
+                for suffix in (".npz", ".meta.json"):
+                    try:
+                        os.remove(self._path + suffix)
+                    except FileNotFoundError:
+                        pass
+
+    def checkpoint(self) -> None:
+        if self._path:
+            with self._lock:
+                self.index.save(self._path)
+
+
+class TpuIVFStore(TpuFlatStore):
+    """IVF-tier store: same surface; build/rebuild exposed for bulk loads."""
+
+    def __init__(self, base_dir: str | None, collection: str, dim: int = 384,
+                 n_clusters: int = 1024, nprobe: int = 64, **kw):
+        self.collection = collection
+        self.dim = dim
+        self._lock = threading.Lock()
+        self._path = None  # IVF checkpoint = rebuildable from SQL; skip files
+        self.index = IVFIndex(dim=dim, n_clusters=n_clusters, nprobe=nprobe, **kw)
+        self._doc_of: dict[str, str] = {}
+
+    def build(self, data: list[VectorData]) -> None:
+        vecs = _normalize(np.stack([d.vector for d in data]))
+        with self._lock:
+            self.index.build(vecs, [d.id for d in data])
+            for d in data:
+                self._doc_of[d.id] = d.document_id
+
+    def rebuild(self) -> None:
+        with self._lock:
+            self.index.rebuild()
+
+    @property
+    def count(self) -> int:
+        return self.index.count
+
+    def checkpoint(self) -> None:
+        pass
+
+
+class MemoryStore:
+    """Plain numpy store — hermetic test backend (no JAX dependency)."""
+
+    def __init__(self, base_dir: str | None, collection: str, dim: int = 384, **kw):
+        self.collection = collection
+        self.dim = dim
+        self._vecs = np.zeros((0, dim), np.float32)
+        self._ids: list[str] = []
+        self._doc_of: dict[str, str] = {}
+
+    @property
+    def count(self) -> int:
+        return len(self._ids)
+
+    def add_vectors(self, data: list[VectorData]) -> None:
+        if not data:
+            return
+        vecs = _normalize(np.stack([d.vector for d in data]))
+        self._vecs = np.concatenate([self._vecs, vecs])
+        self._ids.extend(d.id for d in data)
+        for d in data:
+            self._doc_of[d.id] = d.document_id
+
+    def search(self, vector, limit: int):
+        return self.search_batch(np.asarray(vector)[None, :], limit)[0]
+
+    def search_batch(self, vectors, limit: int):
+        vecs = _normalize(np.atleast_2d(vectors))
+        out = []
+        for q in vecs:
+            if not self._ids:
+                out.append([])
+                continue
+            scores = self._vecs @ q
+            order = np.argsort(-scores)[:limit]
+            out.append(
+                [SearchHit(id=self._ids[i], score=float(scores[i]),
+                           document_id=self._doc_of.get(self._ids[i])) for i in order]
+            )
+        return out
+
+    def delete(self, ids: list[str]) -> int:
+        keep = [i for i, sid in enumerate(self._ids) if sid not in set(ids)]
+        removed = len(self._ids) - len(keep)
+        self._vecs = self._vecs[keep]
+        self._ids = [self._ids[i] for i in keep]
+        for sid in ids:
+            self._doc_of.pop(sid, None)
+        return removed
+
+    def delete_all(self) -> None:
+        self._vecs = np.zeros((0, self.dim), np.float32)
+        self._ids = []
+        self._doc_of.clear()
+
+    def checkpoint(self) -> None:
+        pass

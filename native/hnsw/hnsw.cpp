@@ -1,0 +1,279 @@
+// hnsw.cpp — Hierarchical Navigable Small World ANN index (C++17).
+//
+// Native CPU baseline/parity backend for memex_tpu's `hnsw://` scheme.
+// The reference links the hnsw_rs crate (SURVEY.md §2.2); this is a fresh
+// implementation of the HNSW algorithm (Malkov & Yashunin 2016):
+//   - exponential level assignment, greedy descent on upper layers,
+//   - best-first beam search (ef) at each layer,
+//   - simple closest-M neighbor selection with reverse-link pruning.
+// Cosine similarity over pre-normalized vectors (inner product).
+//
+// Exposed as a C ABI for ctypes: see hnsw_api.h-style decls at the bottom.
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <random>
+#include <vector>
+
+namespace {
+
+struct Hnsw {
+  int dim;
+  int M;               // max links per node (layer > 0); layer 0 uses 2*M
+  int ef_construction;
+  double level_mult;   // 1 / ln(M)
+  std::mt19937_64 rng{0x5eed};
+
+  std::vector<float> data;                 // n * dim, normalized
+  std::vector<int> levels;                 // level of each node
+  std::vector<std::vector<std::vector<uint32_t>>> links;  // node -> layer -> neighbors
+  std::vector<uint8_t> dead;               // tombstones
+  int entry = -1;
+  int max_level = -1;
+  std::mutex mu;
+
+  Hnsw(int dim_, int M_, int efc) : dim(dim_), M(M_), ef_construction(efc) {
+    level_mult = 1.0 / std::log(std::max(2, M_));
+  }
+
+  size_t size() const { return levels.size(); }
+
+  inline float dist(const float* a, const float* b) const {
+    // negative inner product (smaller = closer); vectors are unit-norm
+    float s = 0.f;
+    for (int i = 0; i < dim; ++i) s += a[i] * b[i];
+    return -s;
+  }
+  inline const float* vec(uint32_t id) const { return data.data() + (size_t)id * dim; }
+
+  int random_level() {
+    std::uniform_real_distribution<double> u(0.0, 1.0);
+    double r = u(rng);
+    int lvl = (int)(-std::log(std::max(r, 1e-12)) * level_mult);
+    return std::min(lvl, 24);
+  }
+
+  // Best-first search on one layer starting from `entry_pts`; returns up to
+  // `ef` (dist, id) pairs, closest first.
+  std::vector<std::pair<float, uint32_t>> search_layer(
+      const float* q, std::vector<uint32_t> entry_pts, int layer, int ef) const {
+    std::vector<uint8_t> visited(size(), 0);
+    // min-heap of candidates by distance; max-heap of results
+    std::priority_queue<std::pair<float, uint32_t>,
+                        std::vector<std::pair<float, uint32_t>>,
+                        std::greater<>> cand;
+    std::priority_queue<std::pair<float, uint32_t>> res;
+    for (uint32_t ep : entry_pts) {
+      if (visited[ep]) continue;
+      visited[ep] = 1;
+      float d = dist(q, vec(ep));
+      cand.emplace(d, ep);
+      res.emplace(d, ep);
+    }
+    while (!cand.empty()) {
+      auto [d, c] = cand.top();
+      if (!res.empty() && d > res.top().first && (int)res.size() >= ef) break;
+      cand.pop();
+      for (uint32_t nb : links[c][layer]) {
+        if (visited[nb]) continue;
+        visited[nb] = 1;
+        float dn = dist(q, vec(nb));
+        if ((int)res.size() < ef || dn < res.top().first) {
+          cand.emplace(dn, nb);
+          res.emplace(dn, nb);
+          if ((int)res.size() > ef) res.pop();
+        }
+      }
+    }
+    std::vector<std::pair<float, uint32_t>> out;
+    out.reserve(res.size());
+    while (!res.empty()) { out.push_back(res.top()); res.pop(); }
+    std::reverse(out.begin(), out.end());
+    return out;
+  }
+
+  void connect(uint32_t a, uint32_t b, int layer, int cap) {
+    auto& la = links[a][layer];
+    la.push_back(b);
+    if ((int)la.size() > cap) {
+      // prune: keep the `cap` closest
+      const float* va = vec(a);
+      std::partial_sort(la.begin(), la.begin() + cap, la.end(),
+                        [&](uint32_t x, uint32_t y) {
+                          return dist(va, vec(x)) < dist(va, vec(y));
+                        });
+      la.resize(cap);
+    }
+  }
+
+  uint32_t add(const float* v) {
+    std::lock_guard<std::mutex> lock(mu);
+    uint32_t id = (uint32_t)size();
+    int lvl = random_level();
+    data.insert(data.end(), v, v + dim);
+    levels.push_back(lvl);
+    dead.push_back(0);
+    links.emplace_back(lvl + 1);
+    for (int l = 0; l <= lvl; ++l)
+      links[id][l].reserve(l == 0 ? 2 * M : M);
+
+    if (entry < 0) { entry = (int)id; max_level = lvl; return id; }
+
+    // greedy descent from the top to lvl+1
+    uint32_t ep = (uint32_t)entry;
+    float dq = dist(v, vec(ep));
+    for (int l = max_level; l > lvl; --l) {
+      bool improved = true;
+      while (improved) {
+        improved = false;
+        for (uint32_t nb : links[ep][l]) {
+          float dn = dist(v, vec(nb));
+          if (dn < dq) { dq = dn; ep = nb; improved = true; }
+        }
+      }
+    }
+    // beam insert on layers min(lvl, max_level)..0
+    std::vector<uint32_t> eps = {ep};
+    for (int l = std::min(lvl, max_level); l >= 0; --l) {
+      auto nearest = search_layer(v, eps, l, ef_construction);
+      int cap = (l == 0) ? 2 * M : M;
+      int take = std::min<int>(M, (int)nearest.size());
+      for (int i = 0; i < take; ++i) {
+        uint32_t nb = nearest[i].second;
+        links[id][l].push_back(nb);
+        connect(nb, id, l, cap);
+      }
+      eps.clear();
+      for (auto& p : nearest) eps.push_back(p.second);
+    }
+    if (lvl > max_level) { max_level = lvl; entry = (int)id; }
+    return id;
+  }
+
+  int search(const float* q, int k, int ef, uint32_t* out_ids, float* out_scores) {
+    std::lock_guard<std::mutex> lock(mu);
+    if (entry < 0) return 0;
+    uint32_t ep = (uint32_t)entry;
+    float dq = dist(q, vec(ep));
+    for (int l = max_level; l > 0; --l) {
+      bool improved = true;
+      while (improved) {
+        improved = false;
+        for (uint32_t nb : links[ep][l]) {
+          float dn = dist(q, vec(nb));
+          if (dn < dq) { dq = dn; ep = nb; improved = true; }
+        }
+      }
+    }
+    auto nearest = search_layer(q, {ep}, 0, std::max(ef, k));
+    int n = 0;
+    for (auto& [d, id] : nearest) {
+      if (dead[id]) continue;
+      out_ids[n] = id;
+      out_scores[n] = -d;  // back to cosine similarity
+      if (++n >= k) break;
+    }
+    return n;
+  }
+
+  bool save(const char* path) const {
+    FILE* f = std::fopen(path, "wb");
+    if (!f) return false;
+    uint64_t n = size();
+    uint32_t magic = 0x4d583148;  // "H1XM"
+    std::fwrite(&magic, 4, 1, f);
+    std::fwrite(&dim, 4, 1, f);
+    std::fwrite(&M, 4, 1, f);
+    std::fwrite(&ef_construction, 4, 1, f);
+    std::fwrite(&n, 8, 1, f);
+    std::fwrite(&entry, 4, 1, f);
+    std::fwrite(&max_level, 4, 1, f);
+    std::fwrite(data.data(), 4, n * dim, f);
+    std::fwrite(levels.data(), 4, n, f);
+    std::fwrite(dead.data(), 1, n, f);
+    for (uint64_t i = 0; i < n; ++i) {
+      for (int l = 0; l <= levels[i]; ++l) {
+        uint32_t cnt = (uint32_t)links[i][l].size();
+        std::fwrite(&cnt, 4, 1, f);
+        std::fwrite(links[i][l].data(), 4, cnt, f);
+      }
+    }
+    std::fclose(f);
+    return true;
+  }
+
+  static Hnsw* load(const char* path) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return nullptr;
+    uint32_t magic; int dim, M, efc, entry, max_level; uint64_t n;
+    if (std::fread(&magic, 4, 1, f) != 1 || magic != 0x4d583148) { std::fclose(f); return nullptr; }
+    std::fread(&dim, 4, 1, f);
+    std::fread(&M, 4, 1, f);
+    std::fread(&efc, 4, 1, f);
+    std::fread(&n, 8, 1, f);
+    std::fread(&entry, 4, 1, f);
+    std::fread(&max_level, 4, 1, f);
+    auto* h = new Hnsw(dim, M, efc);
+    h->entry = entry;
+    h->max_level = max_level;
+    h->data.resize(n * dim);
+    h->levels.resize(n);
+    h->dead.resize(n);
+    std::fread(h->data.data(), 4, n * dim, f);
+    std::fread(h->levels.data(), 4, n, f);
+    std::fread(h->dead.data(), 1, n, f);
+    h->links.resize(n);
+    for (uint64_t i = 0; i < n; ++i) {
+      h->links[i].resize(h->levels[i] + 1);
+      for (int l = 0; l <= h->levels[i]; ++l) {
+        uint32_t cnt;
+        std::fread(&cnt, 4, 1, f);
+        h->links[i][l].resize(cnt);
+        std::fread(h->links[i][l].data(), 4, cnt, f);
+      }
+    }
+    std::fclose(f);
+    return h;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* hnsw_new(int dim, int M, int ef_construction) {
+  return new Hnsw(dim, M, ef_construction);
+}
+void hnsw_free(void* h) { delete (Hnsw*)h; }
+
+uint32_t hnsw_add(void* h, const float* vec) { return ((Hnsw*)h)->add(vec); }
+
+void hnsw_add_batch(void* h, const float* vecs, uint64_t n, uint32_t* out_ids) {
+  auto* idx = (Hnsw*)h;
+  for (uint64_t i = 0; i < n; ++i)
+    out_ids[i] = idx->add(vecs + i * idx->dim);
+}
+
+int hnsw_search(void* h, const float* q, int k, int ef,
+                uint32_t* out_ids, float* out_scores) {
+  return ((Hnsw*)h)->search(q, k, ef, out_ids, out_scores);
+}
+
+void hnsw_mark_deleted(void* h, uint32_t id) {
+  auto* idx = (Hnsw*)h;
+  if (id < idx->size()) idx->dead[id] = 1;
+}
+
+uint64_t hnsw_count(void* h) { return ((Hnsw*)h)->size(); }
+int hnsw_dim(void* h) { return ((Hnsw*)h)->dim; }
+
+int hnsw_save(void* h, const char* path) { return ((Hnsw*)h)->save(path) ? 0 : -1; }
+void* hnsw_load(const char* path) { return Hnsw::load(path); }
+
+}  // extern "C"
