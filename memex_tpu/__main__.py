@@ -1,0 +1,119 @@
+"""CLI entry point / process supervisor.
+
+Reference: bin/memex/src/main.rs — `memex serve --roles Api,Worker` with
+env fallbacks (Args :20-33, role spawn :113-130). Both roles run in one
+process by default (threads), or split across processes sharing the SQL
+queue, exactly like the reference's role model.
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+import threading
+
+from .config import Settings, load_dotenv
+from .log import get_logger, init_logging
+
+logger = get_logger("memex_tpu.main")
+
+
+def cmd_serve(args: argparse.Namespace) -> int:
+    from .runtime import get_runtime
+
+    settings = Settings.from_env(
+        **{k: v for k, v in {
+            "host": args.host,
+            "port": args.port,
+            "db_uri": args.database_connection,
+            "vector_uri": args.vector_connection,
+        }.items() if v is not None}
+    )
+    rt = get_runtime(settings)
+    roles = {r.strip().lower() for r in args.roles.split(",") if r.strip()}
+    if not roles <= {"api", "worker"}:
+        logger.error("unknown roles in %r (expected Api,Worker)", args.roles)
+        return 2
+
+    worker = None
+    if "worker" in roles:
+        from .worker import Worker
+
+        worker = Worker(rt)
+        worker.start_background()
+
+    stop = threading.Event()
+
+    def handle_sig(signum, frame):
+        logger.info("shutdown signal received")
+        stop.set()
+
+    signal.signal(signal.SIGINT, handle_sig)
+    signal.signal(signal.SIGTERM, handle_sig)
+
+    if "api" in roles:
+        import asyncio
+
+        from .api.server import start_async
+
+        async def main():
+            shutdown_event = asyncio.Event()
+
+            def poll_stop():
+                if stop.is_set():
+                    shutdown_event.set()
+                else:
+                    asyncio.get_event_loop().call_later(0.2, poll_stop)
+
+            asyncio.get_event_loop().call_later(0.2, poll_stop)
+            await start_async(rt, shutdown_event)
+
+        asyncio.run(main())
+    else:
+        stop.wait()
+
+    if worker is not None:
+        worker.shutdown()
+        # Checkpoint stores on clean shutdown.
+        from .store.registry import _REGISTRY
+
+        _REGISTRY.checkpoint_all()
+    return 0
+
+
+def cmd_migrate(args: argparse.Namespace) -> int:
+    """Standalone migration runner (reference migration/src/main.rs)."""
+    from .db.connection import create_connection_by_uri
+
+    settings = Settings.from_env()
+    uri = args.database_connection or settings.db_uri
+    create_connection_by_uri(uri, run_migrations=True)
+    logger.info("migrations applied to %s", uri)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    load_dotenv()
+    init_logging()
+    parser = argparse.ArgumentParser(prog="memex_tpu", description="TPU-native memex service")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    serve = sub.add_parser("serve", help="run the api/worker service")
+    serve.add_argument("--host", default=None)
+    serve.add_argument("--port", type=int, default=None)
+    serve.add_argument("--roles", default="Api,Worker")
+    serve.add_argument("--database-connection", default=None)
+    serve.add_argument("--vector-connection", default=None)
+    serve.set_defaults(func=cmd_serve)
+
+    migrate = sub.add_parser("migrate", help="apply schema migrations and exit")
+    migrate.add_argument("--database-connection", default=None)
+    migrate.set_defaults(func=cmd_migrate)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

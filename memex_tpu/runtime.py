@@ -1,0 +1,84 @@
+"""Process-wide runtime context: settings, DB, embedding engine, LLM, stores.
+
+The reference constructs these per-request/per-job (its dominant latency —
+SURVEY.md §3 hot spots); here every expensive resource is built once per
+process and shared by the API handlers and worker executors.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from .config import Settings
+from .db.connection import Database, create_connection_by_uri
+from .log import get_logger
+
+logger = get_logger(__name__)
+
+
+class Runtime:
+    def __init__(self, settings: Settings | None = None):
+        self.settings = settings or Settings.from_env()
+        self._lock = threading.Lock()
+        self._db: Database | None = None
+        self._engine = None
+        self._llm = None
+
+    @property
+    def db(self) -> Database:
+        with self._lock:
+            if self._db is None:
+                self._db = create_connection_by_uri(self.settings.db_uri, run_migrations=True)
+            return self._db
+
+    @property
+    def engine(self):
+        with self._lock:
+            if self._engine is None:
+                from .embed import EmbeddingEngine
+
+                self._engine = EmbeddingEngine(
+                    model_dir=self.settings.embedding_model,
+                    max_seq_length=self.settings.max_seq_length,
+                    window_stride=self.settings.window_stride,
+                )
+            return self._engine
+
+    @property
+    def llm(self):
+        with self._lock:
+            if self._llm is None:
+                from .llm.base import get_llm
+
+                self._llm = get_llm(self.settings)
+            return self._llm
+
+    def store(self, collection: str):
+        from .store import get_vector_storage
+
+        return get_vector_storage(
+            self.settings.vector_uri, collection, dim=self.settings.embedding_dim
+        )
+
+    def drop_store(self, collection: str) -> None:
+        from .store.registry import _REGISTRY
+
+        _REGISTRY.drop(self.settings.vector_uri, collection)
+
+
+_runtime: Runtime | None = None
+_runtime_lock = threading.Lock()
+
+
+def get_runtime(settings: Settings | None = None) -> Runtime:
+    global _runtime
+    with _runtime_lock:
+        if _runtime is None:
+            _runtime = Runtime(settings)
+        return _runtime
+
+
+def reset_runtime() -> None:
+    global _runtime
+    with _runtime_lock:
+        _runtime = None

@@ -1,0 +1,93 @@
+"""Task executors.
+
+Reference: lib/worker/src/tasks.rs — process_embeddings (:9-66) and
+generate_summary (:68-89). Each executor takes the shared runtime and a
+claimed Task and returns the value to store in `task_output` (or None).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from ..db import models, queue
+from ..log import get_logger
+from ..runtime import Runtime
+from ..store.base import VectorData
+
+logger = get_logger(__name__)
+
+
+def process_ingest(rt: Runtime, task: queue.Task) -> None:
+    """Ingest pipeline (tasks.rs:9-66): segment+embed -> documents row ->
+    embeddings rows (one txn) -> vector store add."""
+    t0 = time.perf_counter()
+    segments, vectors = rt.engine.encode(task.content)
+    embed_ms = (time.perf_counter() - t0) * 1000
+    logger.info(
+        "task %d: generated %d embeddings in %.1fms", task.id, len(segments), embed_ms
+    )
+
+    doc = models.insert_document_from_task(rt.db, task)
+    seg_uuids = models.insert_embeddings(rt.db, doc.uuid, task.collection, segments, vectors)
+
+    store = rt.store(task.collection)
+    store.add_vectors(
+        [
+            VectorData(
+                id=seg_uuids[i],
+                document_id=doc.uuid,
+                text=segments[i],
+                vector=vectors[i],
+                segment_id=i,
+            )
+            for i in range(len(segments))
+        ]
+    )
+    store.checkpoint()
+
+
+def process_summarize(rt: Runtime, task: queue.Task):
+    """Map-reduce summarize (tasks.rs:68-89): budget-split the text, LLM
+    summarize each chunk, concatenate the bullet summaries."""
+    llm = rt.llm
+    from ..llm import prompter
+
+    chunks, model = llm.segment_text(task.content)
+    summaries: list[str] = []
+    for i, chunk in enumerate(chunks):
+        t0 = time.perf_counter()
+        result = llm.chat_completion(model, prompter.summarize(chunk))
+        logger.info(
+            "task %d: summarized segment %d/%d in %.1fms",
+            task.id, i + 1, len(chunks), (time.perf_counter() - t0) * 1000,
+        )
+        summaries.append(result.strip())
+    return {"summary": "\n".join(summaries)}
+
+
+def process_extract(rt: Runtime, task: queue.Task):
+    """Extract executor. The reference declares LLMExtract but never
+    implements it (lib/worker/src/lib.rs:203-208 fetches the task and does
+    nothing); here the task payload carries {text, query, jsonSchema?} and
+    runs the same flow as the synchronous /api/action/ask."""
+    llm = rt.llm
+    from ..llm import prompter
+
+    try:
+        payload = json.loads(task.content)
+    except json.JSONDecodeError:
+        payload = {"text": task.content, "query": "Extract the key facts."}
+    text = payload.get("text", "")
+    user_query = payload.get("query", "")
+    json_schema = payload.get("jsonSchema")
+    content, model = llm.truncate_text(text)
+    if json_schema is not None:
+        prompt = prompter.json_schema_extraction(content, user_query, json_schema)
+    else:
+        prompt = prompter.quick_question(f"{user_query}\n\nContent:\n{content}")
+    response = llm.chat_completion(model, prompt)
+    try:
+        return {"jsonResponse": json.loads(response)}
+    except json.JSONDecodeError:
+        return {"response": response}
