@@ -1,0 +1,336 @@
+"""Llama-family decoder as a pure pytree + jittable functions.
+
+TPU-first decode design (contrast: the reference's GGML token loop is a
+C-side CPU loop driven one token at a time, llm/local/mod.rs:101-126):
+
+  - prefill: one forward over the [1, P] padded prompt, filling the
+    [L, 2, maxlen, n_kv, hd] KV cache in a single fused pass;
+  - generate: `lax.scan` over decode steps inside ONE jit — each step is a
+    [1, 1] forward reading the cache at static shapes, so the whole
+    generation is a single XLA dispatch (critical when host<->device
+    round-trips cost ~30ms);
+  - GQA attention, RoPE, RMSNorm, SwiGLU — standard Llama blocks, bf16
+    matmuls with f32 softmax/norms.
+
+Weights load from HF-format safetensors (model.safetensors, llama naming)
+or init randomly from a config for hermetic use.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    intermediate_size: int = 11008
+    max_context: int = 2048      # reference local context 2048 (schema.rs:26-34)
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 512) -> "LlamaConfig":
+        """Hermetic test/config-free model."""
+        return cls(
+            vocab_size=vocab_size, hidden_size=128, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=256, max_context=256,
+            compute_dtype="float32",
+        )
+
+    @classmethod
+    def from_model_dir(cls, model_dir: str) -> "LlamaConfig":
+        with open(os.path.join(model_dir, "config.json"), "r", encoding="utf-8") as fh:
+            cfg = json.load(fh)
+        return cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=cfg["num_attention_heads"],
+            num_kv_heads=cfg.get("num_key_value_heads", cfg["num_attention_heads"]),
+            intermediate_size=cfg["intermediate_size"],
+            max_context=min(cfg.get("max_position_embeddings", 2048), 4096),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rms_eps=cfg.get("rms_norm_eps", 1e-5),
+        )
+
+
+def init_params(cfg: LlamaConfig, seed: int = 0) -> dict:
+    key = jax.random.PRNGKey(seed)
+    n = 4 + cfg.num_layers * 7
+    keys = iter(jax.random.split(key, n))
+    H, I, KV = cfg.hidden_size, cfg.intermediate_size, cfg.num_kv_heads * cfg.head_dim
+
+    def w(shape):
+        return (0.02 * jax.random.normal(next(keys), shape)).astype(jnp.float32)
+
+    params = {
+        "embed": w((cfg.vocab_size, H)),
+        "final_norm": jnp.ones((H,), jnp.float32),
+        "lm_head": w((H, cfg.vocab_size)),
+        "layers": [],
+    }
+    for _ in range(cfg.num_layers):
+        params["layers"].append({
+            "attn_norm": jnp.ones((H,), jnp.float32),
+            "q": w((H, H)),
+            "k": w((H, KV)),
+            "v": w((H, KV)),
+            "o": w((H, H)),
+            "ffn_norm": jnp.ones((H,), jnp.float32),
+            "gate": w((H, I)),
+            "up": w((H, I)),
+            "down": w((I, H)),
+        })
+    return params
+
+
+def load_params(model_dir: str, cfg: LlamaConfig | None = None) -> tuple[LlamaConfig, dict]:
+    """Load HF llama safetensors ([out,in] weights -> transposed)."""
+    if cfg is None:
+        cfg = LlamaConfig.from_model_dir(model_dir)
+    from safetensors import safe_open
+
+    tensors: dict[str, np.ndarray] = {}
+    # support sharded checkpoints via index file
+    index_path = os.path.join(model_dir, "model.safetensors.index.json")
+    files = ["model.safetensors"]
+    if os.path.exists(index_path):
+        with open(index_path) as fh:
+            files = sorted(set(json.load(fh)["weight_map"].values()))
+    for fname in files:
+        with safe_open(os.path.join(model_dir, fname), framework="numpy") as f:
+            for name in f.keys():
+                tensors[name] = f.get_tensor(name)
+
+    def t(name, transpose=True):
+        arr = tensors[name]
+        if transpose:
+            arr = arr.T
+        return jnp.asarray(arr, jnp.float32)
+
+    params = {
+        "embed": t("model.embed_tokens.weight", transpose=False),
+        "final_norm": t("model.norm.weight", transpose=False),
+        "lm_head": (
+            t("lm_head.weight") if "lm_head.weight" in tensors
+            else t("model.embed_tokens.weight", transpose=False).T
+        ),
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        params["layers"].append({
+            "attn_norm": t(p + "input_layernorm.weight", transpose=False),
+            "q": t(p + "self_attn.q_proj.weight"),
+            "k": t(p + "self_attn.k_proj.weight"),
+            "v": t(p + "self_attn.v_proj.weight"),
+            "o": t(p + "self_attn.o_proj.weight"),
+            "ffn_norm": t(p + "post_attention_layernorm.weight", transpose=False),
+            "gate": t(p + "mlp.gate_proj.weight"),
+            "up": t(p + "mlp.up_proj.weight"),
+            "down": t(p + "mlp.down_proj.weight"),
+        })
+    return cfg, params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _rms_norm(x, scale, eps):
+    x = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(var + eps) * scale
+
+
+def _rope(x, positions, theta):
+    """x: [B, T, n, hd]; positions: [B, T]."""
+    hd = x.shape[-1]
+    half = hd // 2
+    freqs = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    angles = positions[..., None].astype(jnp.float32) * freqs  # [B, T, half]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+def init_cache(cfg: LlamaConfig, batch: int = 1) -> dict:
+    hd = cfg.head_dim
+    shape = (cfg.num_layers, batch, cfg.max_context, cfg.num_kv_heads, hd)
+    return {
+        "k": jnp.zeros(shape, jnp.bfloat16),
+        "v": jnp.zeros(shape, jnp.bfloat16),
+    }
+
+
+def forward(cfg: LlamaConfig, params: dict, tokens: jnp.ndarray,
+            positions: jnp.ndarray, cache: dict, cache_len) -> tuple[jnp.ndarray, dict]:
+    """tokens [B, T] + cache up to cache_len -> (logits [B, T, V], cache').
+
+    Causal within the new tokens; full attention to cached positions
+    < cache_len. Static shapes: cache is max_context long, masked by index.
+    """
+    cdt = jnp.dtype(cfg.compute_dtype)
+    B, T = tokens.shape
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    x = jnp.take(params["embed"], tokens, axis=0)  # [B, T, H] f32
+
+    new_k, new_v = [], []
+    for li, lp in enumerate(params["layers"]):
+        h = _rms_norm(x, lp["attn_norm"], cfg.rms_eps).astype(cdt)
+        q = (h @ lp["q"].astype(cdt)).reshape(B, T, nh, hd)
+        k = (h @ lp["k"].astype(cdt)).reshape(B, T, nkv, hd)
+        v = (h @ lp["v"].astype(cdt)).reshape(B, T, nkv, hd)
+        q = _rope(q.astype(jnp.float32), positions, cfg.rope_theta).astype(cdt)
+        k = _rope(k.astype(jnp.float32), positions, cfg.rope_theta).astype(cdt)
+
+        # Write new K/V into the cache at [cache_len, cache_len+T).
+        ck = jax.lax.dynamic_update_slice(
+            cache["k"][li], k.astype(jnp.bfloat16), (0, cache_len, 0, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cache["v"][li], v.astype(jnp.bfloat16), (0, cache_len, 0, 0)
+        )
+        new_k.append(ck)
+        new_v.append(cv)
+
+        # GQA: repeat kv heads to query heads.
+        rep = nh // nkv
+        fk = jnp.repeat(ck.astype(cdt), rep, axis=2)  # [B, C, nh, hd]
+        fv = jnp.repeat(cv.astype(cdt), rep, axis=2)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, fk, preferred_element_type=jnp.float32)
+        scores = scores / np.sqrt(hd)
+        # mask: key position must be < cache_len + query offset + 1
+        kpos = jnp.arange(cfg.max_context)[None, None, None, :]
+        qpos = positions[:, None, :, None]  # [B, 1, T, 1]
+        mask = kpos <= qpos
+        scores = jnp.where(mask, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(cdt)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, fv, preferred_element_type=jnp.float32)
+        attn_out = ctx.reshape(B, T, nh * hd).astype(cdt) @ lp["o"].astype(cdt)
+        x = x + attn_out.astype(jnp.float32)
+
+        h = _rms_norm(x, lp["ffn_norm"], cfg.rms_eps).astype(cdt)
+        gate = jax.nn.silu((h @ lp["gate"].astype(cdt)).astype(jnp.float32)).astype(cdt)
+        up = h @ lp["up"].astype(cdt)
+        ffn = (gate * up) @ lp["down"].astype(cdt)
+        x = x + ffn.astype(jnp.float32)
+
+    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = x.astype(cdt) @ params["lm_head"].astype(cdt)
+    cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+    return logits.astype(jnp.float32), cache
+
+
+# ---------------------------------------------------------------------------
+# sampling (reference sampler chain: schema.rs:36-82 — repetition penalty,
+# top-k, top-p, temperature)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    temperature: float = 0.7
+    top_k: int = 40
+    top_p: float = 0.95
+    repetition_penalty: float = 1.1
+    repetition_window: int = 64
+
+
+def sample_token(logits: jnp.ndarray, recent: jnp.ndarray, key, sc: SamplerConfig):
+    """logits [V]; recent [W] token ids (pad with -1) -> sampled id."""
+    v = logits.shape[-1]
+    # repetition penalty on recent tokens
+    onehot = jnp.zeros((v,), jnp.float32)
+    valid = recent >= 0
+    onehot = onehot.at[jnp.clip(recent, 0, v - 1)].add(valid.astype(jnp.float32))
+    seen = onehot > 0
+    penalized = jnp.where(
+        logits > 0, logits / sc.repetition_penalty, logits * sc.repetition_penalty
+    )
+    logits = jnp.where(seen, penalized, logits)
+
+    if sc.temperature <= 0:
+        return jnp.argmax(logits).astype(jnp.int32)
+    logits = logits / sc.temperature
+    # top-k
+    if sc.top_k > 0 and sc.top_k < v:
+        kth = jax.lax.top_k(logits, sc.top_k)[0][-1]
+        logits = jnp.where(logits < kth, -1e30, logits)
+    # top-p (nucleus)
+    if sc.top_p < 1.0:
+        sorted_logits = jnp.sort(logits)[::-1]
+        probs = jax.nn.softmax(sorted_logits)
+        cum = jnp.cumsum(probs)
+        cutoff_idx = jnp.sum(cum < sc.top_p)  # keep at least 1
+        cutoff = sorted_logits[jnp.clip(cutoff_idx, 0, v - 1)]
+        logits = jnp.where(logits < cutoff, -1e30, logits)
+    return jax.random.categorical(key, logits).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# generation: prefill + scan decode in one jit per (prompt_bucket, max_new)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "sc", "max_new"))
+def generate(cfg: LlamaConfig, params: dict, prompt: jnp.ndarray, prompt_len,
+             key, sc: SamplerConfig, max_new: int, eos_id: int = 2):
+    """prompt [1, P] padded; returns (tokens [max_new], n_valid).
+
+    One XLA dispatch for the whole generation. Early stop via done-mask
+    (compute continues to max_new but output is truncated by n_valid).
+    """
+    B, P = prompt.shape
+    cache = init_cache(cfg, batch=B)
+    positions = jnp.arange(P)[None, :]
+    logits, cache = forward(cfg, params, prompt, positions, cache, 0)
+    # logits at the last real prompt token
+    last = jnp.take_along_axis(logits, (prompt_len - 1)[None, None, None], axis=1)[0, 0]
+
+    W = sc.repetition_window
+    recent0 = jnp.full((W,), -1, jnp.int32)
+    # seed recent with the tail of the prompt
+    idx = jnp.arange(W)
+    src = jnp.clip(prompt_len - W + idx, 0, P - 1)
+    tail = prompt[0][src]
+    recent0 = jnp.where(prompt_len - W + idx >= 0, tail, -1)
+
+    def step(carry, _):
+        cache, cur_logits, recent, pos, key, done = carry
+        key, sub = jax.random.split(key)
+        tok = sample_token(cur_logits, recent, sub, sc)
+        tok = jnp.where(done, eos_id, tok)
+        new_done = done | (tok == eos_id)
+        logits, cache = forward(
+            cfg, params, tok[None, None], pos[None, None], cache, pos
+        )
+        recent = jnp.concatenate([recent[1:], tok[None]])
+        return (cache, logits[0, 0], recent, pos + 1, key, new_done), (tok, done)
+
+    (_, _, _, _, _, _), (tokens, was_done) = jax.lax.scan(
+        step, (cache, last, recent0, prompt_len, key, jnp.bool_(False)),
+        None, length=max_new,
+    )
+    n_valid = jnp.sum(~was_done)
+    return tokens, n_valid
+

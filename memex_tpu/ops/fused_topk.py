@@ -50,7 +50,8 @@ def _fused_kernel(count_ref, q_ref, db_ref, out_vals_ref, out_idx_ref,
         vals_acc[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
         idx_acc[:] = jnp.zeros((Q, S), jnp.int32)
 
-    # [Q, block_n] scores on the MXU, f32 accumulation.
+    # [Q, block_n] scores on the MXU, f32 accumulation. db may be stored
+    # f32 or bf16 (bf16 halves HBM bytes -> ~2x scan throughput).
     scores = jax.lax.dot_general(
         q_ref[:].astype(jnp.bfloat16),
         db_ref[:].astype(jnp.bfloat16),
@@ -149,6 +150,129 @@ def fused_score_topk(
     )(count_arr, queries, db)
 
     # Exact top-k over the tiny candidate set.
+    vals, args = jax.lax.top_k(cand_vals, k)
+    idx = jnp.take_along_axis(cand_idx, args, axis=1)
+    return vals[:q_n], idx[:q_n]
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized variant (ScaNN-style): rows quantized per-row to int8 with
+# a float scale; scores = (q_bf16 @ int8^T) * row_scale. Quarters HBM bytes
+# vs f32 -> ~4x scan throughput at a small recall cost (measured in tests).
+# ---------------------------------------------------------------------------
+
+
+def quantize_rows_int8(db: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[N, D] float -> ([N, D] int8, [N] f32 scales). Symmetric per-row."""
+    absmax = jnp.max(jnp.abs(db), axis=1)
+    scales = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(db / scales[:, None]), -127, 127).astype(jnp.int8)
+    return q, scales.astype(jnp.float32)
+
+
+def _fused_kernel_int8(count_ref, q_ref, db_ref, scale_ref, out_vals_ref,
+                       out_idx_ref, vals_acc, idx_acc, *, block_n: int, banks: int):
+    i = pl.program_id(0)
+    nblocks = pl.num_programs(0)
+    S = banks * _LANES
+    Q = q_ref.shape[0]
+    G = block_n // S
+
+    @pl.when(i == 0)
+    def _init():
+        vals_acc[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
+        idx_acc[:] = jnp.zeros((Q, S), jnp.int32)
+
+    # int8 rows hit the MXU as bf16 (cast is free relative to the HBM read,
+    # which is the whole point of int8 storage); f32 accumulate + rescale.
+    raw = jax.lax.dot_general(
+        q_ref[:].astype(jnp.bfloat16),
+        db_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = raw * scale_ref[:].reshape(1, block_n)
+
+    base = i * block_n
+    col = jax.lax.broadcasted_iota(jnp.int32, (Q, block_n), 1)
+    scores = jnp.where(col + base < count_ref[0], scores, NEG_INF)
+
+    s3 = scores.reshape(Q, G, S)
+    block_max = jnp.max(s3, axis=1)
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, G, S), 1)
+    g_sel = jnp.min(jnp.where(s3 == block_max[:, None, :], g_iota, G), axis=1)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, S), 1)
+    block_idx = base + g_sel * S + slot_iota
+
+    take = block_max > vals_acc[:]
+    vals_acc[:] = jnp.where(take, block_max, vals_acc[:])
+    idx_acc[:] = jnp.where(take, block_idx, idx_acc[:])
+
+    @pl.when(i == nblocks - 1)
+    def _flush():
+        out_vals_ref[:] = vals_acc[:]
+        out_idx_ref[:] = idx_acc[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_n", "banks", "interpret"))
+def fused_score_topk_int8(
+    db_q: jnp.ndarray,
+    scales: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    count=None,
+    *,
+    block_n: int = 4096,
+    banks: int = 8,
+    interpret: bool = False,
+):
+    """int8 fused MIPS: ([N,D] int8, [N] f32, [Q,D]) -> (vals, idx)."""
+    n, d = db_q.shape
+    q_n = queries.shape[0]
+    S = banks * _LANES
+    assert block_n % S == 0 and n % block_n == 0
+    if count is None:
+        count = n
+    count_arr = jnp.full((1,), count, jnp.int32)
+    q_pad = max(8, -(-q_n // 8) * 8)
+    if q_pad != q_n:
+        queries = jnp.pad(queries, ((0, q_pad - q_n), (0, 0)))
+    nblocks = n // block_n
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((q_pad, d), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n,), lambda i, c: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((q_pad, S), jnp.float32),
+            pltpu.VMEM((q_pad, S), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(_fused_kernel_int8, block_n=block_n, banks=banks)
+    cand_vals, cand_idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((q_pad, S), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, S), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * n * d,
+            bytes_accessed=n * d + n * 4 + q_pad * d * 4 + 2 * q_pad * S * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(count_arr, queries, db_q, scales)
     vals, args = jax.lax.top_k(cand_vals, k)
     idx = jnp.take_along_axis(cand_idx, args, axis=1)
     return vals[:q_n], idx[:q_n]
