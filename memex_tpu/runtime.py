@@ -23,6 +23,7 @@ class Runtime:
         self._db: Database | None = None
         self._engine = None
         self._llm = None
+        self._rebuilt: set[str] = set()
 
     @property
     def db(self) -> Database:
@@ -56,9 +57,19 @@ class Runtime:
     def store(self, collection: str):
         from .store import get_vector_storage
 
-        return get_vector_storage(
+        store = get_vector_storage(
             self.settings.vector_uri, collection, dim=self.settings.embedding_dim
         )
+        # First touch per process: if the device index is empty but SQL has
+        # rows (restart without a checkpoint), rebuild from the source of
+        # truth (SURVEY.md §5 checkpoint/resume).
+        if collection not in self._rebuilt:
+            self._rebuilt.add(collection)
+            if store.count == 0:
+                from .recovery import rebuild_collection
+
+                rebuild_collection(self, collection)
+        return store
 
     def drop_store(self, collection: str) -> None:
         from .store.registry import _REGISTRY
