@@ -31,11 +31,14 @@ def _normalize(vectors: np.ndarray) -> np.ndarray:
 class TpuFlatStore:
     """Flat exact store (the default tier)."""
 
-    def __init__(self, base_dir: str | None, collection: str, dim: int = 384, **kw):
+    def __init__(self, base_dir: str | None, collection: str, dim: int = 384,
+                 dtype: str | None = None, **kw):
         self.collection = collection
         self.dim = dim
         self._lock = threading.Lock()
         self._path = None
+        if dtype is None:
+            dtype = os.environ.get("MEMEX_INDEX_DTYPE", "float32")
         if base_dir:
             os.makedirs(base_dir, exist_ok=True)
             self._path = os.path.join(base_dir, f"{collection}.flat")
@@ -43,7 +46,7 @@ class TpuFlatStore:
             self.index = FlatIndex.load(self._path, **kw)
             logger.info("restored collection %s (%d vectors)", collection, self.index.count)
         else:
-            self.index = FlatIndex(dim=dim, **kw)
+            self.index = FlatIndex(dim=dim, dtype=dtype, **kw)
         self._doc_of: dict[str, str] = {}
 
     @property

@@ -190,3 +190,36 @@ class TestIVFIndex:
         got = [s for s, _ in idx.search(db[5:6], 5)[0]]
         assert "x5" not in got
         assert idx.count == 1023
+
+
+class TestFlatIndexDtypes:
+    @pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+    def test_recall_vs_f32(self, rng, dtype):
+        d, n, q_n, k = 64, 2000, 8, 10
+        db, qs = unit(rng, n, d), unit(rng, q_n, d)
+        ids = [f"q{i}" for i in range(n)]
+        exact = FlatIndex(dim=d, dtype="float32")
+        exact.add(db, ids)
+        quant = FlatIndex(dim=d, dtype=dtype)
+        quant.add(db, ids)
+        re_, rq = exact.search(qs, k), quant.search(qs, k)
+        recalls = [
+            len({s for s, _ in re_[i]} & {s for s, _ in rq[i]}) / k
+            for i in range(q_n)
+        ]
+        assert np.mean(recalls) >= 0.9, (dtype, recalls)
+
+    @pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+    def test_roundtrip_and_compact(self, rng, dtype, tmp_path):
+        d = 32
+        db = unit(rng, 120, d)
+        idx = FlatIndex(dim=d, dtype=dtype)
+        idx.add(db, [f"r{i}" for i in range(120)])
+        idx.delete([f"r{i}" for i in range(60)])  # force compaction path
+        hit = idx.search(db[100:101], 1)[0][0]
+        assert hit[0] == "r100" and hit[1] > 0.99
+        path = str(tmp_path / f"col-{dtype}")
+        idx.save(path)
+        idx2 = FlatIndex.load(path)
+        assert idx2.dtype == dtype
+        assert idx2.search(db[100:101], 1)[0][0][0] == "r100"
