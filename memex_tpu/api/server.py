@@ -26,6 +26,7 @@ from aiohttp import web
 
 from ..db import models, queue
 from ..log import get_logger
+from ..metrics import METRICS
 from ..runtime import Runtime, get_runtime
 from . import schema
 
@@ -43,8 +44,10 @@ def _error(code: int, message: str) -> web.Response:
 
 @web.middleware
 async def error_middleware(request: web.Request, handler):
+    METRICS.inc(f"http.{request.method}")
     try:
-        return await handler(request)
+        with METRICS.timer(f"route{request.path.split('/api')[-1].split('?')[0] or '/'}"):
+            return await handler(request)
     except web.HTTPException as exc:
         if exc.status >= 400:
             return _error(exc.status, exc.reason or "error")
@@ -245,7 +248,24 @@ def create_app(runtime: Runtime | None = None) -> web.Application:
                 parsed.append(data.decode("utf-8", errors="replace"))
         return web.json_response(schema.api_response(t0, {"parsed": parsed}))
 
+    # -- stats (new vs reference: metrics export, SURVEY.md §5) ---------------
+    async def stats(request: web.Request) -> web.Response:
+        snap = METRICS.snapshot()
+        collections = {}
+        for row in rt.db.query(
+            "SELECT collection, COUNT(*) AS n FROM embeddings GROUP BY collection"
+        ):
+            collections[row["collection"]] = row["n"]
+        q = {
+            r["status"]: r["n"]
+            for r in rt.db.query("SELECT status, COUNT(*) AS n FROM queue GROUP BY status")
+        }
+        snap["collections"] = collections
+        snap["queue"] = q
+        return web.json_response(snap)
+
     app.router.add_get("/api/health", health)
+    app.router.add_get("/api/stats", stats)
     app.router.add_post("/api/collections/{collection}", add_document)
     app.router.add_delete("/api/collections/{collection}", delete_collection)
     app.router.add_route("GET", "/api/collections/{collection}/search", search_docs)

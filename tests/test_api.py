@@ -223,3 +223,16 @@ def test_error_shape(rt):
         assert body["result"]["code"] == 400
 
     run(_with_client(rt, fn))
+
+
+def test_stats_endpoint(rt):
+    async def fn(client):
+        await client.post("/api/collections/st", json={"content": "stats doc"})
+        resp = await client.get("/api/stats")
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["counters"]["http.POST"] >= 1
+        assert "queue" in body and body["queue"].get("Queued", 0) >= 1
+        assert "timings" in body
+
+    run(_with_client(rt, fn))
