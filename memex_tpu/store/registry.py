@@ -64,6 +64,10 @@ def _build_store(uri: str, collection: str, dim: int) -> VectorStore:
         from .tpu_store import TpuIVFStore
 
         return TpuIVFStore(path, collection, dim=dim)
+    if scheme == "tpu+mesh":
+        from .tpu_store import TpuMeshStore
+
+        return TpuMeshStore(path, collection, dim=dim)
     if scheme == "memory":
         from .tpu_store import MemoryStore
 

@@ -130,6 +130,61 @@ class TpuIVFStore(TpuFlatStore):
         pass
 
 
+class TpuMeshStore(TpuFlatStore):
+    """Mesh-sharded store: corpus rows distributed over every local device
+    (the `tpu+mesh://` scheme) with collective top-k merge — the scale-out
+    answer that replaces the reference's OpenSearch delegation
+    (lib/libmemex/src/storage/opensearch.rs; SURVEY.md §2.2)."""
+
+    def __init__(self, base_dir: str | None, collection: str, dim: int = 384,
+                 capacity_per_shard: int = 65536, **kw):
+        import jax
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        from ..index.sharded import ShardedFlatIndex
+
+        self.collection = collection
+        self.dim = dim
+        self._lock = threading.Lock()
+        self._path = None
+        if base_dir:
+            os.makedirs(base_dir, exist_ok=True)
+            self._path = os.path.join(base_dir, f"{collection}.mesh")
+        mesh = Mesh(_np.array(jax.devices()), ("shard",))
+        self.index = ShardedFlatIndex(
+            dim=dim, mesh=mesh, capacity_per_shard=capacity_per_shard, **kw
+        )
+        self._doc_of: dict[str, str] = {}
+        if self._path and os.path.exists(self._path + ".npz"):
+            import json as _json
+
+            data = np.load(self._path + ".npz")["vectors"]
+            with open(self._path + ".meta.json", "r", encoding="utf-8") as fh:
+                ids = _json.load(fh)["ids"]
+            if len(ids):
+                self.index.add(data, ids)
+            logger.info("restored mesh collection %s (%d vectors)", collection, len(ids))
+
+    @property
+    def count(self) -> int:
+        return self.index.count
+
+    def checkpoint(self) -> None:
+        if not self._path:
+            return
+        import json as _json
+
+        with self._lock:
+            rows = sorted(self.index.ids.items())
+            ids = [sid for _, sid in rows]
+            grows = [r for r, _ in rows]
+            vecs = np.asarray(self.index.buf)[grows] if grows else np.zeros((0, self.dim), np.float32)
+            np.savez(self._path + ".npz", vectors=vecs)
+            with open(self._path + ".meta.json", "w", encoding="utf-8") as fh:
+                _json.dump({"dim": self.dim, "ids": ids}, fh)
+
+
 class MemoryStore:
     """Plain numpy store — hermetic test backend (no JAX dependency)."""
 

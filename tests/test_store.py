@@ -77,3 +77,22 @@ def test_module_level_factory(tmp_path, rng):
     store.add_vectors(make_data(db))
     again = get_vector_storage("memory://", "modlevel", dim=8)
     assert again.count == 4
+
+
+def test_mesh_store_surface(rng, tmp_path):
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device")
+    reg = StoreRegistry()
+    store = reg.get(f"tpu+mesh://{tmp_path}", "meshcol", dim=32)
+    db = unit(rng, 100, 32)
+    store.add_vectors(make_data(db, prefix="m"))
+    assert store.count == 100
+    hits = store.search(db[7], 3)
+    assert hits[0].id == "m7" and hits[0].score > 0.999
+    store.checkpoint()
+    reg2 = StoreRegistry()
+    store2 = reg2.get(f"tpu+mesh://{tmp_path}", "meshcol", dim=32)
+    assert store2.count == 100
+    assert store2.search(db[7], 1)[0].id == "m7"
