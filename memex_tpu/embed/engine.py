@@ -26,7 +26,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..log import get_logger
-from ..models.minilm import MiniLMConfig, MiniLMEncoder, init_params, load_params
+from ..models.minilm import (
+    MiniLMConfig,
+    MiniLMEncoder,
+    cast_params_to_compute,
+    init_params,
+    load_params,
+)
 from ..text import WordPieceTokenizer, encode_windows
 from ..text.segment import window_token_ids
 
@@ -85,6 +91,7 @@ class EmbeddingEngine:
             self.cfg = MiniLMConfig(vocab_size=self.tokenizer.vocab_size)
             params = init_params(self.cfg, seed=seed)
             logger.info("initialized random MiniLM (hermetic mode, seed=%d)", seed)
+        params = cast_params_to_compute(params, self.cfg)
         self.encoder = MiniLMEncoder(self.cfg)
         self.dim = self.cfg.hidden_size
 

@@ -185,6 +185,22 @@ def load_params(model_dir: str, cfg: MiniLMConfig | None = None) -> tuple[MiniLM
     return cfg, params
 
 
+def cast_params_to_compute(params: dict, cfg: MiniLMConfig) -> dict:
+    """Store dense weights in the compute dtype (bf16) so each forward
+    reads half the bytes; LayerNorm params and embeddings stay f32 (LN runs
+    in f32; embedding gathers are cheap and accuracy-sensitive)."""
+    cdt = jnp.dtype(cfg.compute_dtype)
+    if cdt == jnp.float32:
+        return params
+    out = {"embeddings": params["embeddings"], "layers": []}
+    for lp in params["layers"]:
+        cast = {}
+        for name, arr in lp.items():
+            cast[name] = arr if "ln_" in name else arr.astype(cdt)
+        out["layers"].append(cast)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Forward pass
 # ---------------------------------------------------------------------------
