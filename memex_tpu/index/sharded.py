@@ -58,15 +58,10 @@ def make_search_fn(mesh: Mesh, axis: str, k: int, use_fused: bool, block_n: int 
             vals, idx = blockwise_topk(scores, kk, count=count)
         shard = jax.lax.axis_index(axis)
         gidx = idx + shard * cap
-        # Merge across shards over ICI: [Q, kk] -> [Q, P*kk] -> top-k.
-        all_vals = jax.lax.all_gather(vals, axis, axis=1)  # [Q, P, kk]
-        all_idx = jax.lax.all_gather(gidx, axis, axis=1)
-        Qn = all_vals.shape[0]
-        all_vals = all_vals.reshape(Qn, -1)
-        all_idx = all_idx.reshape(Qn, -1)
-        mvals, order = jax.lax.top_k(all_vals, k)
-        midx = jnp.take_along_axis(all_idx, order, axis=1)
-        return mvals, midx
+        # Merge across shards over ICI (parallel/collectives.py).
+        from ..parallel.collectives import merge_topk_across
+
+        return merge_topk_across(vals, gidx, axis, k)
 
     shmapped = jax.shard_map(
         local_search,
