@@ -124,11 +124,12 @@ def create_app(runtime: Runtime | None = None) -> web.Application:
         limit = int(body.get("limit") or request.query.get("limit") or schema.DEFAULT_SEARCH_LIMIT)
         if not query:
             return _error(400, "'query' is required")
-        store = rt.store(collection)
+        rt.store(collection)  # ensure rebuilt/registered before batching
 
         def work():
-            vector = rt.engine.encode_single(query)
-            return store.search(vector, limit)
+            # Concurrent searches microbatch into one encoder call + one
+            # fused scan per collection (serve/batcher.py).
+            return rt.search_batcher.search(collection, query, limit)
 
         hits = await asyncio.get_running_loop().run_in_executor(None, work)
         # Batched hydration (vs reference's N+1 loop, handlers.rs:87-102).

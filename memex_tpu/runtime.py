@@ -23,6 +23,7 @@ class Runtime:
         self._db: Database | None = None
         self._engine = None
         self._llm = None
+        self._batcher = None
         self._rebuilt: set[str] = set()
 
     @property
@@ -53,6 +54,15 @@ class Runtime:
 
                 self._llm = get_llm(self.settings)
             return self._llm
+
+    @property
+    def search_batcher(self):
+        with self._lock:
+            if self._batcher is None:
+                from .serve import SearchBatcher
+
+                self._batcher = SearchBatcher(self)
+            return self._batcher
 
     def store(self, collection: str):
         from .store import get_vector_storage

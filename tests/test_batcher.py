@@ -1,0 +1,81 @@
+"""Microbatcher tests: correctness under concurrency, per-request limits."""
+
+import threading
+
+import numpy as np
+
+from memex_tpu.config import Settings
+from memex_tpu.runtime import Runtime
+from memex_tpu.serve import Microbatcher
+from memex_tpu.store.base import VectorData
+
+from test_encoder import tiny_engine
+
+
+def test_microbatcher_batches_and_returns_in_order():
+    calls = []
+
+    def run(items):
+        calls.append(len(items))
+        return [x * 2 for x in items]
+
+    mb = Microbatcher(run, max_batch=16, max_wait_ms=20.0, name="t")
+    results = [None] * 20
+    threads = []
+
+    def go(i):
+        results[i] = mb(i)
+
+    for i in range(20):
+        t = threading.Thread(target=go, args=(i,))
+        t.start()
+        threads.append(t)
+    for t in threads:
+        t.join()
+    mb.close()
+    assert results == [i * 2 for i in range(20)]
+    assert max(calls) > 1  # at least one real batch formed
+
+
+def test_microbatcher_error_propagates():
+    def run(items):
+        raise ValueError("boom")
+
+    mb = Microbatcher(run, max_batch=4, max_wait_ms=1.0, name="err")
+    try:
+        mb(1)
+        assert False, "expected exception"
+    except ValueError:
+        pass
+    finally:
+        mb.close()
+
+
+def test_search_batcher_end_to_end(tmp_path):
+    settings = Settings.from_env(
+        db_uri=f"sqlite://{tmp_path}/b.db", vector_uri="memory://",
+        embedding_model="random",
+    )
+    settings.embedding_dim = 64
+    rt = Runtime(settings)
+    rt._engine = tiny_engine()
+    store = rt.store("bcol")
+    rng = np.random.default_rng(0)
+    segs = [f"segment text {i}" for i in range(20)]
+    vecs = rt.engine.encode_batch(segs)
+    store.add_vectors(
+        [VectorData(id=f"s{i}", document_id="d", text=segs[i], vector=vecs[i]) for i in range(20)]
+    )
+    out = [None, None, None]
+    threads = [
+        threading.Thread(target=lambda i=i: out.__setitem__(
+            i, rt.search_batcher.search("bcol", segs[i * 5], 2 + i)))
+        for i in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(3):
+        assert len(out[i]) == 2 + i
+        assert out[i][0].id == f"s{i*5}"  # self-query top-1
