@@ -1,0 +1,86 @@
+"""Fused Pallas kernel logic tests (interpret mode — runs on CPU, so the
+kernel's slot-accumulator algorithm is covered hermetically; the compiled
+path is exercised on real TPU by bench.py and the index tests there)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from memex_tpu.ops.fused_topk import (
+    fused_score_topk,
+    fused_score_topk_int8,
+    quantize_rows_int8,
+)
+from memex_tpu.ops.topk import blockwise_topk, exact_topk, score_topk
+
+
+def unit(rng, n, d):
+    v = rng.standard_normal((n, d), dtype=np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+class TestXlaTopk:
+    def test_blockwise_equals_exact(self, rng):
+        scores = jnp.asarray(rng.standard_normal((4, 10000), dtype=np.float32))
+        ev, ei = exact_topk(scores, 7)
+        bv, bi = blockwise_topk(scores, 7, block=1024)
+        np.testing.assert_array_equal(np.asarray(ei), np.asarray(bi))
+        np.testing.assert_allclose(np.asarray(ev), np.asarray(bv))
+
+    def test_count_masking(self, rng):
+        scores = jnp.asarray(rng.standard_normal((2, 4096), dtype=np.float32))
+        _, idx = exact_topk(scores, 5, count=100)
+        assert np.asarray(idx).max() < 100
+
+    def test_score_topk_shapes(self, rng):
+        db, q = unit(rng, 2048, 64), unit(rng, 3, 64)
+        vals, idx = score_topk(jnp.asarray(db), jnp.asarray(q), 5)
+        assert vals.shape == (3, 5) and idx.shape == (3, 5)
+
+
+class TestFusedKernelInterpret:
+    def test_matches_exact(self, rng):
+        db, q = unit(rng, 4096, 128), unit(rng, 4, 128)
+        fv, fi = fused_score_topk(
+            jnp.asarray(db), jnp.asarray(q), 10, count=4096,
+            block_n=1024, interpret=True,
+        )
+        ev, ei = exact_topk(jnp.asarray(q @ db.T), 10)
+        fi, ei = np.asarray(fi), np.asarray(ei)
+        recall = np.mean([len(set(fi[i]) & set(ei[i])) / 10 for i in range(4)])
+        assert recall >= 0.9  # slot collisions can cost ~(k-1)/2S
+        np.testing.assert_allclose(
+            np.asarray(fv)[:, 0], np.asarray(ev)[:, 0], atol=1e-2
+        )  # top-1 always survives
+
+    def test_count_masking(self, rng):
+        db, q = unit(rng, 2048, 128), unit(rng, 2, 128)
+        _, idx = fused_score_topk(
+            jnp.asarray(db), jnp.asarray(q), 5, count=500,
+            block_n=1024, interpret=True,
+        )
+        assert np.asarray(idx).max() < 500
+
+    def test_int8_matches_exact(self, rng):
+        db, q = unit(rng, 2048, 128), unit(rng, 4, 128)
+        db8, scales = quantize_rows_int8(jnp.asarray(db))
+        fv, fi = fused_score_topk_int8(
+            db8, scales, jnp.asarray(q), 10, count=2048,
+            block_n=1024, interpret=True,
+        )
+        ev, ei = exact_topk(jnp.asarray(q @ db.T), 10)
+        fi, ei = np.asarray(fi), np.asarray(ei)
+        recall = np.mean([len(set(fi[i]) & set(ei[i])) / 10 for i in range(4)])
+        assert recall >= 0.8  # int8 rounding + slot collisions
+
+    def test_quantize_roundtrip_error(self, rng):
+        db = unit(rng, 256, 64)
+        q8, scales = quantize_rows_int8(jnp.asarray(db))
+        recon = np.asarray(q8, np.float32) * np.asarray(scales)[:, None]
+        err = np.abs(recon - db).max()
+        assert err <= 1.0 / 127.0  # symmetric int8 quantization bound
