@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..log import get_logger
-from ..ops.topk import blockwise_topk, exact_topk
+from ..ops.topk import blockwise_topk
 
 logger = get_logger(__name__)
 
@@ -64,15 +64,6 @@ def _write_block(buf, block, start, nvalid):
     row_ids = jax.lax.broadcasted_iota(jnp.int32, block.shape, 0)
     merged = jnp.where(row_ids < nvalid, block, tail)
     return jax.lax.dynamic_update_slice(buf, merged, (start, 0))
-
-
-@partial(jax.jit, donate_argnums=(0,))
-def _clear_rows(alive, start, nvalid, rows: int):
-    """Tombstone `nvalid` rows starting at `start` (rows is static)."""
-    tail = jax.lax.dynamic_slice(alive, (start,), (rows,))
-    row_ids = jnp.arange(rows, dtype=jnp.int32)
-    merged = jnp.where(row_ids < nvalid, jnp.zeros((rows,), alive.dtype), tail)
-    return jax.lax.dynamic_update_slice(alive, merged, (start,))
 
 
 @partial(jax.jit, static_argnames=("k",))

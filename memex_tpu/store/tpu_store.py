@@ -118,6 +118,17 @@ class TpuIVFStore(TpuFlatStore):
             for d in data:
                 self._doc_of[d.id] = d.document_id
 
+    def add_vectors(self, data: list[VectorData]) -> None:
+        super().add_vectors(data)
+        # Amortized re-clustering: fold the exact spill tier back into the
+        # IVF partitions once it outgrows 20% of the corpus (or 4096 rows).
+        spill = self.index.spill.count
+        total = max(self.index.count, 1)
+        if spill > 4096 or (total > 1024 and spill * 5 > total):
+            logger.info("ivf %s: auto-rebuild (spill=%d total=%d)",
+                        self.collection, spill, total)
+            self.rebuild()
+
     def rebuild(self) -> None:
         with self._lock:
             self.index.rebuild()
