@@ -9,7 +9,7 @@ index is constructed once per process — the reference rebuilds per call.
 from __future__ import annotations
 
 import threading
-from urllib.parse import urlparse
+from urllib.parse import parse_qsl, urlparse
 
 from ..log import get_logger
 from .base import VectorStore
@@ -52,22 +52,32 @@ def get_vector_storage(uri: str, collection: str, dim: int = DEFAULT_DIM) -> Vec
     return _REGISTRY.get(uri, collection, dim)
 
 
+_INT_OPTS = {"capacity", "n_clusters", "nprobe", "M", "ef_construction",
+             "ef_search", "capacity_per_shard", "block_n"}
+
+
 def _build_store(uri: str, collection: str, dim: int) -> VectorStore:
+    """Scheme selects the backend; query params pass backend options, e.g.
+    `tpu://./data?dtype=int8&capacity=65536` or `hnsw://./data?ef_search=64`
+    (the reference's factory takes no options, storage/mod.rs:95-139)."""
     parsed = urlparse(uri)
     scheme = parsed.scheme or "tpu"
     path = (parsed.netloc + parsed.path) or "./vector_data"
+    opts: dict = {}
+    for key, val in parse_qsl(parsed.query):
+        opts[key] = int(val) if key in _INT_OPTS else val
     if scheme == "tpu":
         from .tpu_store import TpuFlatStore
 
-        return TpuFlatStore(path, collection, dim=dim)
+        return TpuFlatStore(path, collection, dim=dim, **opts)
     if scheme == "tpu+ivf":
         from .tpu_store import TpuIVFStore
 
-        return TpuIVFStore(path, collection, dim=dim)
+        return TpuIVFStore(path, collection, dim=dim, **opts)
     if scheme == "tpu+mesh":
         from .tpu_store import TpuMeshStore
 
-        return TpuMeshStore(path, collection, dim=dim)
+        return TpuMeshStore(path, collection, dim=dim, **opts)
     if scheme == "memory":
         from .tpu_store import MemoryStore
 
@@ -75,5 +85,5 @@ def _build_store(uri: str, collection: str, dim: int) -> VectorStore:
     if scheme == "hnsw":
         from .hnsw_store import HnswStore
 
-        return HnswStore(path, collection, dim=dim)
+        return HnswStore(path, collection, dim=dim, **opts)
     raise ValueError(f"unsupported vector store scheme: {scheme!r} (uri {uri!r})")

@@ -96,3 +96,12 @@ def test_mesh_store_surface(rng, tmp_path):
     store2 = reg2.get(f"tpu+mesh://{tmp_path}", "meshcol", dim=32)
     assert store2.count == 100
     assert store2.search(db[7], 1)[0].id == "m7"
+
+
+def test_uri_query_options(rng, tmp_path):
+    reg = StoreRegistry()
+    store = reg.get(f"tpu://{tmp_path}?dtype=int8&capacity=4096", "qopts", dim=16)
+    assert store.index.dtype == "int8"
+    assert store.index.capacity == 4096
+    h = reg.get(f"hnsw://{tmp_path}?ef_search=64&M=8", "qopts2", dim=16)
+    assert h.ef_search == 64
