@@ -82,6 +82,43 @@ def cmd_serve(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_load(args: argparse.Namespace) -> int:
+    """Bulk-enqueue documents from files/dirs (data-loader role; the
+    reference's closest analogue is clippy load-file, one doc at a time)."""
+    import glob
+    import os
+
+    from .db import queue
+    from .runtime import get_runtime
+
+    rt = get_runtime()
+    paths: list[str] = []
+    for p in args.paths:
+        if os.path.isdir(p):
+            paths.extend(sorted(glob.glob(os.path.join(p, "**", "*"), recursive=True)))
+        else:
+            paths.append(p)
+    items = []
+    for p in paths:
+        if not os.path.isfile(p):
+            continue
+        try:
+            with open(p, "r", encoding="utf-8", errors="replace") as fh:
+                content = fh.read()
+        except OSError as exc:
+            logger.warning("skipping %s: %s", p, exc)
+            continue
+        if content.strip():
+            items.append((args.collection, content, queue.TaskType.Ingest))
+    queue.enqueue_many(rt.db, items)
+    logger.info("enqueued %d documents into %r", len(items), args.collection)
+    if args.wait:
+        from .worker import Worker
+
+        Worker(rt).drain(timeout=args.timeout)
+    return 0
+
+
 def cmd_migrate(args: argparse.Namespace) -> int:
     """Standalone migration runner (reference migration/src/main.rs)."""
     from .db.connection import create_connection_by_uri
@@ -110,6 +147,13 @@ def main(argv: list[str] | None = None) -> int:
     migrate = sub.add_parser("migrate", help="apply schema migrations and exit")
     migrate.add_argument("--database-connection", default=None)
     migrate.set_defaults(func=cmd_migrate)
+
+    load = sub.add_parser("load", help="bulk-enqueue documents from files/dirs")
+    load.add_argument("collection")
+    load.add_argument("paths", nargs="+")
+    load.add_argument("--wait", action="store_true", help="run a worker until drained")
+    load.add_argument("--timeout", type=float, default=3600.0)
+    load.set_defaults(func=cmd_load)
 
     args = parser.parse_args(argv)
     return args.func(args)

@@ -152,8 +152,48 @@ class WordPieceTokenizer:
             tokens.extend(self._wordpiece(word))
         return tokens
 
+    # -- native fast path ----------------------------------------------------
+    _native = None  # (lib, handle) once initialized; False if unavailable
+
+    def _native_encode(self, text: str) -> list[int] | None:
+        """C++ WordPiece (native/text/wordpiece.cpp) — ~10x the Python
+        pipeline on long documents; used unless MEMEX_NO_NATIVE is set.
+        Returns None when the native lib is unavailable."""
+        if self._native is False:
+            return None
+        if self._native is None:
+            import os as _os
+
+            if _os.environ.get("MEMEX_NO_NATIVE"):
+                self._native = False
+                return None
+            try:
+                from ..native_lib import text_lib
+
+                lib = text_lib()
+                blob = "\n".join(self.vocab).encode("utf-8")
+                handle = lib.wp_new(blob, len(blob), self.unk_id)
+                # persist blob ref: wp_new copies, but keep lib+handle
+                self._native = (lib, handle)
+            except Exception:
+                self._native = False
+                return None
+        lib, handle = self._native
+        import ctypes
+
+        raw = text.encode("utf-8")
+        cap = max(256, len(raw) * 2)
+        out = (ctypes.c_int32 * cap)()
+        n = lib.wp_encode(handle, raw, len(raw), out, cap)
+        if n > cap:  # extremely pathological expansion; retry exact
+            out = (ctypes.c_int32 * n)()
+            n = lib.wp_encode(handle, raw, len(raw), out, n)
+        return list(out[:n])
+
     def encode(self, text: str, add_special_tokens: bool = True) -> list[int]:
-        ids = [self.token_to_id.get(t, self.unk_id) for t in self.tokenize(text)]
+        ids = self._native_encode(text)
+        if ids is None:
+            ids = [self.token_to_id.get(t, self.unk_id) for t in self.tokenize(text)]
         if add_special_tokens:
             return [self.cls_id] + ids + [self.sep_id]
         return ids

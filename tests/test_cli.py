@@ -22,3 +22,21 @@ def test_serve_rejects_bad_roles(tmp_path, monkeypatch):
     rc = main(["serve", "--roles", "Bogus"])
     assert rc == 2
     rt_mod.reset_runtime()
+
+
+def test_load_command(tmp_path, monkeypatch):
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "a.txt").write_text("first document about foxes")
+    (docs / "b.txt").write_text("second document about dogs")
+    monkeypatch.setenv("DATABASE_CONNECTION", f"sqlite://{tmp_path}/load.db")
+    monkeypatch.setenv("VECTOR_CONNECTION", "memory://")
+    from memex_tpu import runtime as rt_mod
+
+    rt_mod.reset_runtime()
+    rc = main(["load", "docs", str(docs)])
+    assert rc == 0
+    rt = rt_mod.get_runtime()
+    row = rt.db.query_one("SELECT COUNT(*) AS n FROM queue WHERE collection='docs'")
+    assert row["n"] == 2
+    rt_mod.reset_runtime()

@@ -223,3 +223,44 @@ class TestFlatIndexDtypes:
         idx2 = FlatIndex.load(path)
         assert idx2.dtype == dtype
         assert idx2.search(db[100:101], 1)[0][0][0] == "r100"
+
+
+def test_flat_index_thread_safety(rng):
+    """Concurrent adds + searches through the store layer (lock held) keep
+    results consistent — the reference serializes via Arc<Mutex>
+    (storage/mod.rs:68-93)."""
+    import threading
+
+    from memex_tpu.store.tpu_store import TpuFlatStore
+    from memex_tpu.store.base import VectorData
+
+    store = TpuFlatStore(None, "stress", dim=32)
+    db = unit(rng, 400, 32)
+    errs = []
+
+    def add(lo, hi):
+        try:
+            store.add_vectors([
+                VectorData(id=f"t{i}", document_id="d", text="", vector=db[i])
+                for i in range(lo, hi)
+            ])
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    def query():
+        try:
+            for _ in range(10):
+                store.search(db[0], 3)
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    threads = [threading.Thread(target=add, args=(i * 100, (i + 1) * 100)) for i in range(4)]
+    threads += [threading.Thread(target=query) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert store.count == 400
+    hits = store.search(db[123], 1)
+    assert hits[0].id == "t123"

@@ -114,3 +114,30 @@ class TestNativeWordPiece:
         a = self.encode_native(tok.vocab, "naïve café")
         b = self.encode_native(tok.vocab, "naive cafe")
         assert a == b
+
+
+class TestNativeFastPath:
+    def test_encode_matches_pure_python(self, monkeypatch):
+        from memex_tpu.text import WordPieceTokenizer
+
+        texts = [
+            "Hello, World! This is a TEST.",
+            "punctuation... splits; right?",
+            "numbers 12345 and mixed a1b2",
+            "naïve café résumé",
+        ]
+        fast = WordPieceTokenizer()
+        for t in texts:
+            ids_fast = fast.encode(t)
+            # force the pure-python path on a fresh instance
+            slow = WordPieceTokenizer()
+            slow._native = False
+            ids_slow = slow.encode(t)
+            assert ids_fast == ids_slow, t
+
+    def test_env_disable(self, monkeypatch):
+        monkeypatch.setenv("MEMEX_NO_NATIVE", "1")
+        from memex_tpu.text import WordPieceTokenizer
+
+        tok = WordPieceTokenizer()
+        assert tok.encode("hello") and tok._native is False
