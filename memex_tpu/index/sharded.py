@@ -9,6 +9,7 @@ XLA, not NCCL/MPI).
 
 SPMD layout:
   buf   [P * cap, D]  sharded P("shard", None)   — one contiguous block/device
+  scales[P * cap]     sharded P("shard")          — int8 mode only
   alive [P * cap]     sharded P("shard")
   counts[P]           sharded P("shard")          — per-shard fill level
   queries, outputs    replicated
@@ -16,6 +17,9 @@ SPMD layout:
 Global ids: row r of shard s is global row s*cap + r; the host id table is
 indexed globally. Ingest routes each batch to the least-full shard
 (host-side decision, one dynamic-slice write on that shard's block).
+
+Storage dtype mirrors FlatIndex: float32 / bfloat16 / int8 (per-row
+scales) — int8 quarters per-shard HBM scan bytes.
 """
 
 from __future__ import annotations
@@ -30,22 +34,29 @@ from ..ops.topk import blockwise_topk
 
 logger = get_logger(__name__)
 
+_BUF_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8}
 
-def make_search_fn(mesh: Mesh, axis: str, k: int, use_fused: bool, block_n: int = 1024):
-    """Build the jitted SPMD search: (buf, alive, counts, queries) ->
-    (vals [Q, k], global_idx [Q, k])."""
 
-    def local_search(buf, alive, counts, queries):
+def make_search_fn(mesh: Mesh, axis: str, k: int, use_fused: bool,
+                   dtype: str = "float32", block_n: int = 1024):
+    """Build the jitted SPMD search: (buf, scales, alive, counts, queries)
+    -> (vals [Q, k], global_idx [Q, k]). `scales` is all-ones except int8."""
+
+    def local_search(buf, scales, alive, counts, queries):
         # Shapes inside shard_map are per-device: buf [cap, D], counts [1].
         cap = buf.shape[0]
         count = counts[0]
-        if use_fused:
+        kk = min(4 * k, 128, cap)
+        if use_fused and dtype == "int8":
+            from ..ops.fused_topk import fused_score_topk_int8
+
+            vals, idx = fused_score_topk_int8(
+                buf, scales, queries, kk, count=count, block_n=block_n
+            )
+        elif use_fused:
             from ..ops.fused_topk import fused_score_topk
 
-            kk = min(4 * k, 128, cap)
             vals, idx = fused_score_topk(buf, queries, kk, count=count, block_n=block_n)
-            ok = jnp.take(alive, idx) > 0
-            vals = jnp.where(ok, vals, -1e30)
         else:
             scores = jnp.einsum(
                 "qd,nd->qn",
@@ -53,9 +64,13 @@ def make_search_fn(mesh: Mesh, axis: str, k: int, use_fused: bool, block_n: int 
                 buf.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
+            if dtype == "int8":
+                scores = scores * scales[None, :]
             scores = jnp.where(alive[None, :] > 0, scores, -1e30)
-            kk = min(4 * k, 128, cap)
             vals, idx = blockwise_topk(scores, kk, count=count)
+        if use_fused:
+            ok = jnp.take(alive, idx) > 0
+            vals = jnp.where(ok, vals, -1e30)
         shard = jax.lax.axis_index(axis)
         gidx = idx + shard * cap
         # Merge across shards over ICI (parallel/collectives.py).
@@ -66,7 +81,7 @@ def make_search_fn(mesh: Mesh, axis: str, k: int, use_fused: bool, block_n: int 
     shmapped = jax.shard_map(
         local_search,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(axis), P()),
+        in_specs=(P(axis, None), P(axis), P(axis), P(axis), P()),
         out_specs=(P(), P()),
         check_vma=False,  # outputs are replicated post-all_gather; checker can't infer
     )
@@ -77,29 +92,37 @@ def make_write_fn(mesh: Mesh, axis: str):
     """Build the jitted SPMD write: rows land on one target shard at its
     local offset; other shards pass through untouched (donated buffers)."""
 
-    def local_write(buf, alive, block, valid, target, offset):
+    def local_write(buf, scales, alive, block, sblock, valid, target, offset):
         shard = jax.lax.axis_index(axis)
-        is_target = (shard == target[0]).astype(jnp.float32)
+        is_target = shard == target[0]
         rows = block.shape[0]
-        start = jnp.where(shard == target[0], offset[0], 0)
-        tail = jax.lax.dynamic_slice(buf, (start, 0), (rows, buf.shape[1]))
+        start = jnp.where(is_target, offset[0], 0)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, block.shape, 0)
-        sel = (row_ids < valid[0]) & (shard == target[0])
+        sel = (row_ids < valid[0]) & is_target
+
+        tail = jax.lax.dynamic_slice(buf, (start, 0), (rows, buf.shape[1]))
         merged = jnp.where(sel, block, tail)
         buf = jax.lax.dynamic_update_slice(buf, merged, (start, 0))
-        atail = jax.lax.dynamic_slice(alive, (start,), (rows,))
+
         arow = jnp.arange(rows, dtype=jnp.int32)
-        amerged = jnp.where((arow < valid[0]) & (shard == target[0]), is_target, atail)
-        alive = jax.lax.dynamic_update_slice(alive, amerged, (start,))
-        return buf, alive
+        vsel = (arow < valid[0]) & is_target
+        stail = jax.lax.dynamic_slice(scales, (start,), (rows,))
+        scales = jax.lax.dynamic_update_slice(
+            scales, jnp.where(vsel, sblock, stail), (start,)
+        )
+        atail = jax.lax.dynamic_slice(alive, (start,), (rows,))
+        alive = jax.lax.dynamic_update_slice(
+            alive, jnp.where(vsel, 1.0, atail), (start,)
+        )
+        return buf, scales, alive
 
     shmapped = jax.shard_map(
         local_write,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(), P(), P(), P()),
-        out_specs=(P(axis, None), P(axis)),
+        in_specs=(P(axis, None), P(axis), P(axis), P(), P(), P(), P(), P()),
+        out_specs=(P(axis, None), P(axis), P(axis)),
     )
-    return jax.jit(shmapped, donate_argnums=(0, 1))
+    return jax.jit(shmapped, donate_argnums=(0, 1, 2))
 
 
 class ShardedFlatIndex:
@@ -117,10 +140,13 @@ class ShardedFlatIndex:
         capacity_per_shard: int = 2048,
         use_fused: bool | None = None,
         block_n: int = 1024,
+        dtype: str = "float32",
     ):
+        assert dtype in _BUF_DTYPES, dtype
         self.dim = dim
         self.mesh = mesh
         self.axis = axis
+        self.dtype = dtype
         self.P = int(mesh.shape[axis])
         cap = max(block_n, int(capacity_per_shard))
         self.cap = 1 << (cap - 1).bit_length()
@@ -131,10 +157,12 @@ class ShardedFlatIndex:
 
         self._row_sharding = NamedSharding(mesh, P(axis, None))
         self._vec_sharding = NamedSharding(mesh, P(axis))
+        total = self.P * self.cap
         self.buf = jax.device_put(
-            jnp.zeros((self.P * self.cap, dim), jnp.float32), self._row_sharding
+            jnp.zeros((total, dim), _BUF_DTYPES[dtype]), self._row_sharding
         )
-        self.alive = jax.device_put(jnp.zeros((self.P * self.cap,), jnp.float32), self._vec_sharding)
+        self.scales = jax.device_put(jnp.ones((total,), jnp.float32), self._vec_sharding)
+        self.alive = jax.device_put(jnp.zeros((total,), jnp.float32), self._vec_sharding)
         self.counts = [0] * self.P  # host-side fill levels
         self.ids: dict[int, str] = {}  # global row -> id
         self._id_to_row: dict[str, int] = {}
@@ -144,6 +172,16 @@ class ShardedFlatIndex:
     @property
     def count(self) -> int:
         return len(self._id_to_row)
+
+    def _quantize(self, block: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if self.dtype == "int8":
+            absmax = np.maximum(np.abs(block).max(axis=1), 1e-12)
+            s = (absmax / 127.0).astype(np.float32)
+            q = np.clip(np.round(block / s[:, None]), -127, 127).astype(np.int8)
+            return q, s
+        return block.astype(
+            np.float32 if self.dtype == "float32" else jnp.bfloat16
+        ), np.ones((block.shape[0],), np.float32)
 
     def add(self, vectors: np.ndarray, ids: list[str]) -> None:
         vectors = np.asarray(vectors, dtype=np.float32)
@@ -162,11 +200,24 @@ class ShardedFlatIndex:
             rows = 1 << max(3, (take - 1).bit_length())  # bucket to pow2 >= 8
             block = np.zeros((rows, self.dim), np.float32)
             block[:take] = vectors[start : start + take]
+            qblock, sblock_valid = self._quantize(block[:take])
+            full_q = np.zeros((rows, self.dim), qblock.dtype if self.dtype != "bfloat16" else np.float32)
+            sblock = np.ones((rows,), np.float32)
+            if self.dtype == "bfloat16":
+                full_q = np.zeros((rows, self.dim), np.float32)
+                full_q[:take] = block[:take]
+                dev_block = jnp.asarray(full_q).astype(jnp.bfloat16)
+            else:
+                full_q[:take] = qblock
+                dev_block = jnp.asarray(full_q)
+            sblock[:take] = sblock_valid
             offset = self.counts[target]
-            self.buf, self.alive = self._write(
+            self.buf, self.scales, self.alive = self._write(
                 self.buf,
+                self.scales,
                 self.alive,
-                jnp.asarray(block),
+                dev_block,
+                jnp.asarray(sblock),
                 jnp.asarray([take], jnp.int32),
                 jnp.asarray([target], jnp.int32),
                 jnp.asarray([offset], jnp.int32),
@@ -187,12 +238,14 @@ class ShardedFlatIndex:
         k_eff = min(k, total)
         fn = self._search_cache.get(k_eff)
         if fn is None:
-            fn = make_search_fn(self.mesh, self.axis, k_eff, self.use_fused, self.block_n)
+            fn = make_search_fn(
+                self.mesh, self.axis, k_eff, self.use_fused, self.dtype, self.block_n
+            )
             self._search_cache[k_eff] = fn
         counts_dev = jax.device_put(
             jnp.asarray(self.counts, jnp.int32), self._vec_sharding
         )
-        vals, idx = fn(self.buf, self.alive, counts_dev, jnp.asarray(queries))
+        vals, idx = fn(self.buf, self.scales, self.alive, counts_dev, jnp.asarray(queries))
         vals, idx = np.asarray(vals), np.asarray(idx)
         out = []
         for qi in range(queries.shape[0]):
@@ -219,10 +272,12 @@ class ShardedFlatIndex:
         return removed
 
     def delete_all(self) -> None:
+        total = self.P * self.cap
         self.buf = jax.device_put(
-            jnp.zeros((self.P * self.cap, self.dim), jnp.float32), self._row_sharding
+            jnp.zeros((total, self.dim), _BUF_DTYPES[self.dtype]), self._row_sharding
         )
-        self.alive = jax.device_put(jnp.zeros((self.P * self.cap,), jnp.float32), self._vec_sharding)
+        self.scales = jax.device_put(jnp.ones((total,), jnp.float32), self._vec_sharding)
+        self.alive = jax.device_put(jnp.zeros((total,), jnp.float32), self._vec_sharding)
         self.counts = [0] * self.P
         self.ids = {}
         self._id_to_row = {}

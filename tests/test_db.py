@@ -114,3 +114,33 @@ def test_enqueue_many(db):
     rows = db.query("SELECT * FROM queue ORDER BY id")
     assert len(rows) == 2
     assert rows[1]["task_type"] == "Extract"
+
+
+def test_two_process_claims_do_not_collide(tmp_path):
+    """API/Worker split across processes shares the queue through SQLite;
+    atomic claims must never double-assign (reference's only cluster
+    mechanism, db/queue.rs:167-206). Simulated with two Database handles
+    (separate connections) against one file."""
+    from memex_tpu.db.connection import create_connection_by_uri
+    from memex_tpu.db import queue
+
+    uri = f"sqlite://{tmp_path}/shared.db"
+    a = create_connection_by_uri(uri, run_migrations=True)
+    b = create_connection_by_uri(uri, run_migrations=False)
+    for i in range(20):
+        queue.enqueue(a, "c", f"doc {i}", queue.TaskType.Ingest)
+    claimed = []
+    import threading
+
+    def drain(db):
+        while True:
+            t = queue.check_for_jobs(db)
+            if t is None:
+                return
+            claimed.append(t.id)
+
+    t1 = threading.Thread(target=drain, args=(a,))
+    t2 = threading.Thread(target=drain, args=(b,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert sorted(claimed) == sorted(set(claimed))  # no double-claims
+    assert len(claimed) == 20

@@ -264,3 +264,28 @@ def test_flat_index_thread_safety(rng):
     assert store.count == 400
     hits = store.search(db[123], 1)
     assert hits[0].id == "t123"
+
+
+class TestShardedDtypes:
+    @pytest.fixture
+    def mesh(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        return Mesh(np.array(jax.devices()[:8]), ("shard",))
+
+    @pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+    def test_recall_vs_f32(self, rng, mesh, dtype):
+        d, n, k = 64, 600, 10
+        db, qs = unit(rng, n, d), unit(rng, 6, d)
+        ids = [f"sd{i}" for i in range(n)]
+        exact = ShardedFlatIndex(dim=d, mesh=mesh)
+        exact.add(db, ids)
+        quant = ShardedFlatIndex(dim=d, mesh=mesh, dtype=dtype)
+        quant.add(db, ids)
+        re_, rq = exact.search(qs, k), quant.search(qs, k)
+        recalls = [
+            len({s for s, _ in re_[i]} & {s for s, _ in rq[i]}) / k for i in range(6)
+        ]
+        assert np.mean(recalls) >= 0.9, (dtype, recalls)
+        top = quant.search(db[42:43], 1)[0][0]
+        assert top[0] == "sd42" and top[1] > 0.98
