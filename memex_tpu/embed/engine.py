@@ -69,7 +69,7 @@ class EmbeddingEngine:
         model_dir: str | None = None,
         max_seq_length: int = 256,
         window_stride: int = 86,
-        max_batch: int = 256,
+        max_batch: int = 512,
         mesh: Mesh | None = None,
         data_axis: str = "data",
         seed: int = 0,
