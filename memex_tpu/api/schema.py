@@ -18,6 +18,7 @@ from typing import Any
 from ..db.queue import Task
 
 DEFAULT_SEARCH_LIMIT = 10  # reference schema.rs:27-30
+MAX_SEARCH_LIMIT = 100     # request validation (reference passes limit raw)
 
 
 def api_response(start_time: float, result: Any) -> dict:

@@ -121,7 +121,15 @@ def create_app(runtime: Runtime | None = None) -> web.Application:
         # params as well for curl-friendliness.
         body = await _read_json(request, LIMIT_1_MB)
         query = body.get("query") or request.query.get("query")
-        limit = int(body.get("limit") or request.query.get("limit") or schema.DEFAULT_SEARCH_LIMIT)
+        raw_limit = body.get("limit")
+        if raw_limit is None:
+            raw_limit = request.query.get("limit", schema.DEFAULT_SEARCH_LIMIT)
+        try:
+            limit = int(raw_limit)
+        except (TypeError, ValueError):
+            return _error(400, "'limit' must be an integer")
+        if not 1 <= limit <= schema.MAX_SEARCH_LIMIT:
+            return _error(400, f"'limit' must be in 1..{schema.MAX_SEARCH_LIMIT}")
         if not query:
             return _error(400, "'query' is required")
         rt.store(collection)  # ensure rebuilt/registered before batching

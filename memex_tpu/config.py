@@ -66,6 +66,10 @@ class Settings:
     worker_max_active: int = 5
     # New vs reference: reap tasks stuck in Processing after this lease.
     task_lease_s: float = 300.0
+    # Device-index checkpoint cadence (seconds). SQL stays the source of
+    # truth; checkpoints only warm-start restarts, so they are rate-limited
+    # instead of per-ingest (vs reference local.rs:62-69 save-per-insert).
+    checkpoint_interval_s: float = 60.0
 
     extra: dict = field(default_factory=dict)
 

@@ -163,8 +163,16 @@ class FlatIndex:
         """Bulk insert (reference bulk_insert, storage/mod.rs:58). Vectors
         must be unit-normalized [M, dim]."""
         vectors = np.asarray(vectors, dtype=np.float32)
+        assert vectors.shape[0] == len(ids) and vectors.shape[1] == self.dim
+        if any(sid in self._id_to_row for sid in ids):
+            # Idempotent re-add (e.g. a rebuild raced an ingest): keep the
+            # existing row, insert only genuinely new ids.
+            fresh = [i for i, sid in enumerate(ids) if sid not in self._id_to_row]
+            if not fresh:
+                return
+            vectors = vectors[fresh]
+            ids = [ids[i] for i in fresh]
         m = vectors.shape[0]
-        assert m == len(ids) and vectors.shape[1] == self.dim
         rows = _bucket_rows(m)
         # +1 so padded rows never alias live data at exactly-full capacity.
         self._grow_to(self.count + rows + 1)
@@ -252,12 +260,16 @@ class FlatIndex:
         if self.count == 0:
             return [[] for _ in range(queries.shape[0])]
         k_eff = min(k, self.count)
-        if self.use_fused and self.dtype == "int8":
+        # The fused kernel over-fetches into a 128-wide candidate bank
+        # (kk = min(4k, 128)); re-ranking k > 128 from it would crash, so
+        # wide requests take the exact XLA path instead.
+        use_fused = self.use_fused and k_eff <= 128
+        if use_fused and self.dtype == "int8":
             vals, idx = _search_masked_fused_int8(
                 self.buf, self.scales, self.alive, self.count,
                 jnp.asarray(queries), k_eff,
             )
-        elif self.use_fused:
+        elif use_fused:
             vals, idx = _search_masked_fused(
                 self.buf, self.alive, self.count, jnp.asarray(queries), k_eff
             )

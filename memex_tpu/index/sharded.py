@@ -47,13 +47,18 @@ def make_search_fn(mesh: Mesh, axis: str, k: int, use_fused: bool,
         cap = buf.shape[0]
         count = counts[0]
         kk = min(4 * k, 128, cap)
-        if use_fused and dtype == "int8":
+        # Fused kernel candidate banks are <=128 wide; k beyond that must
+        # take the exact XLA path (with kk widened to cover k).
+        fused = use_fused and k <= kk
+        if not fused:
+            kk = min(max(kk, k), cap)
+        if fused and dtype == "int8":
             from ..ops.fused_topk import fused_score_topk_int8
 
             vals, idx = fused_score_topk_int8(
                 buf, scales, queries, kk, count=count, block_n=block_n
             )
-        elif use_fused:
+        elif fused:
             from ..ops.fused_topk import fused_score_topk
 
             vals, idx = fused_score_topk(buf, queries, kk, count=count, block_n=block_n)
@@ -68,7 +73,7 @@ def make_search_fn(mesh: Mesh, axis: str, k: int, use_fused: bool,
                 scores = scores * scales[None, :]
             scores = jnp.where(alive[None, :] > 0, scores, -1e30)
             vals, idx = blockwise_topk(scores, kk, count=count)
-        if use_fused:
+        if fused:
             ok = jnp.take(alive, idx) > 0
             vals = jnp.where(ok, vals, -1e30)
         shard = jax.lax.axis_index(axis)
@@ -185,8 +190,15 @@ class ShardedFlatIndex:
 
     def add(self, vectors: np.ndarray, ids: list[str]) -> None:
         vectors = np.asarray(vectors, dtype=np.float32)
+        assert vectors.shape[0] == len(ids)
+        if any(sid in self._id_to_row for sid in ids):
+            # Idempotent re-add (mirrors FlatIndex.add).
+            fresh = [i for i, sid in enumerate(ids) if sid not in self._id_to_row]
+            if not fresh:
+                return
+            vectors = vectors[fresh]
+            ids = [ids[i] for i in fresh]
         m = vectors.shape[0]
-        assert m == len(ids)
         start = 0
         while start < m:
             target = int(np.argmin(self.counts))
@@ -257,6 +269,17 @@ class ShardedFlatIndex:
                 hits.append((sid, float(v)))
             out.append(hits)
         return out
+
+    def rows_f32(self, grows: list[int]) -> np.ndarray:
+        """Materialize the given global rows as dequantized float32 (for
+        checkpointing — int8 codes need their per-row scales folded back in
+        and bfloat16 is not np.load-portable)."""
+        if not grows:
+            return np.zeros((0, self.dim), np.float32)
+        raw = np.asarray(self.buf[np.asarray(grows)], dtype=np.float32)
+        if self.dtype == "int8":
+            raw = raw * np.asarray(self.scales[np.asarray(grows)], np.float32)[:, None]
+        return raw
 
     def delete(self, ids: list[str]) -> int:
         alive = np.array(self.alive)  # writable copy

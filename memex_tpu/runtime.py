@@ -8,6 +8,7 @@ process and shared by the API handlers and worker executors.
 from __future__ import annotations
 
 import threading
+import time
 
 from .config import Settings
 from .db.connection import Database, create_connection_by_uri
@@ -19,12 +20,14 @@ logger = get_logger(__name__)
 class Runtime:
     def __init__(self, settings: Settings | None = None):
         self.settings = settings or Settings.from_env()
-        self._lock = threading.Lock()
+        # RLock: store() holds it across a rebuild that re-enters via self.db.
+        self._lock = threading.RLock()
         self._db: Database | None = None
         self._engine = None
         self._llm = None
         self._batcher = None
         self._rebuilt: set[str] = set()
+        self._last_ckpt: dict[str, float] = {}
 
     @property
     def db(self) -> Database:
@@ -72,14 +75,41 @@ class Runtime:
         )
         # First touch per process: if the device index is empty but SQL has
         # rows (restart without a checkpoint), rebuild from the source of
-        # truth (SURVEY.md §5 checkpoint/resume).
+        # truth (SURVEY.md §5 checkpoint/resume). Check-and-rebuild happens
+        # under the lock: API threads, the batcher, and worker threads can
+        # first-touch concurrently, and two rebuilds would double every row.
         if collection not in self._rebuilt:
-            self._rebuilt.add(collection)
-            if store.count == 0:
-                from .recovery import rebuild_collection
+            with self._lock:
+                if collection not in self._rebuilt:
+                    # Mark BEFORE rebuilding: rebuild_collection re-enters
+                    # store() on this thread (RLock) and must not recurse.
+                    self._rebuilt.add(collection)
+                    if store.count == 0:
+                        from .recovery import rebuild_collection
 
-                rebuild_collection(self, collection)
+                        rebuild_collection(self, collection)
         return store
+
+    def maybe_checkpoint(self, collection: str, store, interval_s: float | None = None) -> bool:
+        """Checkpoint at most once per `interval_s` per collection (SQL is
+        the durable source of truth; the device checkpoint is a warm-start
+        optimization, so per-ingest O(count) saves are wasted work)."""
+        if interval_s is None:
+            interval_s = self.settings.checkpoint_interval_s
+        now = time.monotonic()
+        with self._lock:
+            last = self._last_ckpt.get(collection, 0.0)
+            if now - last < interval_s:
+                return False
+            self._last_ckpt[collection] = now
+        store.checkpoint()
+        return True
+
+    def checkpoint_all(self) -> None:
+        """Flush every live store (shutdown path)."""
+        from .store.registry import _REGISTRY
+
+        _REGISTRY.checkpoint_all()
 
     def drop_store(self, collection: str) -> None:
         from .store.registry import _REGISTRY

@@ -190,7 +190,10 @@ class TpuMeshStore(TpuFlatStore):
             rows = sorted(self.index.ids.items())
             ids = [sid for _, sid in rows]
             grows = [r for r, _ in rows]
-            vecs = np.asarray(self.index.buf)[grows] if grows else np.zeros((0, self.dim), np.float32)
+            # Dequantized f32, never raw codes: int8 without scales restores
+            # ~283x-wrong scores and bf16 breaks np.load (mirrors
+            # FlatIndex.save's _dequantized()).
+            vecs = self.index.rows_f32(grows)
             np.savez(self._path + ".npz", vectors=vecs)
             with open(self._path + ".meta.json", "w", encoding="utf-8") as fh:
                 _json.dump({"dim": self.dim, "ids": ids}, fh)

@@ -107,6 +107,10 @@ class Worker:
     def shutdown(self, wait: bool = True) -> None:
         self._shutdown.set()
         self._pool.shutdown(wait=wait)
+        try:
+            self.rt.checkpoint_all()  # rate-limited ingest ckpts flush here
+        except Exception:
+            logger.exception("checkpoint on shutdown failed")
 
     def drain(self, timeout: float = 60.0) -> bool:
         """Process queued tasks until the queue is empty and no jobs are

@@ -28,10 +28,14 @@ def process_ingest(rt: Runtime, task: queue.Task) -> None:
         "task %d: generated %d embeddings in %.1fms", task.id, len(segments), embed_ms
     )
 
+    # Resolve the store FIRST: first touch may rebuild the device index from
+    # SQL, and that rebuild must not see this task's rows (it would duplicate
+    # every vector once add_vectors also ran).
+    store = rt.store(task.collection)
+
     doc = models.insert_document_from_task(rt.db, task)
     seg_uuids = models.insert_embeddings(rt.db, doc.uuid, task.collection, segments, vectors)
 
-    store = rt.store(task.collection)
     store.add_vectors(
         [
             VectorData(
@@ -44,7 +48,10 @@ def process_ingest(rt: Runtime, task: queue.Task) -> None:
             for i in range(len(segments))
         ]
     )
-    store.checkpoint()
+    # Periodic, not per-task: SQL is the durable source of truth and
+    # recovery.py rebuilds; a per-task checkpoint would re-introduce the
+    # reference's save-everything-per-insert cost (local.rs:62-69).
+    rt.maybe_checkpoint(task.collection, store)
 
 
 def process_summarize(rt: Runtime, task: queue.Task):
