@@ -16,6 +16,13 @@ bench:
 serve:
 	python -m memex_tpu serve --roles Api,Worker
 
+# Download the real embedding model (reference Makefile:22-28 downloads
+# example LLM weights the same way). Air-gapped hosts: place an HF-format
+# checkpoint at models/all-MiniLM-L12-v2 manually instead.
+setup-examples:
+	python -m memex_tpu download-model
+	@echo "export EMBEDDING_MODEL=models/all-MiniLM-L12-v2"
+
 clean:
 	$(MAKE) -C native clean
 	rm -rf .pytest_cache **/__pycache__

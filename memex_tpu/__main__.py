@@ -119,6 +119,43 @@ def cmd_load(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_download_model(args: argparse.Namespace) -> int:
+    """Fetch model weights into a local dir (parity with the reference's
+    `make setup-examples` download target, Makefile:22-28). Needs network;
+    in air-gapped environments place an HF-format checkpoint
+    (model.safetensors + config.json + vocab.txt) at the target dir by any
+    other means — the loader (models/minilm.py) only reads local files."""
+    import os
+
+    target = args.target or os.path.join("models", args.model.split("/")[-1])
+    needed = ["model.safetensors", "config.json", "vocab.txt"]
+    if all(os.path.exists(os.path.join(target, f)) for f in needed):
+        logger.info("model already present at %s", target)
+        return 0
+    try:
+        from huggingface_hub import snapshot_download
+
+        snapshot_download(
+            repo_id=args.model,
+            local_dir=target,
+            allow_patterns=["*.safetensors", "config.json", "vocab.txt",
+                            "tokenizer_config.json", "special_tokens_map.json"],
+        )
+    except Exception as exc:
+        logger.error(
+            "download failed (%s). If this host has no egress, copy an "
+            "HF-format checkpoint (%s) into %s manually and set "
+            "EMBEDDING_MODEL=%s.", exc, ", ".join(needed), target, target,
+        )
+        return 1
+    missing = [f for f in needed if not os.path.exists(os.path.join(target, f))]
+    if missing:
+        logger.error("snapshot incomplete, missing: %s", missing)
+        return 1
+    logger.info("model ready at %s (set EMBEDDING_MODEL=%s)", target, target)
+    return 0
+
+
 def cmd_migrate(args: argparse.Namespace) -> int:
     """Standalone migration runner (reference migration/src/main.rs)."""
     from .db.connection import create_connection_by_uri
@@ -147,6 +184,11 @@ def main(argv: list[str] | None = None) -> int:
     migrate = sub.add_parser("migrate", help="apply schema migrations and exit")
     migrate.add_argument("--database-connection", default=None)
     migrate.set_defaults(func=cmd_migrate)
+
+    dl = sub.add_parser("download-model", help="fetch embedding-model weights")
+    dl.add_argument("--model", default="sentence-transformers/all-MiniLM-L12-v2")
+    dl.add_argument("--target", default=None, help="output dir (default models/<name>)")
+    dl.set_defaults(func=cmd_download_model)
 
     load = sub.add_parser("load", help="bulk-enqueue documents from files/dirs")
     load.add_argument("collection")
