@@ -276,6 +276,107 @@ class IVFIndex:
             results[qi] = [(sid, v) for sid, v in top]
         return results
 
+    # -- persistence -----------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Checkpoint to `{path}.npz` + `{path}.meta.json`: centroids plus
+        packed live rows with their cluster assignment, so load() restores
+        the trained partitions WITHOUT re-running k-means (rebuild() is the
+        only path that retrains). Deleted rows are dropped (save compacts)."""
+        import json as _json
+        import os as _os
+
+        _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
+        cvecs, cassign, cids = [], [], []
+        if self.data is not None:
+            data = np.asarray(self.data)
+            sizes = np.asarray(self.sizes)
+            for c in range(self.C):
+                for m in range(int(sizes[c])):
+                    ridx = self.rowids[c, m]
+                    if ridx < 0:
+                        continue
+                    sid = self.ids[ridx]
+                    if sid is None or sid in self._deleted:
+                        continue
+                    cvecs.append(data[c, m])
+                    cassign.append(c)
+                    cids.append(sid)
+        svecs, sids = [], []
+        if self.spill.count:
+            alive = np.asarray(self.spill.alive[: self.spill.count]) > 0
+            dq = self.spill._dequantized()
+            for r in np.nonzero(alive)[0]:
+                sid = self.spill.ids[r]
+                if sid not in self._deleted:
+                    svecs.append(dq[r])
+                    sids.append(sid)
+        np.savez(
+            path + ".npz",
+            centroids=(np.asarray(self.centroids)
+                       if self.centroids is not None
+                       else np.zeros((0, self.dim), np.float32)),
+            cluster_vecs=(np.stack(cvecs) if cvecs else np.zeros((0, self.dim), np.float32)),
+            cluster_assign=np.asarray(cassign, np.int32),
+            spill_vecs=(np.stack(svecs) if svecs else np.zeros((0, self.dim), np.float32)),
+        )
+        meta = {
+            "dim": self.dim,
+            "n_clusters": self.C,
+            "nprobe": self.nprobe,
+            "bucket_factor": self.bucket_factor,
+            "cluster_ids": cids,
+            "spill_ids": sids,
+        }
+        with open(path + ".meta.json", "w", encoding="utf-8") as fh:
+            _json.dump(meta, fh)
+
+    @classmethod
+    def load(cls, path: str, **kw) -> "IVFIndex":
+        import json as _json
+
+        with open(path + ".meta.json", "r", encoding="utf-8") as fh:
+            meta = _json.load(fh)
+        arrs = np.load(path + ".npz")
+        kw.setdefault("n_clusters", meta["n_clusters"])
+        kw.setdefault("nprobe", meta["nprobe"])
+        kw.setdefault("bucket_factor", meta["bucket_factor"])
+        idx = cls(dim=meta["dim"], **kw)
+        cids: list[str] = meta["cluster_ids"]
+        centroids = arrs["centroids"]
+        if len(centroids) and len(cids):
+            idx.centroids = jnp.asarray(centroids)
+            assign = arrs["cluster_assign"]
+            vectors = arrs["cluster_vecs"]
+            counts = np.bincount(assign, minlength=idx.C)
+            M = int(max(8, idx.bucket_factor * max(1, counts.mean())))
+            M = max(M, int(counts.max()))
+            M = -(-M // 8) * 8
+            data = np.zeros((idx.C, M, idx.dim), np.float32)
+            sizes = np.zeros((idx.C,), np.int32)
+            rowids = np.full((idx.C, M), -1, np.int64)
+            idx.ids = list(cids)
+            for i in range(len(cids)):
+                c = assign[i]
+                data[c, sizes[c]] = vectors[i]
+                rowids[c, sizes[c]] = i
+                sizes[c] += 1
+            idx.data = jnp.asarray(data)
+            idx.sizes = jnp.asarray(sizes)
+            idx.rowids = rowids
+            idx._live.update(cids)
+        sids = meta["spill_ids"]
+        if sids:
+            idx.spill.add(arrs["spill_vecs"], sids)
+            idx._live.update(sids)
+        return idx
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        import os as _os
+
+        return _os.path.exists(path + ".meta.json") and _os.path.exists(path + ".npz")
+
     def delete(self, ids: list[str]) -> int:
         known = set()
         if self.rowids is not None:

@@ -288,32 +288,17 @@ def sample_token(logits: jnp.ndarray, recent: jnp.ndarray, key, sc: SamplerConfi
 
 
 # ---------------------------------------------------------------------------
-# generation: prefill + scan decode in one jit per (prompt_bucket, max_new)
+# generation. Two shapes over the same scan step:
+#   generate():     prefill + full scan in ONE dispatch (batch jobs);
+#   prefill() + decode_chunk(): scan `chunk` tokens per dispatch, carry
+#     (KV cache etc.) stays device-resident between dispatches — the host
+#     sees tokens every chunk, giving TRUE streaming (reference parity:
+#     token events over mpsc, local/mod.rs:101-126) at ~1 RPC per chunk.
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "sc", "max_new"))
-def generate(cfg: LlamaConfig, params: dict, prompt: jnp.ndarray, prompt_len,
-             key, sc: SamplerConfig, max_new: int, eos_id: int = 2):
-    """prompt [1, P] padded; returns (tokens [max_new], n_valid).
-
-    One XLA dispatch for the whole generation. Early stop via done-mask
-    (compute continues to max_new but output is truncated by n_valid).
-    """
-    B, P = prompt.shape
-    cache = init_cache(cfg, batch=B)
-    positions = jnp.arange(P)[None, :]
-    logits, cache = forward(cfg, params, prompt, positions, cache, 0)
-    # logits at the last real prompt token
-    last = jnp.take_along_axis(logits, (prompt_len - 1)[None, None, None], axis=1)[0, 0]
-
-    W = sc.repetition_window
-    recent0 = jnp.full((W,), -1, jnp.int32)
-    # seed recent with the tail of the prompt
-    idx = jnp.arange(W)
-    src = jnp.clip(prompt_len - W + idx, 0, P - 1)
-    tail = prompt[0][src]
-    recent0 = jnp.where(prompt_len - W + idx >= 0, tail, -1)
+def _decode_step(cfg: LlamaConfig, params: dict, sc: SamplerConfig, eos_id):
+    """Scan step shared by generate() and decode_chunk()."""
 
     def step(carry, _):
         cache, cur_logits, recent, pos, key, done = carry
@@ -327,10 +312,54 @@ def generate(cfg: LlamaConfig, params: dict, prompt: jnp.ndarray, prompt_len,
         recent = jnp.concatenate([recent[1:], tok[None]])
         return (cache, logits[0, 0], recent, pos + 1, key, new_done), (tok, done)
 
-    (_, _, _, _, _, _), (tokens, was_done) = jax.lax.scan(
-        step, (cache, last, recent0, prompt_len, key, jnp.bool_(False)),
-        None, length=max_new,
-    )
+    return step
+
+
+def _prefill_carry(cfg: LlamaConfig, params: dict, prompt: jnp.ndarray,
+                   prompt_len, key, sc: SamplerConfig):
+    B, P = prompt.shape
+    cache = init_cache(cfg, batch=B)
+    positions = jnp.arange(P)[None, :]
+    logits, cache = forward(cfg, params, prompt, positions, cache, 0)
+    # logits at the last real prompt token
+    last = jnp.take_along_axis(logits, (prompt_len - 1)[None, None, None], axis=1)[0, 0]
+    W = sc.repetition_window
+    # seed recent with the tail of the prompt
+    idx = jnp.arange(W)
+    src = jnp.clip(prompt_len - W + idx, 0, P - 1)
+    tail = prompt[0][src]
+    recent0 = jnp.where(prompt_len - W + idx >= 0, tail, -1)
+    return (cache, last, recent0, prompt_len, key, jnp.bool_(False))
+
+
+@partial(jax.jit, static_argnames=("cfg", "sc"))
+def prefill(cfg: LlamaConfig, params: dict, prompt: jnp.ndarray, prompt_len,
+            key, sc: SamplerConfig):
+    """One forward over the padded prompt -> device-resident decode carry."""
+    return _prefill_carry(cfg, params, prompt, prompt_len, key, sc)
+
+
+@partial(jax.jit, static_argnames=("cfg", "sc", "chunk"))
+def decode_chunk(cfg: LlamaConfig, params: dict, carry, sc: SamplerConfig,
+                 chunk: int, eos_id: int = 2):
+    """Advance the decode by `chunk` tokens in one dispatch.
+    Returns (carry', tokens [chunk], was_done [chunk])."""
+    step = _decode_step(cfg, params, sc, eos_id)
+    carry, (tokens, was_done) = jax.lax.scan(step, carry, None, length=chunk)
+    return carry, tokens, was_done
+
+
+@partial(jax.jit, static_argnames=("cfg", "sc", "max_new"))
+def generate(cfg: LlamaConfig, params: dict, prompt: jnp.ndarray, prompt_len,
+             key, sc: SamplerConfig, max_new: int, eos_id: int = 2):
+    """prompt [1, P] padded; returns (tokens [max_new], n_valid).
+
+    One XLA dispatch for the whole generation. Early stop via done-mask
+    (compute continues to max_new but output is truncated by n_valid).
+    """
+    carry = _prefill_carry(cfg, params, prompt, prompt_len, key, sc)
+    step = _decode_step(cfg, params, sc, eos_id)
+    _, (tokens, was_done) = jax.lax.scan(step, carry, None, length=max_new)
     n_valid = jnp.sum(~was_done)
     return tokens, n_valid
 

@@ -27,9 +27,11 @@ from ...text.segment import count_tokens
 from .model import (
     LlamaConfig,
     SamplerConfig,
+    decode_chunk,
     generate,
     init_params,
     load_params,
+    prefill,
 )
 
 logger = get_logger(__name__)
@@ -165,15 +167,47 @@ class LocalLLM:
         if max_new <= 0:
             raise ValueError("prompt fills the context window")
         self._key, sub = jax.random.split(self._key)
-        tokens, n_valid = generate(
-            self.cfg, self.params, jnp.asarray(padded), jnp.int32(len(ids)),
-            sub, self.sampler, max_new, eos_id=self.tokenizer.eos_id,
+        if on_token is None:
+            # Batch path: whole generation in ONE device dispatch.
+            tokens, n_valid = generate(
+                self.cfg, self.params, jnp.asarray(padded), jnp.int32(len(ids)),
+                sub, self.sampler, max_new, eos_id=self.tokenizer.eos_id,
+            )
+            out = np.asarray(tokens)[: int(n_valid)]
+        else:
+            # Streaming path: scan STREAM_CHUNK tokens per dispatch; the KV
+            # cache carry stays on device, tokens surface every chunk and
+            # on_token fires WHILE generation continues (reference streams
+            # token events the same way, local/mod.rs:101-126).
+            out = self._stream(padded, len(ids), sub, max_new, on_token)
+        return self.tokenizer.decode([int(t) for t in out])
+
+    STREAM_CHUNK = 16  # tokens per dispatch (~1 tunnel RPC each)
+
+    def _stream(self, padded, n_ids, key, max_new, on_token) -> list[int]:
+        eos = self.tokenizer.eos_id
+        carry = prefill(
+            self.cfg, self.params, jnp.asarray(padded), jnp.int32(n_ids),
+            key, self.sampler,
         )
-        tokens = np.asarray(tokens)[: int(n_valid)]
-        if on_token is not None:
-            for t in tokens:
+        out: list[int] = []
+        done = False
+        while not done and len(out) < max_new:
+            carry, toks, was_done = decode_chunk(
+                self.cfg, self.params, carry, self.sampler, self.STREAM_CHUNK,
+                eos_id=eos,
+            )
+            toks, wd = np.asarray(toks), np.asarray(was_done)
+            for t, d in zip(toks, wd):
+                if d or len(out) >= max_new:
+                    done = True
+                    break
+                out.append(int(t))
                 on_token(self.tokenizer.decode([int(t)]))
-        return self.tokenizer.decode([int(t) for t in tokens])
+                if int(t) == eos:
+                    done = True
+                    break
+        return out
 
     def segment_text(self, text: str) -> tuple[list[str], str]:
         if count_tokens(text) <= self.max_tokens:

@@ -107,8 +107,16 @@ class TpuIVFStore(TpuFlatStore):
         self.collection = collection
         self.dim = dim
         self._lock = threading.Lock()
-        self._path = None  # IVF checkpoint = rebuildable from SQL; skip files
-        self.index = IVFIndex(dim=dim, n_clusters=n_clusters, nprobe=nprobe, **kw)
+        self._path = None
+        if base_dir:
+            os.makedirs(base_dir, exist_ok=True)
+            self._path = os.path.join(base_dir, f"{collection}.ivf")
+        if self._path and IVFIndex.exists(self._path):
+            self.index = IVFIndex.load(self._path, n_clusters=n_clusters, nprobe=nprobe, **kw)
+            logger.info("restored IVF collection %s (%d vectors, trained=%s)",
+                        collection, self.index.count, self.index.centroids is not None)
+        else:
+            self.index = IVFIndex(dim=dim, n_clusters=n_clusters, nprobe=nprobe, **kw)
         self._doc_of: dict[str, str] = {}
 
     def build(self, data: list[VectorData]) -> None:
@@ -138,7 +146,11 @@ class TpuIVFStore(TpuFlatStore):
         return self.index.count
 
     def checkpoint(self) -> None:
-        pass
+        """Persist centroids + packed clusters + spill (restores without
+        re-running k-means; was a silent no-op before round 2)."""
+        if self._path:
+            with self._lock:
+                self.index.save(self._path)
 
 
 class TpuMeshStore(TpuFlatStore):
