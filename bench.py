@@ -2,14 +2,19 @@
 
 Headline: search QPS/chip on a 1M x 384 corpus (BASELINE.json north star:
 >=10k QPS/chip with >=95% recall@10). Storage tiers measured in one run:
-f32 (exact scan), bf16, int8 (per-row scales); the headline value is the
-fastest tier that clears the 0.95 recall bar against the exact oracle.
+f32 (exact scan), bf16, int8 (per-row scales), int8q (queries quantized
+too -> s8xs8 MXU dot); the headline value is the fastest tier clearing the
+0.95 recall bar against the exact oracle.
+
+Also measured (BASELINE.md target table): end-to-end query latency through
+the real serving stack (full MiniLM-L12 encode + fused search), ingest
+docs/sec through the worker pipeline, and the 1M-row bulk shard load.
 
 Timing: per-call wall timing is unreliable through the remote-TPU tunnel
 (async dispatch; ~30ms host<->device RPC), so we dispatch R batches
 back-to-back and fetch one scalar from the LAST result — device execution
 is in-order, so the fetch syncs the whole chain; measured RPC roundtrip is
-subtracted once.
+subtracted once. Tier timing is best-of-3 (tunnel throughput is noisy).
 
 Prints exactly one JSON line.
 """
@@ -26,11 +31,12 @@ D = 384
 Q = 32
 K = 10
 R = 32
+REPS = 3
 BASELINE_QPS = 10_000.0   # driver-set target (BASELINE.md)
 RECALL_BAR = 0.95
 
 
-def main() -> None:
+def bench_kernels(rpc: float) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -38,6 +44,7 @@ def main() -> None:
     from memex_tpu.ops.fused_topk import (
         fused_score_topk,
         fused_score_topk_int8,
+        fused_score_topk_int8q,
         quantize_rows_int8,
     )
     from memex_tpu.ops.topk import score_topk
@@ -51,42 +58,140 @@ def main() -> None:
         for i in range(R)
     ]
 
+    tiers = {
+        "f32": lambda q: fused_score_topk(db, q, K, count=N, block_n=2048),
+        "bf16": lambda q: fused_score_topk(db16, q, K, count=N, block_n=1024),
+        "int8": lambda q: fused_score_topk_int8(db8, scales, q, K, count=N, block_n=1024),
+        "int8q": lambda q: fused_score_topk_int8q(
+            db8, scales, q, K, count=N, block_n=8192, banks=4
+        ),
+    }
+    _, ei = score_topk(db, qs[0], K, method="exact")
+    ei = np.asarray(ei)
+
+    for fn in tiers.values():  # compile everything first
+        float(fn(qs[0])[0][0, 0])
+
+    results = {}
+    for name, fn in tiers.items():
+        best = 1e9
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            outs = [fn(q) for q in qs]      # async dispatch chain
+            float(outs[-1][0][0, 0])        # sync the whole chain
+            best = min(best, (time.perf_counter() - t0 - rpc) / R)
+        fi = np.asarray(fn(qs[0])[1])
+        rec = float(np.mean([len(set(fi[i]) & set(ei[i])) / K for i in range(Q)]))
+        results[name] = {"qps": Q / best, "p50_batch_ms": best * 1e3, "recall_at_10": rec}
+
+    # release the big buffers before the e2e stage
+    del db, db16, db8, scales, qs
+    return results
+
+
+def bench_bulk_load() -> float:
+    """Seconds to bulk-load 1M int8 rows into the mesh-sharded index
+    through the single-dispatch SPMD write path."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from memex_tpu.index.sharded import ShardedFlatIndex
+
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    n_dev = len(jax.devices())
+    idx = ShardedFlatIndex(
+        dim=D, mesh=mesh, capacity_per_shard=-(-N // n_dev), dtype="int8"
+    )
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((N, D)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    ids = [f"r{i}" for i in range(N)]
+    t0 = time.perf_counter()
+    idx.add(vecs, ids)
+    jax.block_until_ready(idx.buf)
+    float(idx.alive[0])  # force through the tunnel
+    elapsed = time.perf_counter() - t0
+    del idx, vecs
+    return elapsed
+
+
+def bench_e2e() -> dict:
+    """Serving-path numbers: encode (full MiniLM-L12 architecture) +
+    fused search per query, and worker ingest docs/sec."""
+    import numpy as np
+
+    from memex_tpu.config import Settings
+    from memex_tpu.db import queue
+    from memex_tpu.runtime import Runtime
+    from memex_tpu.worker import Worker
+
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="memex_bench_")
+    settings = Settings.from_env(
+        db_uri=f"sqlite://{tmp}/bench.db",
+        vector_uri=f"tpu://{tmp}/vec?dtype=int8",
+        embedding_model="random",  # full MiniLM-L12 architecture, random init
+    )
+    rt = Runtime(settings)
+
+    # -- ingest docs/sec through the queue + worker pipeline -----------------
+    n_docs = 64
+    doc = ("tpu chips multiply large matrices quickly and semantic search "
+           "finds meaning in documents rather than keywords. " * 6)
+    worker = Worker(rt, poll_interval=0.001)
+    rt.engine.encode(doc)  # warm the window-shape bucket (compile ~30-60s)
+    queue.enqueue_many(
+        rt.db, [("bench", f"{doc} doc {i}", queue.TaskType.Ingest) for i in range(n_docs)]
+    )
+    t0 = time.perf_counter()
+    assert worker.drain(timeout=1200)
+    ingest_s = time.perf_counter() - t0
+    store = rt.store("bench")
+
+    # -- query p50/p99: encode_single + index search (the API data path) -----
+    lat = []
+    rt.engine.encode_single("warm up the query bucket")
+    store.search(rt.engine.encode_single("warm up search"), K)
+    for i in range(100):
+        t0 = time.perf_counter()
+        v = rt.engine.encode_single(f"how do tpus find meaning {i}")
+        store.search(v, K)
+        lat.append(time.perf_counter() - t0)
+    lat = np.sort(np.array(lat))
+    return {
+        "ingest_docs_per_s": n_docs / ingest_s,
+        "query_p50_ms": float(lat[49] * 1e3),
+        "query_p99_ms": float(lat[98] * 1e3),
+        "query_store_rows": store.count,
+    }
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
     tiny = jnp.zeros(())
     float(tiny + 1)
     t0 = time.perf_counter()
     float(tiny + 2)
     rpc = time.perf_counter() - t0
 
-    def measure(fn):
-        float(fn(qs[0])[0][0, 0])  # compile + warm
-        t0 = time.perf_counter()
-        outs = [fn(q) for q in qs]      # async dispatch chain
-        float(outs[-1][0][0, 0])        # sync the whole chain
-        per_batch = (time.perf_counter() - t0 - rpc) / R
-        return per_batch
-
-    def recall(fn):
-        _, fi = fn(qs[0])
-        _, ei = score_topk(db, qs[0], K, method="exact")
-        fi, ei = np.asarray(fi), np.asarray(ei)
-        return float(np.mean([len(set(fi[i]) & set(ei[i])) / K for i in range(Q)]))
-
-    tiers = {
-        "f32": lambda q: fused_score_topk(db, q, K, count=N, block_n=1024),
-        "bf16": lambda q: fused_score_topk(db16, q, K, count=N, block_n=1024),
-        "int8": lambda q: fused_score_topk_int8(db8, scales, q, K, count=N, block_n=1024),
-    }
-    results = {}
-    for name, fn in tiers.items():
-        per_batch = measure(fn)
-        results[name] = {
-            "qps": Q / per_batch,
-            "p50_batch_ms": per_batch * 1e3,
-            "recall_at_10": recall(fn),
-        }
-
+    results = bench_kernels(rpc)
     eligible = {k: v for k, v in results.items() if v["recall_at_10"] >= RECALL_BAR}
     best = max(eligible, key=lambda k: eligible[k]["qps"])
+
+    extras = {}
+    try:
+        extras["bulk_load_1M_s"] = round(bench_bulk_load(), 2)
+    except Exception as exc:  # keep the headline even if a stage breaks
+        extras["bulk_load_error"] = str(exc)[:200]
+    try:
+        extras.update({k: (round(v, 2) if isinstance(v, float) else v)
+                       for k, v in bench_e2e().items()})
+    except Exception as exc:
+        extras["e2e_error"] = str(exc)[:200]
 
     print(json.dumps({
         "metric": "flat_search_qps_per_chip_1M_384d",
@@ -100,6 +205,7 @@ def main() -> None:
             k: {"qps": round(v["qps"], 1), "recall": round(v["recall_at_10"], 4)}
             for k, v in results.items()
         },
+        "e2e": extras,
         "query_batch": Q,
         "corpus": N,
         "backend": jax.default_backend(),

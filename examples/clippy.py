@@ -7,9 +7,11 @@ Parity with the reference example (examples/clippy/src/main.rs:11-29):
   qq <question>      quick question, no retrieval
   forget             DELETE the `clippy` collection
 
-The reference runs a local GGML model client-side (clippy/src/lib.rs:109-185);
-here the LLM call goes through the service's /api/action/ask so the model
-(OpenAI, local JAX, or fake) is whatever the server is configured with.
+The reference runs a local GGML model client-side with live token output
+(clippy/src/lib.rs:109-185, handle_llm_events :83-107). Two modes here:
+  default            LLM calls go through the service's /api/action/ask;
+  --local-llm CFG    run the local JAX Llama client-side from a TOML config
+                     and print tokens LIVE as they stream off the device.
 """
 
 from __future__ import annotations
@@ -95,21 +97,55 @@ def llm_answer(host: str, prompt: str) -> str:
     return val if isinstance(val, str) else json.dumps(val, indent=2)
 
 
-def cmd_ask(host: str, question: str) -> int:
+_LOCAL_LLM = None
+
+
+def llm_answer_local(cfg_path: str, prompt: str) -> str:
+    """Client-side local JAX LLM with live token streaming (parity with
+    ask_clippy + handle_llm_events, clippy/src/lib.rs:109-185, :83-107)."""
+    global _LOCAL_LLM
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from memex_tpu.llm.base import ChatMessage, ChatRole
+    from memex_tpu.llm.local import LocalLLM
+
+    if _LOCAL_LLM is None:
+        print("loading local model...", file=sys.stderr)
+        _LOCAL_LLM = LocalLLM.from_config(cfg_path)
+    llm = _LOCAL_LLM
+    t0 = time.perf_counter()
+
+    def emit(piece: str) -> None:
+        print(piece, end="", flush=True)  # live, token by token
+
+    text = llm.chat_completion(
+        llm.default_model, [ChatMessage(ChatRole.User, prompt)], on_token=emit
+    )
+    print(f"\n[predict time: {(time.perf_counter() - t0) * 1e3:.0f}ms]", file=sys.stderr)
+    return text
+
+
+def cmd_ask(host: str, question: str, local_llm: str | None = None) -> int:
     t0 = time.perf_counter()
     segments = search_context(host, question)
     context = "\n---\n".join(s["content"] for s in segments) or "(no documents loaded)"
     prompt = PROMPT_TEMPLATE.format(
         today=dt.date.today().isoformat(), context=context, question=question
     )
-    answer = llm_answer(host, prompt)
-    print(answer)
+    if local_llm:
+        llm_answer_local(local_llm, prompt)  # streams to stdout itself
+    else:
+        print(llm_answer(host, prompt))
     print(f"\n[{len(segments)} context segments, {time.perf_counter() - t0:.2f}s]")
     return 0
 
 
-def cmd_qq(host: str, question: str) -> int:
-    print(llm_answer(host, question))
+def cmd_qq(host: str, question: str, local_llm: str | None = None) -> int:
+    if local_llm:
+        llm_answer_local(local_llm, question)
+    else:
+        print(llm_answer(host, question))
     return 0
 
 
@@ -123,6 +159,10 @@ def cmd_forget(host: str) -> int:
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="clippy", description=__doc__)
     parser.add_argument("--host", default=DEFAULT_HOST)
+    parser.add_argument(
+        "--local-llm", default=None, metavar="CFG",
+        help="TOML model config: answer client-side with live token streaming",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
     p = sub.add_parser("load-file")
     p.add_argument("path")
@@ -137,9 +177,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "load-file":
         return cmd_load_file(args.host, args.path)
     if args.command == "ask":
-        return cmd_ask(args.host, args.question)
+        return cmd_ask(args.host, args.question, args.local_llm)
     if args.command == "qq":
-        return cmd_qq(args.host, args.question)
+        return cmd_qq(args.host, args.question, args.local_llm)
     if args.command == "forget":
         return cmd_forget(args.host)
     return 2

@@ -30,6 +30,12 @@ def cmd_serve(args: argparse.Namespace) -> int:
             "vector_uri": args.vector_connection,
         }.items() if v is not None}
     )
+    # Multi-host (DCN) bring-up before any device use; no-op unless
+    # MEMEX_COORDINATOR is set (single host / single slice needs nothing).
+    from .parallel.distributed import init_multihost
+
+    init_multihost()
+
     rt = get_runtime(settings)
     roles = {r.strip().lower() for r in args.roles.split(",") if r.strip()}
     if not roles <= {"api", "worker"}:

@@ -6,7 +6,6 @@ import asyncio
 import json
 import os
 
-import numpy as np
 import pytest
 from aiohttp.test_utils import TestClient, TestServer
 

@@ -1,7 +1,5 @@
 """CLI entry tests (reference bin/memex arg parsing, main.rs:20-48)."""
 
-import os
-
 from memex_tpu.__main__ import main
 
 

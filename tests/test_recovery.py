@@ -1,9 +1,7 @@
 """Crash-recovery tests: index rebuild from SQL, lease reaping, retries."""
 
-import numpy as np
-
 from memex_tpu.config import Settings
-from memex_tpu.db import models, queue
+from memex_tpu.db import queue
 from memex_tpu.runtime import Runtime
 from memex_tpu.worker import Worker
 
@@ -32,11 +30,6 @@ def test_rebuild_from_sql(tmp_path):
     # Simulate a process restart: fresh runtime, same DB, empty memory store.
     rt2 = make_rt(tmp_path)
     rt2.settings.db_uri = rt.settings.db_uri
-    from memex_tpu.store.registry import StoreRegistry
-
-    # memory:// stores live in the module registry; use a private registry
-    # to guarantee emptiness, then rebuild explicitly.
-    from memex_tpu import recovery
 
     rt2._rebuilt = set()
     # Clear the shared memory store to simulate loss of device state.
@@ -49,6 +42,8 @@ def test_rebuild_from_sql(tmp_path):
     hits = store2.search(q, 1)
     assert hits and hits[0].score > 0
     # Explicit rebuild is a no-op once populated.
+    from memex_tpu import recovery
+
     assert recovery.rebuild_collection(rt2, "col") == 0
 
 
