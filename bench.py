@@ -150,14 +150,13 @@ def bench_e2e() -> dict:
     ingest_s = time.perf_counter() - t0
     store = rt.store("bench")
 
-    # -- query p50/p99: encode_single + index search (the API data path) -----
+    # -- query p50/p99 through the API data path: microbatcher -> fused
+    #    encode+scan (one dispatch, one fetch) ---------------------------------
     lat = []
-    rt.engine.encode_single("warm up the query bucket")
-    store.search(rt.engine.encode_single("warm up search"), K)
+    rt.search_batcher.search("bench", "warm up the fused query path", K)
     for i in range(100):
         t0 = time.perf_counter()
-        v = rt.engine.encode_single(f"how do tpus find meaning {i}")
-        store.search(v, K)
+        rt.search_batcher.search("bench", f"how do tpus find meaning {i}", K)
         lat.append(time.perf_counter() - t0)
     lat = np.sort(np.array(lat))
     return {

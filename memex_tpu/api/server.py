@@ -22,6 +22,7 @@ import subprocess
 import tempfile
 import time
 
+import numpy as np
 from aiohttp import web
 
 from ..db import models, queue
@@ -257,6 +258,78 @@ def create_app(runtime: Runtime | None = None) -> web.Application:
                 parsed.append(data.decode("utf-8", errors="replace"))
         return web.json_response(schema.api_response(t0, {"parsed": parsed}))
 
+    # -- raw vector ops (network delegation surface: lets another memex_tpu
+    #    use this service as its vector backend, the role OpenSearch plays
+    #    for the reference — storage/opensearch.rs:137-223) -------------------
+    async def vectors_add(request: web.Request) -> web.Response:
+        t0 = time.perf_counter()
+        collection = request.match_info["collection"]
+        body = await _read_json(request, LIMIT_UPLOAD)
+        items = body.get("items")
+        if not isinstance(items, list) or not items:
+            return _error(400, "'items' (non-empty list) is required")
+
+        def work():
+            from ..store.base import VectorData
+
+            store = rt.store(collection)
+            store.add_vectors([
+                VectorData(
+                    id=i["id"], document_id=i.get("documentId", ""),
+                    text=i.get("text", ""),
+                    vector=np.asarray(i["vector"], np.float32),
+                    segment_id=int(i.get("segmentId", 0)),
+                )
+                for i in items
+            ])
+            return store.count
+
+        count = await asyncio.get_running_loop().run_in_executor(None, work)
+        return web.json_response(schema.api_response(t0, {"count": count}))
+
+    async def vectors_search(request: web.Request) -> web.Response:
+        t0 = time.perf_counter()
+        collection = request.match_info["collection"]
+        body = await _read_json(request, LIMIT_10_MB)
+        vectors = body.get("vectors")
+        limit = int(body.get("limit", schema.DEFAULT_SEARCH_LIMIT))
+        if not isinstance(vectors, list) or not vectors:
+            return _error(400, "'vectors' (non-empty list of float lists) is required")
+        if not 1 <= limit <= schema.MAX_SEARCH_LIMIT:
+            return _error(400, f"'limit' must be in 1..{schema.MAX_SEARCH_LIMIT}")
+
+        def work():
+            store = rt.store(collection)
+            return store.search_batch(np.asarray(vectors, np.float32), limit)
+
+        batches = await asyncio.get_running_loop().run_in_executor(None, work)
+        return web.json_response(schema.api_response(t0, {
+            "results": [
+                [{"id": h.id, "score": h.score, "documentId": h.document_id}
+                 for h in hits]
+                for hits in batches
+            ]
+        }))
+
+    async def vectors_delete(request: web.Request) -> web.Response:
+        t0 = time.perf_counter()
+        collection = request.match_info["collection"]
+        body = await _read_json(request, LIMIT_10_MB)
+        ids = body.get("ids")
+        if ids is None:  # no ids -> drop the whole collection index
+            def work_all():
+                rt.store(collection).delete_all()
+                rt.drop_store(collection)
+                return 0
+
+            n = await asyncio.get_running_loop().run_in_executor(None, work_all)
+        else:
+            def work():
+                return rt.store(collection).delete(list(ids))
+
+            n = await asyncio.get_running_loop().run_in_executor(None, work)
+        return web.json_response(schema.api_response(t0, {"removed": n}))
+
     # -- stats (new vs reference: metrics export, SURVEY.md §5) ---------------
     async def stats(request: web.Request) -> web.Response:
         snap = METRICS.snapshot()
@@ -279,6 +352,9 @@ def create_app(runtime: Runtime | None = None) -> web.Application:
     app.router.add_delete("/api/collections/{collection}", delete_collection)
     app.router.add_route("GET", "/api/collections/{collection}/search", search_docs)
     app.router.add_post("/api/collections/{collection}/search", search_docs)
+    app.router.add_post("/api/vectors/{collection}", vectors_add)
+    app.router.add_post("/api/vectors/{collection}/search", vectors_search)
+    app.router.add_post("/api/vectors/{collection}/delete", vectors_delete)
     app.router.add_get("/api/tasks/{task_id}", check_task)
     app.router.add_post("/api/action/ask", action_ask)
     app.router.add_post("/api/action/summarize/task", action_summarize)

@@ -232,12 +232,11 @@ class ShardedFlatIndex:
             if take:
                 blocks[s, :take] = qall[cursor : cursor + take]
                 sblocks[s, :take] = sall[cursor : cursor + take]
-                offset = self.counts[s]
-                for i in range(take):
-                    grow = s * self.cap + offset + i
-                    sid = ids[cursor + i]
-                    self.ids[grow] = sid
-                    self._id_to_row[sid] = grow
+                base = s * self.cap + self.counts[s]
+                grows = range(base, base + take)
+                sids = ids[cursor : cursor + take]
+                self.ids.update(zip(grows, sids))
+                self._id_to_row.update(zip(sids, grows))
                 cursor += take
         dev_block = jnp.asarray(blocks.reshape(self.P * rows, self.dim))
         if self.dtype == "bfloat16":

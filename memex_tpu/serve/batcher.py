@@ -100,6 +100,7 @@ class SearchBatcher:
 
     def __init__(self, runtime, max_batch: int = 32, max_wait_ms: float = 3.0):
         self.rt = runtime
+        self._fused = None
         self._mb = Microbatcher(
             self._run, max_batch=max_batch, max_wait_ms=max_wait_ms, name="search"
         )
@@ -113,17 +114,38 @@ class SearchBatcher:
     def _run(self, items: list[tuple[str, str, int]]) -> list:
         import numpy as np
 
-        texts = [q for (_, q, _) in items]
-        vectors = self.rt.engine.encode_batch(texts)  # one device call
-        # Group by collection; one scan per collection at the max limit.
+        from ..store.base import SearchHit
+        from .query_path import FusedQueryPath
+
+        if self._fused is None:
+            self._fused = FusedQueryPath(self.rt.engine)
+        # Group by collection; one device call per collection.
         by_col: dict[str, list[int]] = {}
         for i, (col, _, _) in enumerate(items):
             by_col.setdefault(col, []).append(i)
         results: list = [None] * len(items)
+        vectors = None
         for col, idxs in by_col.items():
             store = self.rt.store(col)
             max_limit = max(items[i][2] for i in idxs)
-            batch_hits = store.search_batch(np.stack([vectors[i] for i in idxs]), max_limit)
+            if self._fused.supports(store):
+                # Fused path: encode + scan in ONE dispatch, ONE fetch
+                # (halves tunnel round-trips vs encode-then-search).
+                raw = self._fused.search_texts(
+                    store, [items[i][1] for i in idxs], max_limit
+                )
+                doc_of = getattr(store, "_doc_of", {})
+                batch_hits = [
+                    [SearchHit(id=sid, score=s, document_id=doc_of.get(sid))
+                     for sid, s in hits]
+                    for hits in raw
+                ]
+            else:
+                if vectors is None:
+                    vectors = self.rt.engine.encode_batch([q for (_, q, _) in items])
+                batch_hits = store.search_batch(
+                    np.stack([vectors[i] for i in idxs]), max_limit
+                )
             for j, i in enumerate(idxs):
                 results[i] = batch_hits[j][: items[i][2]]
         return results

@@ -1,0 +1,117 @@
+"""Fused query path: encoder forward + index scan in ONE XLA dispatch.
+
+The two-step serving path (encode -> host fetch [Q, D] -> search -> host
+fetch hits) pays two device round-trips; through the remote-TPU tunnel
+each costs ~30ms, dominating p50 (measured 100ms at 1M rows). Composing
+both stages into one jit keeps the query vectors on device and fetches
+only the [Q, k] winners: one round-trip, and XLA fuses the encoder's
+epilogue into the scan's prologue.
+
+One executable is compiled per (batch bucket, seq bucket, capacity, k,
+storage dtype) — all small, enumerable sets. The index buffers are passed
+as arguments (not captured), so ingest never forces a retrace until a
+capacity doubling changes shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.flat import (
+    FlatIndex,
+    _search_masked_fused,
+    _search_masked_fused_int8,
+    _search_xla,
+)
+from ..log import get_logger
+from ..models.minilm import MiniLMEncoder
+
+logger = get_logger(__name__)
+
+_Q_BUCKETS = (1, 8, 32)
+_L_BUCKETS = (32, 64, 128, 256)
+
+
+def _bucket(n, buckets):
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@partial(jax.jit, static_argnames=("enc_cfg", "k", "dtype", "use_fused",
+                                   "qquant", "block_n"))
+def _encode_and_search(params, ids, mask, buf, scales, alive, count,
+                       *, enc_cfg, k: int, dtype: str, use_fused: bool,
+                       qquant: bool, block_n: int):
+    queries = MiniLMEncoder(enc_cfg).apply(params, ids, mask)  # unit vectors
+    if use_fused and dtype == "int8":
+        return _search_masked_fused_int8(
+            buf, scales, alive, count, queries, k, block_n=block_n, qquant=qquant
+        )
+    if use_fused:
+        return _search_masked_fused(buf, alive, count, queries, k)
+    return _search_xla(buf, scales, alive, count, queries, k)
+
+
+class FusedQueryPath:
+    """Glues an EmbeddingEngine to TpuFlatStore-backed collections."""
+
+    def __init__(self, engine):
+        self.engine = engine
+
+    def supports(self, store) -> bool:
+        index = getattr(store, "index", None)
+        return type(index) is FlatIndex and index.count > 0
+
+    def search_texts(self, store, texts: list[str], k: int):
+        """texts -> per-text [(id, score)] through one device dispatch."""
+        index: FlatIndex = store.index
+        tok = self.engine.tokenizer
+        encoded = [tok.encode(t, add_special_tokens=True)[: self.engine.max_seq_length]
+                   for t in texts]
+        L = _bucket(max(len(e) for e in encoded),
+                    [b for b in _L_BUCKETS if b <= self.engine.max_seq_length]
+                    or [self.engine.max_seq_length])
+        B = _bucket(len(texts), _Q_BUCKETS)
+        ids = np.full((B, L), tok.pad_id, np.int32)
+        mask = np.zeros((B, L), np.int32)
+        for i, e in enumerate(encoded):
+            ids[i, : len(e)] = e
+            mask[i, : len(e)] = 1
+        mask[len(texts):, 0] = 1  # pad rows: avoid 0/0 pooling
+
+        with getattr(store, "_lock", _NullLock()):  # consistent buffer snapshot
+            count = index.count
+            k_eff = min(k, count)
+            use_fused = index.use_fused and k_eff <= 128
+            bn = (min(8192, index.capacity) if index.query_quantize
+                  else min(index.block_n, index.capacity))
+            args = (self.engine.params, jnp.asarray(ids), jnp.asarray(mask),
+                    index.buf, index.scales, index.alive, count)
+        vals, rows = _encode_and_search(
+            *args, enc_cfg=self.engine.cfg, k=k_eff, dtype=index.dtype,
+            use_fused=use_fused, qquant=index.query_quantize, block_n=bn,
+        )
+        vals, rows = np.asarray(vals), np.asarray(rows)  # ONE round-trip
+        out = []
+        for qi in range(len(texts)):
+            hits = []
+            for v, r in zip(vals[qi], rows[qi]):
+                if v <= -1e29 or r >= count:
+                    continue
+                hits.append((index.ids[r], float(v)))
+            out.append(hits)
+        return out
+
+
+class _NullLock:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False

@@ -86,4 +86,9 @@ def _build_store(uri: str, collection: str, dim: int) -> VectorStore:
         from .hnsw_store import HnswStore
 
         return HnswStore(path, collection, dim=dim, **opts)
+    if scheme in ("memex+http", "memex+https"):
+        from .remote import RemoteStore
+
+        base = f"{scheme.split('+')[1]}://{path}"
+        return RemoteStore(base, collection, dim=dim, **opts)
     raise ValueError(f"unsupported vector store scheme: {scheme!r} (uri {uri!r})")

@@ -79,3 +79,58 @@ def test_search_batcher_end_to_end(tmp_path):
     for i in range(3):
         assert len(out[i]) == 2 + i
         assert out[i][0].id == f"s{i*5}"  # self-query top-1
+
+
+def test_fused_query_path_matches_two_step(tmp_path):
+    """The one-dispatch encode+scan path must return the same hits as
+    encode_batch -> store.search_batch."""
+    import numpy as np
+
+    from memex_tpu.serve.query_path import FusedQueryPath
+    from memex_tpu.store.base import VectorData
+    from memex_tpu.store.tpu_store import TpuFlatStore
+
+    from test_encoder import tiny_engine
+
+    engine = tiny_engine()
+    store = TpuFlatStore(str(tmp_path), "fusedcol", dim=engine.dim)
+    corpus = [f"document number {i} about topic {i % 7}" for i in range(40)]
+    vecs = engine.encode_batch(corpus)
+    store.add_vectors([
+        VectorData(id=f"c{i}", document_id="d", text=corpus[i], vector=vecs[i], segment_id=i)
+        for i in range(len(corpus))
+    ])
+
+    fused = FusedQueryPath(engine)
+    assert fused.supports(store)
+    queries = ["document number 3", "topic 5 text", "something else entirely"]
+    got = fused.search_texts(store, queries, 5)
+    want = store.search_batch(engine.encode_batch(queries), 5)
+    for g, w in zip(got, want):
+        assert [sid for sid, _ in g] == [h.id for h in w]
+        np.testing.assert_allclose(
+            [v for _, v in g], [h.score for h in w], atol=2e-3
+        )
+
+
+def test_fused_query_path_int8_and_deletes(tmp_path):
+    from memex_tpu.serve.query_path import FusedQueryPath
+    from memex_tpu.store.base import VectorData
+    from memex_tpu.store.tpu_store import TpuFlatStore
+
+    from test_encoder import tiny_engine
+
+    engine = tiny_engine()
+    store = TpuFlatStore(str(tmp_path), "fused8", dim=engine.dim, dtype="int8")
+    corpus = [f"unique sentence {i} with words {i*3}" for i in range(30)]
+    vecs = engine.encode_batch(corpus)
+    store.add_vectors([
+        VectorData(id=f"q{i}", document_id="d", text=corpus[i], vector=vecs[i], segment_id=i)
+        for i in range(len(corpus))
+    ])
+    fused = FusedQueryPath(engine)
+    top = fused.search_texts(store, [corpus[7]], 3)[0]
+    assert top[0][0] == "q7"
+    store.delete(["q7"])
+    top = fused.search_texts(store, [corpus[7]], 3)[0]
+    assert top and top[0][0] != "q7"
