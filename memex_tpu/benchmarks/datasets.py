@@ -23,24 +23,32 @@ def make_corpus(
     dim: int = 384,
     kind: str = "clustered",
     n_centers: int = 256,
-    center_noise: float = 0.35,
+    center_noise: float = 0.75,
     seed: int = 0,
 ) -> np.ndarray:
+    """`center_noise` is the NORM of the per-point offset (the per-dim
+    stddev is center_noise/sqrt(dim)); cos(point, center) ~ 1/sqrt(1+cn^2),
+    so 0.75 -> ~0.8, matching intra-topic similarity of real sentence
+    embeddings. (An un-normalized per-dim stddev would drown the centers
+    at high dim and silently degenerate to the uniform regime.)"""
     rng = np.random.default_rng(seed)
     if kind == "uniform":
         return unit_rows(rng.standard_normal((n, dim), dtype=np.float32))
     centers = unit_rows(rng.standard_normal((n_centers, dim), dtype=np.float32))
     assign = rng.integers(0, n_centers, size=n)
-    x = centers[assign] + center_noise * rng.standard_normal((n, dim)).astype(np.float32)
+    sigma = center_noise / np.sqrt(dim)
+    x = centers[assign] + sigma * rng.standard_normal((n, dim)).astype(np.float32)
     return unit_rows(x)
 
 
 def make_queries(
-    corpus: np.ndarray, q: int, query_noise: float = 0.15, seed: int = 1
+    corpus: np.ndarray, q: int, query_noise: float = 0.5, seed: int = 1
 ) -> np.ndarray:
+    """`query_noise` is the offset norm (see make_corpus)."""
     rng = np.random.default_rng(seed)
     rows = rng.integers(0, corpus.shape[0], size=q)
-    x = corpus[rows] + query_noise * rng.standard_normal(
+    sigma = query_noise / np.sqrt(corpus.shape[1])
+    x = corpus[rows] + sigma * rng.standard_normal(
         (q, corpus.shape[1])
     ).astype(np.float32)
     return unit_rows(x)

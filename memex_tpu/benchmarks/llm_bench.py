@@ -1,0 +1,111 @@
+"""Local-LLM decode throughput on TPU.
+
+Measures prefill latency and decode tokens/sec for the JAX Llama stack
+(llm/local/model.py) at a published model geometry with random weights —
+compute cost is weight-value-independent, so these numbers transfer to
+real checkpoints of the same shape. Reference comparison point: GGML q4
+CPU decode, typically ~10 tok/s for 7B-class models (the reference prints
+predict time via clippy, examples/clippy/src/main.rs:242).
+
+Usage:
+  python -m memex_tpu.benchmarks.llm_bench [--geometry tinyllama-1.1b]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+GEOMETRIES = {
+    # TinyLlama-1.1B (hidden 2048, 22 layers, 32 heads / 4 kv, inter 5632)
+    "tinyllama-1.1b": dict(vocab_size=32000, hidden_size=2048, num_layers=22,
+                           num_heads=32, num_kv_heads=4, intermediate_size=5632,
+                           max_context=2048),
+    # Llama-2-7B geometry (bf16 params ~13.5 GB — fits v5e-1 barely; use
+    # on larger-HBM chips)
+    "llama-2-7b": dict(vocab_size=32000, hidden_size=4096, num_layers=32,
+                       num_heads=32, num_kv_heads=32, intermediate_size=11008,
+                       max_context=2048),
+    "tiny": dict(vocab_size=512, hidden_size=128, num_layers=2, num_heads=4,
+                 num_kv_heads=2, intermediate_size=256, max_context=256),
+}
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--geometry", default="tinyllama-1.1b", choices=GEOMETRIES)
+    parser.add_argument("--prompt-len", type=int, default=128)
+    parser.add_argument("--max-new", type=int, default=128)
+    parser.add_argument("--param-dtype", default="bfloat16")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..llm.local.model import (
+        LlamaConfig, SamplerConfig, decode_chunk, generate, init_params, prefill,
+    )
+
+    cfg = LlamaConfig(**GEOMETRIES[args.geometry])
+    params = init_params(cfg, seed=0)
+    if args.param_dtype != "float32":
+        dt = jnp.dtype(args.param_dtype)
+        params = jax.tree.map(
+            lambda a: a.astype(dt) if a.ndim >= 2 else a, params
+        )
+    params = jax.device_put(params)
+    n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))
+    sc = SamplerConfig()
+    rng = np.random.default_rng(0)
+    P = args.prompt_len
+    prompt = jnp.asarray(rng.integers(5, cfg.vocab_size, (1, P)), jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    # -- single-dispatch generation (batch path) ------------------------------
+    t0 = time.perf_counter()
+    toks, n_valid = generate(cfg, params, prompt, jnp.int32(P), key, sc,
+                             args.max_new, eos_id=-1)
+    jax.block_until_ready(toks)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    toks, _ = generate(cfg, params, prompt, jnp.int32(P), key, sc,
+                       args.max_new, eos_id=-1)
+    float(toks[-1])
+    batch_s = time.perf_counter() - t0
+
+    # -- streaming path (prefill + chunked decode) -----------------------------
+    carry = prefill(cfg, params, prompt, jnp.int32(P), key, sc)
+    jax.block_until_ready(carry[1])
+    t0 = time.perf_counter()
+    carry = prefill(cfg, params, prompt, jnp.int32(P), key, sc)
+    float(carry[1][0])
+    prefill_s = time.perf_counter() - t0
+    carry, toks, _ = decode_chunk(cfg, params, carry, sc, 16, eos_id=-1)  # compile
+    jax.block_until_ready(toks)
+    t0 = time.perf_counter()
+    n_stream = 0
+    while n_stream < args.max_new:
+        carry, toks, _ = decode_chunk(cfg, params, carry, sc, 16, eos_id=-1)
+        np.asarray(toks)  # host fetch per chunk, like real streaming
+        n_stream += 16
+    stream_s = time.perf_counter() - t0
+
+    print(json.dumps({
+        "geometry": args.geometry,
+        "params_m": round(n_params / 1e6, 1),
+        "param_dtype": args.param_dtype,
+        "prompt_len": P,
+        "max_new": args.max_new,
+        "compile_s": round(compile_s, 1),
+        "batch_tok_per_s": round(args.max_new / batch_s, 1),
+        "prefill_ms": round(prefill_s * 1e3, 1),
+        "stream_tok_per_s": round(n_stream / stream_s, 1),
+        "backend": jax.default_backend(),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

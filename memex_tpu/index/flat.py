@@ -185,12 +185,11 @@ class FlatIndex:
         # +1 so padded rows never alias live data at exactly-full capacity.
         self._grow_to(self.count + rows + 1)
         if self.dtype == "int8":
-            absmax = np.maximum(np.abs(vectors).max(axis=1), 1e-12)
-            row_scales = (absmax / 127.0).astype(np.float32)
+            from ..native_lib import np_quantize_rows_int8
+
+            q, row_scales = np_quantize_rows_int8(vectors)
             qblock = np.zeros((rows, self.dim), np.int8)
-            qblock[:m] = np.clip(
-                np.round(vectors / row_scales[:, None]), -127, 127
-            ).astype(np.int8)
+            qblock[:m] = q
             sblock = np.zeros((rows,), np.float32)
             sblock[:m] = row_scales
             self.buf = _write_block(self.buf, jnp.asarray(qblock), self.count, m)

@@ -192,10 +192,9 @@ class ShardedFlatIndex:
 
     def _quantize(self, block: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         if self.dtype == "int8":
-            absmax = np.maximum(np.abs(block).max(axis=1), 1e-12)
-            s = (absmax / 127.0).astype(np.float32)
-            q = np.clip(np.round(block / s[:, None]), -127, 127).astype(np.int8)
-            return q, s
+            from ..native_lib import np_quantize_rows_int8
+
+            return np_quantize_rows_int8(block)  # one-pass C++ (ingest hot path)
         return block.astype(
             np.float32 if self.dtype == "float32" else jnp.bfloat16
         ), np.ones((block.shape[0],), np.float32)

@@ -25,7 +25,7 @@ _cache: dict[str, ctypes.CDLL] = {}
 
 
 def _ensure_built() -> None:
-    targets = ["libmemexhnsw.so", "libmemextext.so"]
+    targets = ["libmemexhnsw.so", "libmemextext.so", "libmemexquant.so"]
     if all(os.path.exists(os.path.join(_BUILD_DIR, t)) for t in targets):
         return
     logger.info("building native components (make -C %s)", _NATIVE_DIR)
@@ -83,6 +83,70 @@ def text_lib() -> ctypes.CDLL:
         ]
         lib._sigs_set = True
     return lib
+
+
+def quant_lib() -> ctypes.CDLL:
+    lib = load("libmemexquant.so")
+    if not getattr(lib, "_sigs_set", False):
+        c = ctypes
+        lib.normalize_rows.argtypes = [c.POINTER(c.c_float), c.c_int64, c.c_int64]
+        lib.quantize_rows_int8.argtypes = [
+            c.POINTER(c.c_float), c.c_int64, c.c_int64,
+            c.POINTER(c.c_int8), c.POINTER(c.c_float),
+        ]
+        lib._sigs_set = True
+    return lib
+
+
+_NP_HELPERS = None
+
+
+def np_quantize_rows_int8(vectors):
+    """One-pass C++ row quantizer with numpy fallback.
+    vectors: contiguous f32 [n, d] -> (int8 [n, d], f32 [n] scales)."""
+    import numpy as np
+
+    n, d = vectors.shape
+    out = np.empty((n, d), np.int8)
+    scales = np.empty((n,), np.float32)
+    if not os.environ.get("MEMEX_NO_NATIVE"):
+        try:
+            lib = quant_lib()
+            vecs = np.ascontiguousarray(vectors, np.float32)
+            lib.quantize_rows_int8(
+                vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, d,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+            return out, scales
+        except Exception:
+            logger.warning("native quantizer unavailable; numpy fallback")
+    absmax = np.maximum(np.abs(vectors).max(axis=1), 1e-12)
+    scales[:] = absmax / 127.0
+    out = np.clip(np.round(vectors / scales[:, None]), -127, 127).astype(np.int8)
+    return out, scales
+
+
+def np_normalize_rows(vectors):
+    """In-place-capable L2 row normalization (C++ path, numpy fallback).
+    Returns a contiguous f32 [n, d] array."""
+    import numpy as np
+
+    vecs = np.ascontiguousarray(vectors, np.float32)
+    if not os.environ.get("MEMEX_NO_NATIVE"):
+        try:
+            lib = quant_lib()
+            if vecs is vectors:  # avoid mutating caller-owned memory
+                vecs = vecs.copy()
+            lib.normalize_rows(
+                vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                vecs.shape[0], vecs.shape[1],
+            )
+            return vecs
+        except Exception:
+            logger.warning("native normalizer unavailable; numpy fallback")
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    return vecs / np.maximum(norms, 1e-12)
 
 
 def available() -> bool:

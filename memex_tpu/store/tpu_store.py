@@ -23,9 +23,9 @@ logger = get_logger(__name__)
 
 
 def _normalize(vectors: np.ndarray) -> np.ndarray:
-    vectors = np.asarray(vectors, np.float32)
-    norms = np.linalg.norm(vectors, axis=-1, keepdims=True)
-    return vectors / np.maximum(norms, 1e-12)
+    from ..native_lib import np_normalize_rows
+
+    return np_normalize_rows(np.atleast_2d(np.asarray(vectors, np.float32)))
 
 
 class TpuFlatStore:

@@ -141,3 +141,36 @@ class TestNativeFastPath:
 
         tok = WordPieceTokenizer()
         assert tok.encode("hello") and tok._native is False
+
+
+class TestQuantLib:
+    def test_quantize_matches_numpy(self):
+        import numpy as np
+
+        from memex_tpu.native_lib import np_quantize_rows_int8
+
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal((512, 96)).astype(np.float32)
+        q, s = np_quantize_rows_int8(v)
+        absmax = np.maximum(np.abs(v).max(axis=1), 1e-12)
+        s_ref = (absmax / 127.0).astype(np.float32)
+        q_ref = np.clip(np.round(v / s_ref[:, None]), -127, 127).astype(np.int8)
+        np.testing.assert_allclose(s, s_ref, rtol=1e-6)
+        assert np.mean(q == q_ref) > 0.9999  # FP assoc. may flip rare ties
+        np.testing.assert_allclose(
+            q.astype(np.float32) * s[:, None], v, atol=float(s.max()) * 0.51
+        )
+
+    def test_normalize_matches_numpy(self):
+        import numpy as np
+
+        from memex_tpu.native_lib import np_normalize_rows
+
+        rng = np.random.default_rng(1)
+        v = rng.standard_normal((256, 64)).astype(np.float32) * 3
+        v[7] = 0.0  # zero row stays zero
+        out = np_normalize_rows(v)
+        ref = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+        assert np.all(out[7] == 0.0)
+        assert np.any(v[0] != out[0])  # caller's array not mutated
