@@ -41,11 +41,12 @@ def bench_tier(tier: str, corpus, queries, k: int, repeats: int = 16) -> dict:
         index = FlatIndex(dim=dim, capacity=n + 1, dtype=dtype)
         index.add(corpus, ids)
         search = lambda q, kk: index.search(q, kk)  # noqa: E731
-    elif tier == "ivf":
+    elif tier.startswith("ivf"):
         from ..index import IVFIndex
 
+        dtype = {"ivf": "float32", "ivf_bf16": "bfloat16", "ivf_int8": "int8"}[tier]
         C = max(16, int(np.sqrt(n)))
-        index = IVFIndex(dim=dim, n_clusters=C, nprobe=max(1, C // 8))
+        index = IVFIndex(dim=dim, n_clusters=C, nprobe=max(1, C // 8), dtype=dtype)
         index.build(corpus, ids)
         search = lambda q, kk: index.search(q, kk)  # noqa: E731
     elif tier == "hnsw":

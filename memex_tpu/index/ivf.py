@@ -93,9 +93,12 @@ def kmeans_assign(vectors: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("nprobe", "k"))
-def _ivf_search(centroids, data, sizes, queries, nprobe: int, k: int):
-    """(centroids [C,D], data [C,M,D], sizes [C], queries [Q,D]) ->
-    (vals [Q,k], cluster [Q,k], slot [Q,k])."""
+def _ivf_search(centroids, data, rscales, sizes, queries, nprobe: int, k: int):
+    """(centroids [C,D], data [C,M,D] (f32/bf16/int8), rscales [C,M],
+    sizes [C], queries [Q,D]) -> (vals [Q,k], cluster [Q,k], slot [Q,k]).
+
+    The probe scan is gather-bound (each query reads its own clusters), so
+    storage dtype cuts scanned bytes 2x/4x exactly like the flat tiers."""
     Q, D = queries.shape
     C, M, _ = data.shape
     # f32 routing: the [Q, C] centroid matmul is tiny; bf16 would misroute
@@ -106,17 +109,26 @@ def _ivf_search(centroids, data, sizes, queries, nprobe: int, k: int):
     init_vals = jnp.full((Q, k), -1e30, jnp.float32)
     init_cl = jnp.zeros((Q, k), jnp.int32)
     init_sl = jnp.zeros((Q, k), jnp.int32)
+    exact = data.dtype == jnp.float32
 
     def step(carry, p):
         vals, cl, sl = carry
         cids = probes[:, p]                    # [Q]
         cluster = jnp.take(data, cids, axis=0)  # [Q, M, D]
         csize = jnp.take(sizes, cids)           # [Q]
-        # f32 in-cluster scoring: these are bandwidth-bound matvecs, so
-        # bf16 buys no time but costs exactness on near-tied neighbors.
-        scores = jnp.einsum(
-            "qmd,qd->qm", cluster, queries, preferred_element_type=jnp.float32
-        )
+        if exact:
+            # f32 in-cluster scoring: bandwidth-bound matvecs, bf16 buys no
+            # time at f32 storage but costs exactness on near-tied rows.
+            scores = jnp.einsum(
+                "qmd,qd->qm", cluster, queries, preferred_element_type=jnp.float32
+            )
+        else:
+            scores = jnp.einsum(
+                "qmd,qd->qm",
+                cluster.astype(jnp.bfloat16),
+                queries.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) * jnp.take(rscales, cids, axis=0)
         slot = jax.lax.broadcasted_iota(jnp.int32, (Q, M), 1)
         scores = jnp.where(slot < csize[:, None], scores, -1e30)
         mvals = jnp.concatenate([vals, scores], axis=1)
@@ -149,18 +161,22 @@ class IVFIndex:
         nprobe: int = 32,
         bucket_factor: float = 2.0,
         seed: int = 0,
+        dtype: str = "float32",
     ):
+        assert dtype in ("float32", "bfloat16", "int8"), dtype
         self.dim = dim
         self.C = n_clusters
         self.nprobe = min(nprobe, n_clusters)
         self.bucket_factor = bucket_factor
         self.seed = seed
+        self.dtype = dtype
         self.centroids: jnp.ndarray | None = None
-        self.data: jnp.ndarray | None = None
+        self.data: jnp.ndarray | None = None          # [C, M, D] storage dtype
+        self.rscales: jnp.ndarray | None = None       # [C, M] f32 (int8 mode)
         self.sizes: jnp.ndarray | None = None
         self.rowids: np.ndarray | None = None  # [C, M] -> index into self.ids
         self.ids: list[str] = []
-        self.spill = FlatIndex(dim)
+        self.spill = FlatIndex(dim, dtype=dtype)
         self._deleted: set[str] = set()
         self._live: set[str] = set()
 
@@ -199,12 +215,33 @@ class IVFIndex:
             else:
                 spill_vecs.append(vectors[i])
                 spill_ids.append(ids[i])
-        self.data = jnp.asarray(data)
+        self._pack(data)
         self.sizes = jnp.asarray(sizes)
         self.rowids = rowids
         if spill_vecs:
             logger.info("ivf build: %d bucket-overflow rows -> spill", len(spill_vecs))
             self.spill.add(np.stack(spill_vecs), spill_ids)
+
+    def _pack(self, data: np.ndarray) -> None:
+        """[C, M, D] f32 -> device arrays in the storage dtype."""
+        C, M, D = data.shape
+        if self.dtype == "int8":
+            from ..native_lib import np_quantize_rows_int8
+
+            q, s = np_quantize_rows_int8(data.reshape(C * M, D))
+            self.data = jnp.asarray(q.reshape(C, M, D))
+            self.rscales = jnp.asarray(s.reshape(C, M))
+        else:
+            self.data = jnp.asarray(
+                data, jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+            )
+            self.rscales = jnp.ones((C, M), jnp.float32)
+
+    def _data_f32(self) -> np.ndarray:
+        d = np.asarray(self.data, dtype=np.float32)
+        if self.dtype == "int8":
+            d = d * np.asarray(self.rscales)[:, :, None]
+        return d
 
     def add(self, vectors: np.ndarray, ids: list[str]) -> None:
         """Streaming ingest: spill index, folded in at next rebuild()."""
@@ -220,7 +257,7 @@ class IVFIndex:
     def _all_vectors(self) -> tuple[np.ndarray, list[str]]:
         out_v, out_i = [], []
         if self.data is not None:
-            data = np.asarray(self.data)
+            data = self._data_f32()
             sizes = np.asarray(self.sizes)
             for c in range(self.C):
                 for m in range(sizes[c]):
@@ -251,8 +288,8 @@ class IVFIndex:
             kk = min(k + len(self._deleted), int(np.asarray(self.sizes).sum()))
             if kk > 0:
                 vals, cl, sl = _ivf_search(
-                    self.centroids, self.data, self.sizes, jnp.asarray(queries),
-                    self.nprobe, kk,
+                    self.centroids, self.data, self.rscales, self.sizes,
+                    jnp.asarray(queries), self.nprobe, kk,
                 )
                 vals, cl, sl = np.asarray(vals), np.asarray(cl), np.asarray(sl)
                 for qi in range(Q):
@@ -289,7 +326,7 @@ class IVFIndex:
         _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
         cvecs, cassign, cids = [], [], []
         if self.data is not None:
-            data = np.asarray(self.data)
+            data = self._data_f32()
             sizes = np.asarray(self.sizes)
             for c in range(self.C):
                 for m in range(int(sizes[c])):
@@ -325,6 +362,7 @@ class IVFIndex:
             "n_clusters": self.C,
             "nprobe": self.nprobe,
             "bucket_factor": self.bucket_factor,
+            "dtype": self.dtype,
             "cluster_ids": cids,
             "spill_ids": sids,
         }
@@ -341,6 +379,7 @@ class IVFIndex:
         kw.setdefault("n_clusters", meta["n_clusters"])
         kw.setdefault("nprobe", meta["nprobe"])
         kw.setdefault("bucket_factor", meta["bucket_factor"])
+        kw.setdefault("dtype", meta.get("dtype", "float32"))
         idx = cls(dim=meta["dim"], **kw)
         cids: list[str] = meta["cluster_ids"]
         centroids = arrs["centroids"]

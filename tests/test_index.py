@@ -341,3 +341,39 @@ class TestIVFPersistence:
         assert s2.count == n
         after = s2.search(db[3], 3)
         assert [h.id for h in after] == [h.id for h in before]
+
+
+class TestIVFDtypes:
+    @pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+    def test_quantized_clusters_recall(self, rng, dtype):
+        d, n, k = 48, 4096, 10
+        centers = unit(rng, 32, d)
+        assign = rng.integers(0, 32, size=n)
+        db = centers[assign] + 0.04 * rng.standard_normal((n, d)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        ids = [f"z{i}" for i in range(n)]
+        a = IVFIndex(dim=d, n_clusters=64, nprobe=24)
+        b = IVFIndex(dim=d, n_clusters=64, nprobe=24, dtype=dtype)
+        a.build(db, ids)
+        b.build(db, ids)
+        qs = unit(rng, 8, d) * 0 + db[rng.integers(0, n, 8)]  # exact-row queries
+        ra, rb = a.search(qs, k), b.search(qs, k)
+        overlap = np.mean([
+            len({s for s, _ in ra[i]} & {s for s, _ in rb[i]}) / k
+            for i in range(8)
+        ])
+        assert overlap >= 0.85, overlap
+        # scores dequantize to ~the f32 values
+        assert abs(ra[0][0][1] - rb[0][0][1]) < 0.02
+
+    def test_quantized_save_load(self, rng, tmp_path):
+        d, n = 32, 800
+        db = unit(rng, n, d)
+        idx = IVFIndex(dim=d, n_clusters=16, nprobe=16, dtype="int8")
+        idx.build(db, [f"p{i}" for i in range(n)])
+        path = str(tmp_path / "ivf8")
+        idx.save(path)
+        idx2 = IVFIndex.load(path)
+        assert idx2.dtype == "int8" and idx2.count == n
+        assert [s for s, _ in idx2.search(db[5:6], 3)[0]] == \
+               [s for s, _ in idx.search(db[5:6], 3)[0]]
