@@ -195,32 +195,46 @@ class IVFIndex:
             logger.info("ivf build: n=%d too small for C=%d, using spill only", n, self.C)
             self.spill.add(vectors, ids)
             return
-        v = jnp.asarray(vectors)
-        self.centroids = kmeans_fit(v, self.C, seed=self.seed)
-        assign = np.asarray(kmeans_assign(v, self.centroids))
+        # Train centroids on a subsample (standard practice: ~scales with C,
+        # not N — a full [N, C] Lloyd assignment at 10M x 3k would be 120GB),
+        # then assign all rows in HBM-bounded blocks.
+        TRAIN_CAP = max(self.C * 64, 65536)
+        if n > TRAIN_CAP:
+            rng = np.random.default_rng(self.seed)
+            sample = vectors[rng.choice(n, TRAIN_CAP, replace=False)]
+        else:
+            sample = vectors
+        self.centroids = kmeans_fit(jnp.asarray(sample), self.C, seed=self.seed)
+        assign = np.empty((n,), np.int64)
+        BLOCK = 262_144
+        for s in range(0, n, BLOCK):
+            assign[s : s + BLOCK] = np.asarray(
+                kmeans_assign(jnp.asarray(vectors[s : s + BLOCK]), self.centroids)
+            )
         counts = np.bincount(assign, minlength=self.C)
         M = int(max(8, self.bucket_factor * max(1, counts.mean())))
         M = -(-M // 8) * 8  # sublane-align
+        # Vectorized packing (no per-row Python loop): stable-sort rows by
+        # cluster; position-within-cluster beyond M overflows to spill.
+        order = np.argsort(assign, kind="stable")
+        sorted_c = assign[order]
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(n, dtype=np.int64) - starts[sorted_c]
+        in_bucket = pos < M
         data = np.zeros((self.C, M, self.dim), np.float32)
-        sizes = np.zeros((self.C,), np.int32)
         rowids = np.full((self.C, M), -1, np.int64)
-        spill_vecs, spill_ids = [], []
+        rows_sel = order[in_bucket]
+        data[sorted_c[in_bucket], pos[in_bucket]] = vectors[rows_sel]
+        rowids[sorted_c[in_bucket], pos[in_bucket]] = rows_sel
         self.ids = list(ids)
-        for i in range(n):
-            c = assign[i]
-            if sizes[c] < M:
-                data[c, sizes[c]] = vectors[i]
-                rowids[c, sizes[c]] = i
-                sizes[c] += 1
-            else:
-                spill_vecs.append(vectors[i])
-                spill_ids.append(ids[i])
         self._pack(data)
-        self.sizes = jnp.asarray(sizes)
+        self.sizes = jnp.asarray(np.minimum(counts, M).astype(np.int32))
         self.rowids = rowids
-        if spill_vecs:
-            logger.info("ivf build: %d bucket-overflow rows -> spill", len(spill_vecs))
-            self.spill.add(np.stack(spill_vecs), spill_ids)
+        n_spill = int(n - in_bucket.sum())
+        if n_spill:
+            spill_rows = order[~in_bucket]
+            logger.info("ivf build: %d bucket-overflow rows -> spill", n_spill)
+            self.spill.add(vectors[spill_rows], [ids[i] for i in spill_rows])
 
     def _pack(self, data: np.ndarray) -> None:
         """[C, M, D] f32 -> device arrays in the storage dtype."""
@@ -392,16 +406,15 @@ class IVFIndex:
             M = max(M, int(counts.max()))
             M = -(-M // 8) * 8
             data = np.zeros((idx.C, M, idx.dim), np.float32)
-            sizes = np.zeros((idx.C,), np.int32)
             rowids = np.full((idx.C, M), -1, np.int64)
             idx.ids = list(cids)
-            for i in range(len(cids)):
-                c = assign[i]
-                data[c, sizes[c]] = vectors[i]
-                rowids[c, sizes[c]] = i
-                sizes[c] += 1
-            idx.data = jnp.asarray(data)
-            idx.sizes = jnp.asarray(sizes)
+            # save() writes rows cluster-sorted, so positions are vectorizable
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            pos = np.arange(len(cids), dtype=np.int64) - starts[assign]
+            data[assign, pos] = vectors
+            rowids[assign, pos] = np.arange(len(cids))
+            idx._pack(data)  # re-quantize into the storage dtype
+            idx.sizes = jnp.asarray(counts.astype(np.int32))
             idx.rowids = rowids
             idx._live.update(cids)
         sids = meta["spill_ids"]

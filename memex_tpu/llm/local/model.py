@@ -213,19 +213,23 @@ def forward(cfg: LlamaConfig, params: dict, tokens: jnp.ndarray,
         new_k.append(ck)
         new_v.append(cv)
 
-        # GQA: repeat kv heads to query heads.
+        # GQA as grouped einsums: query heads reshaped [nkv, rep] contract
+        # directly against the kv cache — materializing repeated K/V would
+        # move ~2*(nh/nkv)*ctx*H bytes per layer per step (740MB/step at
+        # 1.1B geometry), dwarfing the weight read that bounds decode.
         rep = nh // nkv
-        fk = jnp.repeat(ck.astype(cdt), rep, axis=2)  # [B, C, nh, hd]
-        fv = jnp.repeat(cv.astype(cdt), rep, axis=2)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, fk, preferred_element_type=jnp.float32)
+        qg = q.reshape(B, T, nkv, rep, hd)
+        ckc, cvc = ck.astype(cdt), cv.astype(cdt)  # [B, C, nkv, hd]
+        scores = jnp.einsum("bqgrd,bkgd->bgrqk", qg, ckc,
+                            preferred_element_type=jnp.float32)
         scores = scores / np.sqrt(hd)
         # mask: key position must be < cache_len + query offset + 1
-        kpos = jnp.arange(cfg.max_context)[None, None, None, :]
-        qpos = positions[:, None, :, None]  # [B, 1, T, 1]
-        mask = kpos <= qpos
-        scores = jnp.where(mask, scores, -1e30)
+        kpos = jnp.arange(cfg.max_context)[None, None, None, None, :]
+        qpos = positions[:, None, None, :, None]  # [B, 1, 1, T, 1]
+        scores = jnp.where(kpos <= qpos, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(cdt)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, fv, preferred_element_type=jnp.float32)
+        ctx = jnp.einsum("bgrqk,bkgd->bqgrd", probs, cvc,
+                         preferred_element_type=jnp.float32)
         attn_out = ctx.reshape(B, T, nh * hd).astype(cdt) @ lp["o"].astype(cdt)
         x = x + attn_out.astype(jnp.float32)
 
