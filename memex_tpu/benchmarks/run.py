@@ -30,7 +30,8 @@ def _rpc_baseline() -> float:
     return time.perf_counter() - t0
 
 
-def bench_tier(tier: str, corpus, queries, k: int, repeats: int = 16) -> dict:
+def bench_tier(tier: str, corpus, queries, k: int, repeats: int = 16,
+               n_clusters: int | None = None, nprobe: int | None = None) -> dict:
     n, dim = corpus.shape
     ids = [f"v{i}" for i in range(n)]
     t_build0 = time.perf_counter()
@@ -45,8 +46,9 @@ def bench_tier(tier: str, corpus, queries, k: int, repeats: int = 16) -> dict:
         from ..index import IVFIndex
 
         dtype = {"ivf": "float32", "ivf_bf16": "bfloat16", "ivf_int8": "int8"}[tier]
-        C = max(16, int(np.sqrt(n)))
-        index = IVFIndex(dim=dim, n_clusters=C, nprobe=max(1, C // 8), dtype=dtype)
+        C = n_clusters or max(16, int(np.sqrt(n)))
+        index = IVFIndex(dim=dim, n_clusters=C, nprobe=nprobe or max(1, C // 8),
+                         dtype=dtype)
         index.build(corpus, ids)
         search = lambda q, kk: index.search(q, kk)  # noqa: E731
     elif tier == "hnsw":
@@ -99,6 +101,8 @@ def main(argv=None) -> int:
     parser.add_argument("--kind", default="clustered", choices=["clustered", "uniform"])
     parser.add_argument("--tiers", default="flat,flat_bf16,flat_int8,ivf,hnsw")
     parser.add_argument("--repeats", type=int, default=16)
+    parser.add_argument("--clusters", type=int, default=None, help="IVF n_clusters")
+    parser.add_argument("--nprobe", type=int, default=None)
     args = parser.parse_args(argv)
 
     corpus = make_corpus(args.n, args.dim, kind=args.kind)
@@ -107,7 +111,9 @@ def main(argv=None) -> int:
         tier = tier.strip()
         if not tier:
             continue
-        print(json.dumps(bench_tier(tier, corpus, queries, args.k, args.repeats)), flush=True)
+        print(json.dumps(bench_tier(tier, corpus, queries, args.k, args.repeats,
+                                    n_clusters=args.clusters, nprobe=args.nprobe)),
+              flush=True)
     return 0
 
 

@@ -39,7 +39,8 @@ _BUF_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int
 
 
 def make_search_fn(mesh: Mesh, axis: str, k: int, use_fused: bool,
-                   dtype: str = "float32", block_n: int = 1024):
+                   dtype: str = "float32", block_n: int = 1024,
+                   query_quantize: bool = True):
     """Build the jitted SPMD search: (buf, scales, alive, counts, queries)
     -> (vals [Q, k], global_idx [Q, k]). `scales` is all-ones except int8."""
 
@@ -53,7 +54,14 @@ def make_search_fn(mesh: Mesh, axis: str, k: int, use_fused: bool,
         fused = use_fused and k <= kk
         if not fused:
             kk = min(max(kk, k), cap)
-        if fused and dtype == "int8":
+        if fused and dtype == "int8" and query_quantize:
+            from ..ops.fused_topk import fused_score_topk_int8q
+
+            vals, idx = fused_score_topk_int8q(
+                buf, scales, queries, kk, count=count,
+                block_n=min(8192, cap), banks=4,
+            )
+        elif fused and dtype == "int8":
             from ..ops.fused_topk import fused_score_topk_int8
 
             vals, idx = fused_score_topk_int8(
@@ -157,8 +165,10 @@ class ShardedFlatIndex:
         use_fused: bool | None = None,
         block_n: int = 1024,
         dtype: str = "float32",
+        query_quantize: bool = True,
     ):
         assert dtype in _BUF_DTYPES, dtype
+        self.query_quantize = query_quantize
         self.dim = dim
         self.mesh = mesh
         self.axis = axis
@@ -280,7 +290,8 @@ class ShardedFlatIndex:
         fn = self._search_cache.get(k_eff)
         if fn is None:
             fn = make_search_fn(
-                self.mesh, self.axis, k_eff, self.use_fused, self.dtype, self.block_n
+                self.mesh, self.axis, k_eff, self.use_fused, self.dtype,
+                self.block_n, query_quantize=self.query_quantize,
             )
             self._search_cache[k_eff] = fn
         counts_dev = jax.device_put(
