@@ -159,26 +159,41 @@ class EmbeddingEngine:
 
     # -- public API ----------------------------------------------------------
 
-    def encode(self, text: str) -> tuple[list[str], np.ndarray]:
-        """Segment a document into overlapping token windows and embed every
-        window (reference `encode`, embedding.rs:137-142 + segment_text
-        :154-198). Returns (decoded segments, [S, D] unit vectors)."""
+    def _window_doc(self, text: str) -> tuple[list[str], list[list[int]]]:
         raw = self.tokenizer.encode(text, add_special_tokens=False)
         if not raw:
             raw = [self.tokenizer.unk_id]
         windows = window_token_ids(
             raw, self.tokenizer, self.max_seq_length, self.window_stride
         )
-        segments = [self.tokenizer.decode(w) for w in windows]
+        return [self.tokenizer.decode(w) for w in windows], windows
+
+    def encode(self, text: str) -> tuple[list[str], np.ndarray]:
+        """Segment a document into overlapping token windows and embed every
+        window (reference `encode`, embedding.rs:137-142 + segment_text
+        :154-198). Returns (decoded segments, [S, D] unit vectors)."""
+        return self.encode_many([text])[0]
+
+    def encode_many(self, texts: list[str]) -> list[tuple[list[str], np.ndarray]]:
+        """encode() over several documents with ALL their windows packed
+        into one device-call stream — concurrent ingest tasks share
+        dispatches instead of paying one round-trip each."""
+        segmented = [self._window_doc(t) for t in texts]
+        all_windows = [w for _, ws in segmented for w in ws]
         L = self.max_seq_length
-        ids = np.full((len(windows), L), self.tokenizer.pad_id, dtype=np.int32)
-        mask = np.zeros((len(windows), L), dtype=np.int32)
-        for i, w in enumerate(windows):
+        ids = np.full((len(all_windows), L), self.tokenizer.pad_id, dtype=np.int32)
+        mask = np.zeros((len(all_windows), L), dtype=np.int32)
+        for i, w in enumerate(all_windows):
             ids[i, : len(w)] = w
             mask[i, : len(w)] = 1
         with self._lock:
             vecs = self._encode_padded(ids, mask)
-        return segments, vecs
+        out = []
+        start = 0
+        for segments, ws in segmented:
+            out.append((segments, vecs[start : start + len(ws)]))
+            start += len(ws)
+        return out
 
     def encode_single(self, text: str) -> np.ndarray:
         """Truncate-and-embed one query (reference encode_single,

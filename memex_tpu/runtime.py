@@ -26,6 +26,7 @@ class Runtime:
         self._engine = None
         self._llm = None
         self._batcher = None
+        self._encode_batcher = None
         self._rebuilt: set[str] = set()
         self._last_ckpt: dict[str, float] = {}
 
@@ -66,6 +67,21 @@ class Runtime:
 
                 self._batcher = SearchBatcher(self)
             return self._batcher
+
+    def encode_doc(self, text: str):
+        """Document encode through a microbatcher: up to `worker_max_active`
+        concurrent ingest tasks share one device-call stream."""
+        with self._lock:
+            if self._encode_batcher is None:
+                from .serve.batcher import Microbatcher
+
+                self._encode_batcher = Microbatcher(
+                    self.engine.encode_many,
+                    max_batch=max(2, self.settings.worker_max_active),
+                    max_wait_ms=5.0,
+                    name="encode",
+                )
+        return self._encode_batcher(text, timeout=600.0)
 
     def store(self, collection: str):
         from .store import get_vector_storage

@@ -22,7 +22,7 @@ def process_ingest(rt: Runtime, task: queue.Task) -> None:
     """Ingest pipeline (tasks.rs:9-66): segment+embed -> documents row ->
     embeddings rows (one txn) -> vector store add."""
     t0 = time.perf_counter()
-    segments, vectors = rt.engine.encode(task.content)
+    segments, vectors = rt.encode_doc(task.content)  # microbatched encode
     embed_ms = (time.perf_counter() - t0) * 1000
     logger.info(
         "task %d: generated %d embeddings in %.1fms", task.id, len(segments), embed_ms

@@ -95,3 +95,19 @@ def test_data_parallel_matches_single_device():
     a = eng_dp.encode_batch(texts)
     b = eng_1.encode_batch(texts)
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_encode_many_matches_encode():
+    engine = tiny_engine()
+    texts = [
+        "short one",
+        "a much longer document " * 40,
+        "third text with different words entirely",
+    ]
+    import numpy as np
+
+    many = engine.encode_many(texts)
+    for text, (segs, vecs) in zip(texts, many):
+        segs1, vecs1 = tiny_engine().encode(text)  # fresh engine, same seed
+        assert segs == segs1
+        np.testing.assert_allclose(vecs, vecs1, atol=2e-3)
