@@ -190,6 +190,7 @@ class ShardedFlatIndex:
         self.scales = jax.device_put(jnp.ones((total,), jnp.float32), self._vec_sharding)
         self.alive = jax.device_put(jnp.zeros((total,), jnp.float32), self._vec_sharding)
         self.counts = [0] * self.P  # host-side fill levels
+        self.dead = 0
         self.ids: dict[int, str] = {}  # global row -> id
         self._id_to_row: dict[str, int] = {}
         self._bulk_write = make_bulk_write_fn(mesh, axis)
@@ -335,7 +336,21 @@ class ShardedFlatIndex:
             padded = np.full((rows,), sentinel, np.int32)
             padded[: len(grows)] = grows
             self.alive = self._kill(self.alive, jnp.asarray(padded))
+            self.dead += len(grows)
+            if self.dead * 4 > max(self.count, 1):
+                self.compact()
         return len(grows)
+
+    def compact(self) -> None:
+        """Repack live rows, reclaiming tombstoned capacity (host-side
+        round-trip; triggered at >25% dead, mirroring FlatIndex)."""
+        rows = sorted(self.ids.items())
+        grows = [r for r, _ in rows]
+        sids = [s for _, s in rows]
+        vecs = self.rows_f32(grows)
+        self.delete_all()
+        if sids:
+            self.add(vecs, sids)
 
     def delete_all(self) -> None:
         total = self.P * self.cap
@@ -345,5 +360,6 @@ class ShardedFlatIndex:
         self.scales = jax.device_put(jnp.ones((total,), jnp.float32), self._vec_sharding)
         self.alive = jax.device_put(jnp.zeros((total,), jnp.float32), self._vec_sharding)
         self.counts = [0] * self.P
+        self.dead = 0
         self.ids = {}
         self._id_to_row = {}

@@ -377,3 +377,22 @@ class TestIVFDtypes:
         assert idx2.dtype == "int8" and idx2.count == n
         assert [s for s, _ in idx2.search(db[5:6], 3)[0]] == \
                [s for s, _ in idx.search(db[5:6], 3)[0]]
+
+
+def test_sharded_compaction(rng):
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("shard",))
+    d, n = 32, 200
+    db = unit(rng, n, d)
+    ids = [f"c{i}" for i in range(n)]
+    idx = ShardedFlatIndex(dim=d, mesh=mesh, capacity_per_shard=1024, use_fused=False)
+    idx.add(db, ids)
+    fill_before = sum(idx.counts)
+    idx.delete(ids[:120])  # >25% dead -> auto-compact
+    assert idx.dead == 0, "compaction should have run"
+    assert sum(idx.counts) == 80 < fill_before
+    hits = idx.search(db[150:151], 1)
+    assert hits[0][0][0] == "c150"
+    assert not any(idx.search(db[5:6], 3)[0][0][0] == "c5" for _ in [0])
