@@ -219,16 +219,27 @@ def forward(cfg: LlamaConfig, params: dict, tokens: jnp.ndarray,
         # 1.1B geometry), dwarfing the weight read that bounds decode.
         rep = nh // nkv
         qg = q.reshape(B, T, nkv, rep, hd)
-        ckc, cvc = ck.astype(cdt), cv.astype(cdt)  # [B, C, nkv, hd]
-        scores = jnp.einsum("bqgrd,bkgd->bgrqk", qg, ckc,
+        if T > 1:
+            # Prefill (cache empty by construction — generate()/prefill()
+            # only pass T>1 at cache_len=0): attend over the new tokens
+            # only, causal. Keys are [B, T] not [B, max_context], so
+            # prefill cost scales with the prompt bucket, not the window.
+            # Round-trip through the cache dtype so prefill logits match
+            # the cached-decode path bit-for-bit.
+            keys = k.astype(jnp.bfloat16).astype(cdt)
+            vals_ = v.astype(jnp.bfloat16).astype(cdt)
+            kpos = positions[:, None, None, None, :]     # [B,1,1,1,T]
+        else:
+            keys, vals_ = ck.astype(cdt), cv.astype(cdt)  # [B, C, nkv, hd]
+            kpos = jnp.arange(cfg.max_context)[None, None, None, None, :]
+        scores = jnp.einsum("bqgrd,bkgd->bgrqk", qg, keys,
                             preferred_element_type=jnp.float32)
         scores = scores / np.sqrt(hd)
-        # mask: key position must be < cache_len + query offset + 1
-        kpos = jnp.arange(cfg.max_context)[None, None, None, None, :]
+        # mask: key position must be <= query position (causal)
         qpos = positions[:, None, None, :, None]  # [B, 1, 1, T, 1]
         scores = jnp.where(kpos <= qpos, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(cdt)
-        ctx = jnp.einsum("bgrqk,bkgd->bqgrd", probs, cvc,
+        ctx = jnp.einsum("bgrqk,bkgd->bqgrd", probs, vals_,
                          preferred_element_type=jnp.float32)
         attn_out = ctx.reshape(B, T, nh * hd).astype(cdt) @ lp["o"].astype(cdt)
         x = x + attn_out.astype(jnp.float32)
