@@ -72,33 +72,38 @@ class LlamaConfig:
 
 
 def init_params(cfg: LlamaConfig, seed: int = 0) -> dict:
+    """Params use a LAYER-STACKED layout: every per-layer weight is one
+    [L, ...] array, so the forward pass is a `lax.scan` over layers — one
+    tight XLA loop instead of num_layers unrolled op groups (per-op
+    dispatch overhead dominated single-token decode at 22 layers)."""
     key = jax.random.PRNGKey(seed)
-    n = 4 + cfg.num_layers * 7
+    L = cfg.num_layers
+    n = 4 + L * 7
     keys = iter(jax.random.split(key, n))
     H, I, KV = cfg.hidden_size, cfg.intermediate_size, cfg.num_kv_heads * cfg.head_dim
 
     def w(shape):
         return (0.02 * jax.random.normal(next(keys), shape)).astype(jnp.float32)
 
-    params = {
+    def lw(shape):
+        return jnp.stack([w(shape) for _ in range(L)])
+
+    return {
         "embed": w((cfg.vocab_size, H)),
         "final_norm": jnp.ones((H,), jnp.float32),
         "lm_head": w((H, cfg.vocab_size)),
-        "layers": [],
+        "layers": {
+            "attn_norm": jnp.ones((L, H), jnp.float32),
+            "q": lw((H, H)),
+            "k": lw((H, KV)),
+            "v": lw((H, KV)),
+            "o": lw((H, H)),
+            "ffn_norm": jnp.ones((L, H), jnp.float32),
+            "gate": lw((H, I)),
+            "up": lw((H, I)),
+            "down": lw((I, H)),
+        },
     }
-    for _ in range(cfg.num_layers):
-        params["layers"].append({
-            "attn_norm": jnp.ones((H,), jnp.float32),
-            "q": w((H, H)),
-            "k": w((H, KV)),
-            "v": w((H, KV)),
-            "o": w((H, H)),
-            "ffn_norm": jnp.ones((H,), jnp.float32),
-            "gate": w((H, I)),
-            "up": w((H, I)),
-            "down": w((I, H)),
-        })
-    return params
 
 
 def load_params(model_dir: str, cfg: LlamaConfig | None = None) -> tuple[LlamaConfig, dict]:
@@ -125,6 +130,24 @@ def load_params(model_dir: str, cfg: LlamaConfig | None = None) -> tuple[LlamaCo
             arr = arr.T
         return jnp.asarray(arr, jnp.float32)
 
+    _HF = {
+        "attn_norm": ("input_layernorm.weight", False),
+        "q": ("self_attn.q_proj.weight", True),
+        "k": ("self_attn.k_proj.weight", True),
+        "v": ("self_attn.v_proj.weight", True),
+        "o": ("self_attn.o_proj.weight", True),
+        "ffn_norm": ("post_attention_layernorm.weight", False),
+        "gate": ("mlp.gate_proj.weight", True),
+        "up": ("mlp.up_proj.weight", True),
+        "down": ("mlp.down_proj.weight", True),
+    }
+    layers = {
+        ours: jnp.stack([
+            t(f"model.layers.{i}.{hf}", transpose=tr)
+            for i in range(cfg.num_layers)
+        ])
+        for ours, (hf, tr) in _HF.items()
+    }
     params = {
         "embed": t("model.embed_tokens.weight", transpose=False),
         "final_norm": t("model.norm.weight", transpose=False),
@@ -132,21 +155,8 @@ def load_params(model_dir: str, cfg: LlamaConfig | None = None) -> tuple[LlamaCo
             t("lm_head.weight") if "lm_head.weight" in tensors
             else t("model.embed_tokens.weight", transpose=False).T
         ),
-        "layers": [],
+        "layers": layers,
     }
-    for i in range(cfg.num_layers):
-        p = f"model.layers.{i}."
-        params["layers"].append({
-            "attn_norm": t(p + "input_layernorm.weight", transpose=False),
-            "q": t(p + "self_attn.q_proj.weight"),
-            "k": t(p + "self_attn.k_proj.weight"),
-            "v": t(p + "self_attn.v_proj.weight"),
-            "o": t(p + "self_attn.o_proj.weight"),
-            "ffn_norm": t(p + "post_attention_layernorm.weight", transpose=False),
-            "gate": t(p + "mlp.gate_proj.weight"),
-            "up": t(p + "mlp.up_proj.weight"),
-            "down": t(p + "mlp.down_proj.weight"),
-        })
     return cfg, params
 
 
@@ -192,10 +202,15 @@ def forward(cfg: LlamaConfig, params: dict, tokens: jnp.ndarray,
     cdt = jnp.dtype(cfg.compute_dtype)
     B, T = tokens.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    rep = nh // nkv
+    prefill_local = T > 1
     x = jnp.take(params["embed"], tokens, axis=0)  # [B, T, H] f32
 
-    new_k, new_v = [], []
-    for li, lp in enumerate(params["layers"]):
+    def layer(x, per):
+        # One transformer block; scanned over the stacked layer axis so the
+        # whole stack is ONE fused XLA loop (at 22 layers the unrolled
+        # version's per-op dispatch overhead dominated 1-token decode).
+        lp, ck_in, cv_in = per  # weights for this layer; cache [B, C, nkv, hd]
         h = _rms_norm(x, lp["attn_norm"], cfg.rms_eps).astype(cdt)
         q = (h @ lp["q"].astype(cdt)).reshape(B, T, nh, hd)
         k = (h @ lp["k"].astype(cdt)).reshape(B, T, nkv, hd)
@@ -205,27 +220,21 @@ def forward(cfg: LlamaConfig, params: dict, tokens: jnp.ndarray,
 
         # Write new K/V into the cache at [cache_len, cache_len+T).
         ck = jax.lax.dynamic_update_slice(
-            cache["k"][li], k.astype(jnp.bfloat16), (0, cache_len, 0, 0)
+            ck_in, k.astype(jnp.bfloat16), (0, cache_len, 0, 0)
         )
         cv = jax.lax.dynamic_update_slice(
-            cache["v"][li], v.astype(jnp.bfloat16), (0, cache_len, 0, 0)
+            cv_in, v.astype(jnp.bfloat16), (0, cache_len, 0, 0)
         )
-        new_k.append(ck)
-        new_v.append(cv)
 
         # GQA as grouped einsums: query heads reshaped [nkv, rep] contract
-        # directly against the kv cache — materializing repeated K/V would
-        # move ~2*(nh/nkv)*ctx*H bytes per layer per step (740MB/step at
-        # 1.1B geometry), dwarfing the weight read that bounds decode.
-        rep = nh // nkv
+        # directly against K/V (no materialized head repetition).
         qg = q.reshape(B, T, nkv, rep, hd)
-        if T > 1:
+        if prefill_local:
             # Prefill (cache empty by construction — generate()/prefill()
             # only pass T>1 at cache_len=0): attend over the new tokens
-            # only, causal. Keys are [B, T] not [B, max_context], so
-            # prefill cost scales with the prompt bucket, not the window.
-            # Round-trip through the cache dtype so prefill logits match
-            # the cached-decode path bit-for-bit.
+            # only, causal — cost scales with the prompt bucket, not the
+            # context window. Keys round-trip through the cache dtype so
+            # prefill logits match the cached-decode path bit-for-bit.
             keys = k.astype(jnp.bfloat16).astype(cdt)
             vals_ = v.astype(jnp.bfloat16).astype(cdt)
             kpos = positions[:, None, None, None, :]     # [B,1,1,1,T]
@@ -249,11 +258,14 @@ def forward(cfg: LlamaConfig, params: dict, tokens: jnp.ndarray,
         up = h @ lp["up"].astype(cdt)
         ffn = (gate * up) @ lp["down"].astype(cdt)
         x = x + ffn.astype(jnp.float32)
+        return x, (ck, cv)
 
+    x, (new_k, new_v) = jax.lax.scan(
+        layer, x, (params["layers"], cache["k"], cache["v"])
+    )
     x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
     logits = x.astype(cdt) @ params["lm_head"].astype(cdt)
-    cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
-    return logits.astype(jnp.float32), cache
+    return logits.astype(jnp.float32), {"k": new_k, "v": new_v}
 
 
 # ---------------------------------------------------------------------------
