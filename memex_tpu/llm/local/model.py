@@ -324,7 +324,18 @@ def sample_token(logits: jnp.ndarray, recent: jnp.ndarray, key, sc: SamplerConfi
 # ---------------------------------------------------------------------------
 
 
-def _decode_step(cfg: LlamaConfig, params: dict, sc: SamplerConfig, eos_id):
+def model_forward(cfg, params: dict, tokens, positions, cache, cache_len):
+    """Family dispatch: the generation machinery below drives any decoder
+    exposing the (logits, cache') contract (Llama here, GPT-J in gptj.py —
+    the reference's two local families, local/schema.rs model_type)."""
+    if getattr(cfg, "model_family", "llama") == "gptj":
+        from .gptj import forward as gptj_forward
+
+        return gptj_forward(cfg, params, tokens, positions, cache, cache_len)
+    return forward(cfg, params, tokens, positions, cache, cache_len)
+
+
+def _decode_step(cfg, params: dict, sc: SamplerConfig, eos_id):
     """Scan step shared by generate() and decode_chunk()."""
 
     def step(carry, _):
@@ -333,7 +344,7 @@ def _decode_step(cfg: LlamaConfig, params: dict, sc: SamplerConfig, eos_id):
         tok = sample_token(cur_logits, recent, sub, sc)
         tok = jnp.where(done, eos_id, tok)
         new_done = done | (tok == eos_id)
-        logits, cache = forward(
+        logits, cache = model_forward(
             cfg, params, tok[None, None], pos[None, None], cache, pos
         )
         recent = jnp.concatenate([recent[1:], tok[None]])
@@ -342,12 +353,12 @@ def _decode_step(cfg: LlamaConfig, params: dict, sc: SamplerConfig, eos_id):
     return step
 
 
-def _prefill_carry(cfg: LlamaConfig, params: dict, prompt: jnp.ndarray,
+def _prefill_carry(cfg, params: dict, prompt: jnp.ndarray,
                    prompt_len, key, sc: SamplerConfig):
     B, P = prompt.shape
     cache = init_cache(cfg, batch=B)
     positions = jnp.arange(P)[None, :]
-    logits, cache = forward(cfg, params, prompt, positions, cache, 0)
+    logits, cache = model_forward(cfg, params, prompt, positions, cache, 0)
     # logits at the last real prompt token
     last = jnp.take_along_axis(logits, (prompt_len - 1)[None, None, None], axis=1)[0, 0]
     W = sc.repetition_window

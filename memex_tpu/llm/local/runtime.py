@@ -126,11 +126,27 @@ class LocalLLM:
         )
         path = model.get("path", "tiny")
         name = model.get("name", os.path.basename(str(path)) or "local")
-        if path == "tiny" or not os.path.isdir(path):
-            if path != "tiny":
+        family = model.get("type", "llama").lower()  # reference schema.rs:20-34
+        if path in ("tiny", "tiny-gptj") or not os.path.isdir(path):
+            if path not in ("tiny", "tiny-gptj"):
                 logger.warning("model dir %s missing; using tiny hermetic model", path)
+            if family == "gptj" or path == "tiny-gptj":
+                return cls.tiny_gptj(sampler=sampler, model_name=name)
             return cls.tiny(sampler=sampler, model_name=name)
-        cfg, params = load_params(path)
+        # Family from TOML, or sniffed from the checkpoint's config.json.
+        if family == "llama":
+            import json as _json
+
+            with open(os.path.join(path, "config.json"), encoding="utf-8") as fh:
+                hf_type = _json.load(fh).get("model_type", "llama")
+            if hf_type == "gptj":
+                family = "gptj"
+        if family == "gptj":
+            from .gptj import load_params as gptj_load
+
+            cfg, params = gptj_load(path)
+        else:
+            cfg, params = load_params(path)
         tokenizer = (
             HFTokenizer(path)
             if os.path.exists(os.path.join(path, "tokenizer.json"))
@@ -144,6 +160,15 @@ class LocalLLM:
              model_name: str = "tiny-llama") -> "LocalLLM":
         cfg = LlamaConfig.tiny(vocab_size=ByteTokenizer.vocab_size)
         return cls(cfg, init_params(cfg, seed=seed), ByteTokenizer(), sampler,
+                   model_name=model_name, seed=seed)
+
+    @classmethod
+    def tiny_gptj(cls, sampler: SamplerConfig | None = None, seed: int = 0,
+                  model_name: str = "tiny-gptj") -> "LocalLLM":
+        from .gptj import GptJConfig, init_params as gptj_init
+
+        cfg = GptJConfig.tiny(vocab_size=ByteTokenizer.vocab_size)
+        return cls(cfg, gptj_init(cfg, seed=seed), ByteTokenizer(), sampler,
                    model_name=model_name, seed=seed)
 
     # -- LLM protocol ------------------------------------------------------------
