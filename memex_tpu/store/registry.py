@@ -54,6 +54,7 @@ def get_vector_storage(uri: str, collection: str, dim: int = DEFAULT_DIM) -> Vec
 
 _INT_OPTS = {"capacity", "n_clusters", "nprobe", "M", "ef_construction",
              "ef_search", "capacity_per_shard", "block_n"}
+_BOOL_OPTS = {"query_quantize", "use_fused"}
 
 
 def _build_store(uri: str, collection: str, dim: int) -> VectorStore:
@@ -65,7 +66,12 @@ def _build_store(uri: str, collection: str, dim: int) -> VectorStore:
     path = (parsed.netloc + parsed.path) or "./vector_data"
     opts: dict = {}
     for key, val in parse_qsl(parsed.query):
-        opts[key] = int(val) if key in _INT_OPTS else val
+        if key in _INT_OPTS:
+            opts[key] = int(val)
+        elif key in _BOOL_OPTS:
+            opts[key] = val.lower() not in ("0", "false", "no", "off")
+        else:
+            opts[key] = val
     if scheme == "tpu":
         from .tpu_store import TpuFlatStore
 

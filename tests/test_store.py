@@ -105,3 +105,12 @@ def test_uri_query_options(rng, tmp_path):
     assert store.index.capacity == 4096
     h = reg.get(f"hnsw://{tmp_path}?ef_search=64&M=8", "qopts2", dim=16)
     assert h.ef_search == 64
+
+
+def test_bool_uri_options(tmp_path, rng):
+    from memex_tpu.store.registry import _build_store
+
+    s = _build_store(f"tpu://{tmp_path}?dtype=int8&query_quantize=0", "boolcol", 32)
+    assert s.index.query_quantize is False
+    s2 = _build_store(f"tpu://{tmp_path}?query_quantize=true", "boolcol2", 32)
+    assert s2.index.query_quantize is True
