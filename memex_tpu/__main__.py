@@ -162,6 +162,29 @@ def cmd_download_model(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_train(args: argparse.Namespace) -> int:
+    """Fine-tune the encoder on an ingested collection and export the
+    result in HF format (loadable via EMBEDDING_MODEL=<out>)."""
+    import json
+
+    from .runtime import get_runtime
+    from .train import TrainConfig, train_encoder
+
+    rt = get_runtime()
+    metrics = train_encoder(
+        rt,
+        args.collection,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        tc=TrainConfig(learning_rate=args.learning_rate),
+        out_dir=args.out,
+        resume=args.resume,
+        checkpoint_path=args.checkpoint,
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
 def cmd_migrate(args: argparse.Namespace) -> int:
     """Standalone migration runner (reference migration/src/main.rs)."""
     from .db.connection import create_connection_by_uri
@@ -176,6 +199,14 @@ def cmd_migrate(args: argparse.Namespace) -> int:
 def main(argv: list[str] | None = None) -> int:
     load_dotenv()
     init_logging()
+    # Honor JAX_PLATFORMS even when a site plugin force-registers a backend
+    # and rewrites jax_platforms at import (the env var alone loses then).
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     parser = argparse.ArgumentParser(prog="memex_tpu", description="TPU-native memex service")
     sub = parser.add_subparsers(dest="command", required=True)
 
@@ -190,6 +221,16 @@ def main(argv: list[str] | None = None) -> int:
     migrate = sub.add_parser("migrate", help="apply schema migrations and exit")
     migrate.add_argument("--database-connection", default=None)
     migrate.set_defaults(func=cmd_migrate)
+
+    tr = sub.add_parser("train", help="fine-tune the encoder on a collection")
+    tr.add_argument("collection")
+    tr.add_argument("--epochs", type=int, default=1)
+    tr.add_argument("--batch-size", type=int, default=32)
+    tr.add_argument("--learning-rate", type=float, default=2e-5)
+    tr.add_argument("--out", default=None, help="export dir (HF format)")
+    tr.add_argument("--resume", default=None, help="train-state .npz to resume")
+    tr.add_argument("--checkpoint", default=None, help="train-state .npz to write")
+    tr.set_defaults(func=cmd_train)
 
     dl = sub.add_parser("download-model", help="fetch embedding-model weights")
     dl.add_argument("--model", default="sentence-transformers/all-MiniLM-L12-v2")

@@ -184,6 +184,51 @@ def load_params(model_dir: str, cfg: MiniLMConfig | None = None) -> tuple[MiniLM
     return cfg, params
 
 
+def save_params(model_dir: str, cfg: MiniLMConfig, params: dict,
+                vocab: list[str] | None = None) -> None:
+    """Export our pytree back to HF checkpoint format (model.safetensors +
+    config.json [+ vocab.txt]) — the inverse of load_params, so a
+    fine-tuned encoder (train/) can be served via EMBEDDING_MODEL=<dir>
+    or loaded by any HF-compatible stack."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    os.makedirs(model_dir, exist_ok=True)
+    tensors: dict[str, np.ndarray] = {}
+    emb = params["embeddings"]
+    tensors["embeddings.word_embeddings.weight"] = np.asarray(emb["word"], np.float32)
+    tensors["embeddings.position_embeddings.weight"] = np.asarray(emb["position"], np.float32)
+    tensors["embeddings.token_type_embeddings.weight"] = np.asarray(emb["token_type"], np.float32)
+    tensors["embeddings.LayerNorm.weight"] = np.asarray(emb["ln_scale"], np.float32)
+    tensors["embeddings.LayerNorm.bias"] = np.asarray(emb["ln_bias"], np.float32)
+    for i, lp in enumerate(params["layers"]):
+        for hf_name, ours in _HF_LAYER_MAP.items():
+            arr = np.asarray(lp[ours], np.float32)
+            if hf_name.endswith(".weight") and "LayerNorm" not in hf_name:
+                # back to HF [out, in]; safetensors serializes raw buffers,
+                # so the transposed VIEW must be materialized contiguous
+                arr = np.ascontiguousarray(arr.T)
+            tensors[f"encoder.layer.{i}.{hf_name}"] = arr
+    save_file(tensors, os.path.join(model_dir, "model.safetensors"))
+    with open(os.path.join(model_dir, "config.json"), "w", encoding="utf-8") as fh:
+        json.dump({
+            "model_type": "bert",
+            "vocab_size": cfg.vocab_size,
+            "hidden_size": cfg.hidden_size,
+            "num_hidden_layers": cfg.num_layers,
+            "num_attention_heads": cfg.num_heads,
+            "intermediate_size": cfg.intermediate_size,
+            "max_position_embeddings": cfg.max_position_embeddings,
+            "type_vocab_size": cfg.type_vocab_size,
+            "layer_norm_eps": cfg.layer_norm_eps,
+            "hidden_act": "gelu",
+        }, fh)
+    if vocab is not None:
+        with open(os.path.join(model_dir, "vocab.txt"), "w", encoding="utf-8") as fh:
+            fh.write("\n".join(vocab) + "\n")
+
+
 def cast_params_to_compute(params: dict, cfg: MiniLMConfig) -> dict:
     """Store dense weights in the compute dtype (bf16) so each forward
     reads half the bytes; LayerNorm params and embeddings stay f32 (LN runs

@@ -66,3 +66,80 @@ def test_dp_sharded_step_matches_single():
     l1 = np.asarray(state1["params"]["layers"][0]["q_w"])
     l2 = np.asarray(state2["params"]["layers"][0]["q_w"])
     np.testing.assert_allclose(l1, l2, atol=1e-5)
+
+
+class TestTrainLoop:
+    def _rt(self, tmp_path):
+        from memex_tpu.config import Settings
+        from memex_tpu.db import queue
+        from memex_tpu.runtime import Runtime
+        from memex_tpu.worker import Worker
+
+        from test_encoder import tiny_engine
+
+        settings = Settings.from_env(
+            db_uri=f"sqlite://{tmp_path}/t.db", vector_uri="memory://",
+            embedding_model="random",
+        )
+        settings.embedding_dim = 64
+        rt = Runtime(settings)
+        rt._engine = tiny_engine()
+        # long doc -> several overlapping windows -> adjacent-window pairs
+        doc = "alpha beta gamma delta epsilon zeta eta theta " * 60
+        queue.enqueue(rt.db, "traincol", doc, queue.TaskType.Ingest)
+        assert Worker(rt, poll_interval=0.01).drain(timeout=120)
+        return rt
+
+    def test_train_checkpoint_resume_export(self, tmp_path):
+        import numpy as np
+
+        from memex_tpu.models.minilm import load_params
+        from memex_tpu.train import TrainConfig, train_encoder
+
+        rt = self._rt(tmp_path)
+        out = str(tmp_path / "ft")
+        ckpt = str(tmp_path / "state.npz")
+        m1 = train_encoder(
+            rt, "traincol", epochs=1, batch_size=8, max_len=32,
+            tc=TrainConfig(learning_rate=1e-4), out_dir=out,
+            checkpoint_path=ckpt,
+        )
+        assert m1["pairs"] > 1 and m1["step"] >= 1
+        assert np.isfinite(m1["loss"])
+
+        # resume continues the step counter
+        m2 = train_encoder(
+            rt, "traincol", epochs=1, batch_size=8, max_len=32,
+            tc=TrainConfig(learning_rate=1e-4), resume=ckpt,
+        )
+        assert m2["step"] > m1["step"]
+
+        # exported checkpoint loads through the standard HF path and encodes
+        cfg, params = load_params(out)
+        assert cfg.hidden_size == 64
+        from memex_tpu.embed import EmbeddingEngine
+
+        engine = EmbeddingEngine(model_dir=out, max_seq_length=32)
+        v = engine.encode_single("alpha beta gamma")
+        assert np.isfinite(v).all() and abs(float(np.linalg.norm(v)) - 1.0) < 1e-3
+
+    def test_export_roundtrip_exact(self, tmp_path):
+        import numpy as np
+
+        from memex_tpu.models.minilm import MiniLMConfig, init_params, load_params, save_params
+
+        cfg = MiniLMConfig(vocab_size=300, hidden_size=32, num_layers=2,
+                           num_heads=4, intermediate_size=64)
+        params = init_params(cfg, seed=3)
+        d = str(tmp_path / "rt")
+        save_params(d, cfg, params)
+        cfg2, params2 = load_params(d)
+        assert cfg2.num_layers == 2
+        for a, b in zip(jax_leaves(params), jax_leaves(params2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def jax_leaves(tree):
+    import jax
+
+    return jax.tree.leaves(tree)
