@@ -103,9 +103,10 @@ def bench_bulk_load() -> float:
     idx = ShardedFlatIndex(
         dim=D, mesh=mesh, capacity_per_shard=-(-N // n_dev), dtype="int8"
     )
+    from memex_tpu.native_lib import np_normalize_rows
+
     rng = np.random.default_rng(0)
-    vecs = rng.standard_normal((N, D)).astype(np.float32)
-    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs = np_normalize_rows(rng.standard_normal((N, D)).astype(np.float32))
     ids = [f"r{i}" for i in range(N)]
     t0 = time.perf_counter()
     idx.add(vecs, ids)
