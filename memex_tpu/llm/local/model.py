@@ -377,10 +377,11 @@ def prefill(cfg: LlamaConfig, params: dict, prompt: jnp.ndarray, prompt_len,
     return _prefill_carry(cfg, params, prompt, prompt_len, key, sc)
 
 
-@partial(jax.jit, static_argnames=("cfg", "sc", "chunk"))
+@partial(jax.jit, static_argnames=("cfg", "sc", "chunk"), donate_argnums=(2,))
 def decode_chunk(cfg: LlamaConfig, params: dict, carry, sc: SamplerConfig,
                  chunk: int, eos_id: int = 2):
-    """Advance the decode by `chunk` tokens in one dispatch.
+    """Advance the decode by `chunk` tokens in one dispatch; the carry
+    (KV cache etc.) is donated — streaming holds one cache, not two.
     Returns (carry', tokens [chunk], was_done [chunk])."""
     step = _decode_step(cfg, params, sc, eos_id)
     carry, (tokens, was_done) = jax.lax.scan(step, carry, None, length=chunk)
