@@ -87,6 +87,11 @@ def score_topk(
     ~1e-3, far below typical inter-candidate score gaps; the oracle path in
     tests quantifies this.
     """
+    if method == "exact_f32":
+        # full-precision scoring for ground-truth oracles
+        scores = jnp.einsum("qd,nd->qn", queries, db,
+                            preferred_element_type=jnp.float32)
+        return exact_topk(scores, k, count)
     scores = jnp.einsum(
         "qd,nd->qn",
         queries.astype(jnp.bfloat16),
