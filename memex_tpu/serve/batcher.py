@@ -79,7 +79,10 @@ class Microbatcher:
             METRICS.inc(f"batcher.{self.name}.batches")
             METRICS.inc(f"batcher.{self.name}.items", len(batch))
             try:
-                with METRICS.timer(f"batcher.{self.name}"):
+                from ..metrics import profile_trace
+
+                with METRICS.timer(f"batcher.{self.name}"), \
+                        profile_trace(f"batch.{self.name}"):
                     results = self.run_batch([p.item for p in batch])
                 if len(results) != len(batch):
                     raise RuntimeError(
