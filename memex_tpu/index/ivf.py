@@ -142,6 +142,22 @@ def _ivf_search(centroids, data, rscales, sizes, queries, nprobe: int, k: int):
     return vals, cl, sl
 
 
+@partial(jax.jit, static_argnames=("nprobe", "k", "banks", "interpret"))
+def _ivf_search_fused(centroids, data, rscales, sizes, queries,
+                      nprobe: int, k: int, banks: int = 2,
+                      interpret: bool = False):
+    """Routing + the Pallas probe-scan kernel (ops/ivf_scan.py): cluster
+    DMAs are driven by the scalar-prefetched probe table, so the gather
+    pipelines like a dense scan instead of serializing on jnp.take."""
+    from ..ops.ivf_scan import ivf_probe_topk
+
+    qc = jnp.einsum("qd,cd->qc", queries, centroids,
+                    preferred_element_type=jnp.float32)
+    _, probes = jax.lax.top_k(qc, nprobe)
+    return ivf_probe_topk(data, rscales, sizes, probes, queries, k,
+                          banks=banks, interpret=interpret)
+
+
 class IVFIndex:
     """k-means inverted-file index with exact in-cluster scoring.
 
@@ -157,8 +173,12 @@ class IVFIndex:
         bucket_factor: float = 2.0,
         seed: int = 0,
         dtype: str = "float32",
+        use_fused: bool | None = None,
     ):
         assert dtype in ("float32", "bfloat16", "int8"), dtype
+        if use_fused is None:
+            use_fused = jax.default_backend() == "tpu"
+        self.use_fused = use_fused
         self.dim = dim
         self.C = n_clusters
         self.nprobe = min(nprobe, n_clusters)
@@ -208,7 +228,7 @@ class IVFIndex:
             )
         counts = np.bincount(assign, minlength=self.C)
         M = int(max(8, self.bucket_factor * max(1, counts.mean())))
-        M = -(-M // 8) * 8  # sublane-align
+        M = -(-M // 256) * 256  # multiple of the fused kernel's slot banks
         # Vectorized packing (no per-row Python loop): stable-sort rows by
         # cluster; position-within-cluster beyond M overflows to spill.
         order = np.argsort(assign, kind="stable")
@@ -296,10 +316,24 @@ class IVFIndex:
         if self.data is not None:
             kk = min(k + len(self._deleted), int(np.asarray(self.sizes).sum()))
             if kk > 0:
-                vals, cl, sl = _ivf_search(
-                    self.centroids, self.data, self.rscales, self.sizes,
-                    jnp.asarray(queries), self.nprobe, kk,
-                )
+                S = 2 * 128  # fused kernel slot width (banks=2)
+                fused_ok = (self.use_fused and kk <= S
+                            and self.data.shape[1] % S == 0)
+                if fused_ok:
+                    try:
+                        vals, cl, sl = _ivf_search_fused(
+                            self.centroids, self.data, self.rscales, self.sizes,
+                            jnp.asarray(queries), self.nprobe, kk,
+                        )
+                    except Exception:
+                        logger.exception("fused IVF kernel failed; XLA fallback")
+                        self.use_fused = False
+                        fused_ok = False
+                if not fused_ok:
+                    vals, cl, sl = _ivf_search(
+                        self.centroids, self.data, self.rscales, self.sizes,
+                        jnp.asarray(queries), self.nprobe, kk,
+                    )
                 vals, cl, sl = np.asarray(vals), np.asarray(cl), np.asarray(sl)
                 for qi in range(Q):
                     for v, c, s in zip(vals[qi], cl[qi], sl[qi]):
@@ -399,7 +433,7 @@ class IVFIndex:
             counts = np.bincount(assign, minlength=idx.C)
             M = int(max(8, idx.bucket_factor * max(1, counts.mean())))
             M = max(M, int(counts.max()))
-            M = -(-M // 8) * 8
+            M = -(-M // 256) * 256  # multiple of the fused kernel's slot banks
             data = np.zeros((idx.C, M, idx.dim), np.float32)
             rowids = np.full((idx.C, M), -1, np.int64)
             idx.ids = list(cids)

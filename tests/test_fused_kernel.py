@@ -84,3 +84,48 @@ class TestFusedKernelInterpret:
         recon = np.asarray(q8, np.float32) * np.asarray(scales)[:, None]
         err = np.abs(recon - db).max()
         assert err <= 1.0 / 127.0  # symmetric int8 quantization bound
+
+
+class TestIvfProbeKernel:
+    """Pallas IVF probe-scan (ops/ivf_scan.py) vs the XLA scan path."""
+
+    @pytest.mark.parametrize("dtype", ["float32", "int8"])
+    def test_matches_xla_path(self, dtype):
+        import jax.numpy as jnp
+
+        from memex_tpu.index.ivf import IVFIndex, _ivf_search, _ivf_search_fused
+
+        rng = np.random.default_rng(11)
+        d, n, k, nprobe = 48, 4096, 10, 12
+        centers = unit(rng, 16, d)
+        db = centers[rng.integers(0, 16, n)] + 0.05 * rng.standard_normal(
+            (n, d)
+        ).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        idx = IVFIndex(dim=d, n_clusters=32, nprobe=nprobe, dtype=dtype,
+                       use_fused=False)
+        idx.build(db, [f"v{i}" for i in range(n)])
+        assert idx.data.shape[1] % 256 == 0  # kernel bucket alignment
+
+        qs = jnp.asarray(unit(rng, 4, d))
+        v1, c1, s1 = _ivf_search(idx.centroids, idx.data, idx.rscales,
+                                 idx.sizes, qs, nprobe, k)
+        v2, c2, s2 = _ivf_search_fused(idx.centroids, idx.data, idx.rscales,
+                                       idx.sizes, qs, nprobe, k,
+                                       interpret=True)
+        v1, v2 = np.asarray(v1), np.asarray(v2)
+        g1 = np.asarray(c1) * idx.data.shape[1] + np.asarray(s1)
+        g2 = np.asarray(c2) * idx.data.shape[1] + np.asarray(s2)
+        for q in range(4):
+            a, b = set(g1[q].tolist()), set(g2[q].tolist())
+            # slot banks are approximate: expected loss ~(k-1)/(2S) ~ 2%
+            overlap = len(a & b) / k
+            assert overlap >= 0.8, (q, sorted(a), sorted(b))
+            # common rows agree within bf16 rounding (the kernel's dot is
+            # bf16 even for f32 storage; the XLA f32 branch is exact)
+            mv = dict(zip(g1[q].tolist(), v1[q]))
+            ev = dict(zip(g2[q].tolist(), v2[q]))
+            for r in a & b:
+                assert abs(mv[r] - ev[r]) < 2e-3
+        # top-1 must never be lost (it always wins its slot)
+        assert np.array_equal(g1[:, 0], g2[:, 0])
