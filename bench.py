@@ -142,7 +142,11 @@ def bench_e2e() -> dict:
     doc = ("tpu chips multiply large matrices quickly and semantic search "
            "finds meaning in documents rather than keywords. " * 6)
     worker = Worker(rt, poll_interval=0.001)
-    rt.engine.encode(doc)  # warm the window-shape bucket (compile ~30-60s)
+    # Warm every batch bucket the ingest path can hit (compiles ~30-60s
+    # each through the tunnel and would otherwise land inside the timing):
+    # single-doc and microbatched (up to max_active docs per device call).
+    rt.engine.encode(doc)
+    rt.engine.encode_many([doc] * rt.settings.worker_max_active)
     queue.enqueue_many(
         rt.db, [("bench", f"{doc} doc {i}", queue.TaskType.Ingest) for i in range(n_docs)]
     )
