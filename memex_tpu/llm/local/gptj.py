@@ -187,7 +187,7 @@ def forward(cfg: GptJConfig, params: dict, tokens: jnp.ndarray,
     B, T = tokens.shape
     nh, hd, rd = cfg.num_heads, cfg.head_dim, cfg.rotary_dim
     prefill_local = T > 1
-    x = jnp.take(params["embed"], tokens, axis=0)
+    x = jnp.take(params["embed"], tokens, axis=0).astype(jnp.float32)  # residual stream f32
 
     def layer(x, per):
         lp, ck_in, cv_in = per

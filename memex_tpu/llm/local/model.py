@@ -204,7 +204,7 @@ def forward(cfg: LlamaConfig, params: dict, tokens: jnp.ndarray,
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     rep = nh // nkv
     prefill_local = T > 1
-    x = jnp.take(params["embed"], tokens, axis=0)  # [B, T, H] f32
+    x = jnp.take(params["embed"], tokens, axis=0).astype(jnp.float32)  # residual stream f32
 
     def layer(x, per):
         # One transformer block; scanned over the stacked layer axis so the
