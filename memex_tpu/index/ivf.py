@@ -317,8 +317,10 @@ class IVFIndex:
             kk = min(k + len(self._deleted), int(np.asarray(self.sizes).sum()))
             if kk > 0:
                 S = 2 * 128  # fused kernel slot width (banks=2)
+                vmem_need = 2 * self.data.shape[1] * self.dim * self.data.dtype.itemsize
                 fused_ok = (self.use_fused and kk <= S
-                            and self.data.shape[1] % S == 0)
+                            and self.data.shape[1] % S == 0
+                            and vmem_need <= 12 * 2**20)  # double buffer fits VMEM
                 if fused_ok:
                     try:
                         vals, cl, sl = _ivf_search_fused(

@@ -28,47 +28,75 @@ NEG_INF = -1e30
 _LANES = 128
 
 
-def _kernel(probes_ref, sizes_ref, q_ref, db_ref, rs_ref, out_v_ref, out_i_ref,
-            acc_v, acc_i, *, M: int, banks: int, scaled: bool):
+def _kernel_manual(probes_ref, sizes_ref, q_ref, db_hbm, rs_hbm,
+                   out_v_ref, out_i_ref, buf, rsbuf, acc_v, acc_i,
+                   db_sems, rs_sems, *, M: int, banks: int, scaled: bool,
+                   nprobe: int):
+    """Grid (Q,): the probe loop runs INSIDE the kernel with hand-rolled
+    double-buffered cluster DMAs. The (Q, nprobe) grid version paid ~40us
+    of fixed cost per grid step (measured: 170ms for 4000 steps at 1M),
+    dwarfing the ~1us cluster fetch; here there is one grid step per query
+    and nprobe pipelined fetches within it."""
     q = pl.program_id(0)
-    p = pl.program_id(1)
-    nprobe = pl.num_programs(1)
     S = banks * _LANES
     G = M // S
 
-    @pl.when(p == 0)
-    def _init():
-        acc_v[:] = jnp.full((1, S), NEG_INF, jnp.float32)
-        acc_i[:] = jnp.zeros((1, S), jnp.int32)
+    def db_dma(slot, p):
+        cid = probes_ref[q, p]
+        return pltpu.make_async_copy(db_hbm.at[cid], buf.at[slot], db_sems.at[slot])
 
-    cid = probes_ref[q, p]
-    csize = sizes_ref[cid]
-    scores = jax.lax.dot_general(
-        q_ref[0].astype(jnp.bfloat16),          # [1, D]
-        db_ref[0].astype(jnp.bfloat16),         # [M, D]
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                            # [1, M]
+    def rs_dma(slot, p):
+        cid = probes_ref[q, p]
+        return pltpu.make_async_copy(rs_hbm.at[cid], rsbuf.at[slot], rs_sems.at[slot])
+
+    db_dma(0, 0).start()
     if scaled:
-        scores = scores * rs_ref[0]              # [1, M] per-row scales
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
-    scores = jnp.where(col < csize, scores, NEG_INF)
+        rs_dma(0, 0).start()
+    acc_v[:] = jnp.full((1, S), NEG_INF, jnp.float32)
+    acc_i[:] = jnp.zeros((1, S), jnp.int32)
 
-    s3 = scores.reshape(1, G, S)
-    block_max = jnp.max(s3, axis=1)              # [1, S]
-    g_iota = jax.lax.broadcasted_iota(jnp.int32, (1, G, S), 1)
-    g_sel = jnp.min(jnp.where(s3 == block_max[:, None, :], g_iota, G), axis=1)
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-    cand_idx = cid * M + g_sel * S + slot_iota   # global row = cid*M + m
+    def loop_body(p, _):
+        slot = jax.lax.rem(p, 2)
+        nxt = jax.lax.rem(p + 1, 2)
 
-    take = block_max > acc_v[:]
-    acc_v[:] = jnp.where(take, block_max, acc_v[:])
-    acc_i[:] = jnp.where(take, cand_idx, acc_i[:])
+        @pl.when(p + 1 < nprobe)
+        def _():
+            db_dma(nxt, p + 1).start()
+            if scaled:
+                rs_dma(nxt, p + 1).start()
 
-    @pl.when(p == nprobe - 1)
-    def _flush():
-        out_v_ref[0] = acc_v[:]
-        out_i_ref[0] = acc_i[:]
+        db_dma(slot, p).wait()
+        if scaled:
+            rs_dma(slot, p).wait()
+
+        cid = probes_ref[q, p]
+        csize = sizes_ref[cid]
+        scores = jax.lax.dot_general(
+            q_ref[0].astype(jnp.bfloat16),       # [1, D]
+            buf[slot].astype(jnp.bfloat16),      # [M, D]
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                         # [1, M]
+        if scaled:
+            scores = scores * rsbuf[slot]
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+        scores = jnp.where(col < csize, scores, NEG_INF)
+
+        s3 = scores.reshape(1, G, S)
+        block_max = jnp.max(s3, axis=1)
+        g_iota = jax.lax.broadcasted_iota(jnp.int32, (1, G, S), 1)
+        g_sel = jnp.min(jnp.where(s3 == block_max[:, None, :], g_iota, G), axis=1)
+        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        cand_idx = cid * M + g_sel * S + slot_iota
+
+        take = block_max > acc_v[:]
+        acc_v[:] = jnp.where(take, block_max, acc_v[:])
+        acc_i[:] = jnp.where(take, cand_idx, acc_i[:])
+        return _
+
+    jax.lax.fori_loop(0, nprobe, loop_body, None)
+    out_v_ref[0] = acc_v[:]
+    out_i_ref[0] = acc_i[:]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "banks", "interpret"))
@@ -90,27 +118,30 @@ def ivf_probe_topk(data, rscales, sizes, probes, queries, k: int, *,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # probes, sizes
-        grid=(Q, nprobe),
+        grid=(Q,),
         in_specs=[
-            pl.BlockSpec((1, 1, D), lambda q, p, probes, sizes: (q, 0, 0),
+            pl.BlockSpec((1, 1, D), lambda q, probes, sizes: (q, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, D), lambda q, p, probes, sizes: (probes[q, p], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M), lambda q, p, probes, sizes: (probes[q, p], 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # data stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # rscales stay in HBM
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, S), lambda q, p, probes, sizes: (q, 0, 0),
+            pl.BlockSpec((1, 1, S), lambda q, probes, sizes: (q, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S), lambda q, p, probes, sizes: (q, 0, 0),
+            pl.BlockSpec((1, 1, S), lambda q, probes, sizes: (q, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
+            pltpu.VMEM((2, M, D), data.dtype),      # double-buffered cluster
+            pltpu.VMEM((2, 1, M), jnp.float32),     # double-buffered scales
             pltpu.VMEM((1, S), jnp.float32),
             pltpu.VMEM((1, S), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_kernel, M=M, banks=banks, scaled=scaled)
+    kernel = functools.partial(_kernel_manual, M=M, banks=banks, scaled=scaled,
+                               nprobe=nprobe)
     cand_v, cand_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
