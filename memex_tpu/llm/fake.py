@@ -68,7 +68,10 @@ class FakeLLM:
             bullets = [f"- {s.strip()}" for s in sentences[:3] if s.strip()]
             return "\n".join(bullets) if bullets else "- (empty)"
         words = user.split()
-        return "Answer: " + " ".join(words[:24])
+        # JSON-encoded so the /api/action/ask handler (which, like the
+        # reference's handle_extract, requires the completion to parse as
+        # JSON) succeeds on the no-schema path in hermetic environments.
+        return json.dumps("Answer: " + " ".join(words[:24]))
 
     def segment_text(self, text: str) -> tuple[list[str], str]:
         return budget_segment(text, _BUDGET), self._model

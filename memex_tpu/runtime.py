@@ -114,8 +114,8 @@ class Runtime:
             interval_s = self.settings.checkpoint_interval_s
         now = time.monotonic()
         with self._lock:
-            last = self._last_ckpt.get(collection, 0.0)
-            if now - last < interval_s:
+            last = self._last_ckpt.get(collection)
+            if last is not None and now - last < interval_s:
                 return False
             self._last_ckpt[collection] = now
         store.checkpoint()
