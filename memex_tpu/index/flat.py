@@ -100,6 +100,21 @@ def _search_masked_fused_int8(buf, scales, alive, count, queries, k: int,
     return svals, jnp.take_along_axis(idx, order, axis=1)
 
 
+@partial(jax.jit, static_argnames=("k", "block_n", "rerank", "interpret"))
+def _search_masked_fused_int4(buf4, scales, buf8, alive, count, queries, k: int,
+                              block_n: int = 8192, rerank: int = 64,
+                              interpret: bool = False):
+    """int4 packed coarse scan + exact int8 rerank (ops/fused_topk.py).
+    Tombstones are filtered inside the rerank (alive gather on the
+    candidate set), so no separate over-fetch pass is needed."""
+    from ..ops.fused_topk import fused_score_topk_int4_rerank
+
+    return fused_score_topk_int4_rerank(
+        buf4, scales, buf8, queries, k, count=count, alive=alive,
+        rerank=rerank, block_n=block_n, interpret=interpret,
+    )
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _search_xla(buf, scales, alive, count, queries, k: int):
     """Non-fused path for any storage dtype (CPU tests / fallback)."""
@@ -128,10 +143,13 @@ class FlatIndex:
                  query_quantize: bool = True):
         """dtype selects storage precision: "float32" (exact), "bfloat16"
         (2x scan throughput, ~1e-3 score error), "int8" (4x throughput,
-        ScaNN-style per-row scales, small recall cost). query_quantize
-        routes int8 search through the all-int8 MXU kernel (fastest tier;
-        recall ~0.969 vs 0.984 at 1M/384/k=10)."""
-        assert dtype in ("float32", "bfloat16", "int8"), dtype
+        ScaNN-style per-row scales, small recall cost), "int4" (8x-throughput
+        packed-nibble coarse scan + exact int8 rerank — faster than int8q
+        with int8-tier recall; stores codes at 192+384 B/row). query_quantize
+        routes int8 search through the all-int8 MXU kernel (fastest
+        single-stage tier; recall ~0.969 vs 0.984 at 1M/384/k=10)."""
+        assert dtype in ("float32", "bfloat16", "int8", "int4"), dtype
+        assert dtype != "int4" or dim % 2 == 0, "int4 packing needs even dim"
         self.dim = dim
         self.dtype = dtype
         capacity = max(MIN_CAPACITY, int(capacity))
@@ -144,10 +162,18 @@ class FlatIndex:
         self.ids: list[str] = []
         self._id_to_row: dict[str, int] = {}
         self._buf_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
-                           "int8": jnp.int8}[dtype]
-        self.buf = jnp.zeros((self.capacity, dim), self._buf_dtype)
+                           "int8": jnp.int8, "int4": jnp.int8}[dtype]
+        # int4 mode: `buf` holds packed nibbles [cap, dim/2]; `buf8` holds the
+        # int8 rerank copy [cap, dim]; one scale array serves both stages
+        # (int4 scale = int8 scale * 127/7 exactly, same per-row absmax).
+        buf_cols = dim // 2 if dtype == "int4" else dim
+        self.buf = jnp.zeros((self.capacity, buf_cols), self._buf_dtype)
+        self.buf8 = (
+            jnp.zeros((self.capacity, dim), jnp.int8) if dtype == "int4" else None
+        )
         self.scales = (
-            jnp.zeros((self.capacity,), jnp.float32) if dtype == "int8" else None
+            jnp.zeros((self.capacity,), jnp.float32)
+            if dtype in ("int8", "int4") else None
         )
         self.alive = jnp.zeros((self.capacity,), jnp.float32)
 
@@ -161,7 +187,11 @@ class FlatIndex:
             return
         logger.info("flat index grow %d -> %d", self.capacity, new_cap)
         pad = new_cap - self.capacity
-        self.buf = jnp.concatenate([self.buf, jnp.zeros((pad, self.dim), self._buf_dtype)])
+        self.buf = jnp.concatenate(
+            [self.buf, jnp.zeros((pad, self.buf.shape[1]), self._buf_dtype)]
+        )
+        if self.buf8 is not None:
+            self.buf8 = jnp.concatenate([self.buf8, jnp.zeros((pad, self.dim), jnp.int8)])
         if self.scales is not None:
             self.scales = jnp.concatenate([self.scales, jnp.zeros((pad,), jnp.float32)])
         self.alive = jnp.concatenate([self.alive, jnp.zeros((pad,), jnp.float32)])
@@ -184,7 +214,7 @@ class FlatIndex:
         rows = _bucket_rows(m)
         # +1 so padded rows never alias live data at exactly-full capacity.
         self._grow_to(self.count + rows + 1)
-        if self.dtype == "int8":
+        if self.dtype in ("int8", "int4"):
             from ..native_lib import np_quantize_rows_int8
 
             q, row_scales = np_quantize_rows_int8(vectors)
@@ -192,7 +222,16 @@ class FlatIndex:
             qblock[:m] = q
             sblock = np.zeros((rows,), np.float32)
             sblock[:m] = row_scales
-            self.buf = _write_block(self.buf, jnp.asarray(qblock), self.count, m)
+            if self.dtype == "int4":
+                from ..ops.fused_topk import np_quantize_rows_int4
+
+                p, _ = np_quantize_rows_int4(vectors)  # scales = s8*127/7
+                pblock = np.zeros((rows, self.dim // 2), np.int8)
+                pblock[:m] = p
+                self.buf = _write_block(self.buf, jnp.asarray(pblock), self.count, m)
+                self.buf8 = _write_block(self.buf8, jnp.asarray(qblock), self.count, m)
+            else:
+                self.buf = _write_block(self.buf, jnp.asarray(qblock), self.count, m)
             self.scales = _write_block(
                 self.scales[:, None], jnp.asarray(sblock)[:, None], self.count, m
             )[:, 0]
@@ -234,13 +273,18 @@ class FlatIndex:
         self.dead = 0
         self.ids = []
         self._id_to_row = {}
-        self.buf = jnp.zeros((self.capacity, self.dim), self._buf_dtype)
+        self.buf = jnp.zeros((self.capacity, self.buf.shape[1]), self._buf_dtype)
+        if self.buf8 is not None:
+            self.buf8 = jnp.zeros((self.capacity, self.dim), jnp.int8)
         if self.scales is not None:
             self.scales = jnp.zeros((self.capacity,), jnp.float32)
         self.alive = jnp.zeros((self.capacity,), jnp.float32)
 
     def _dequantized(self) -> np.ndarray:
         """Materialize live-prefix vectors as f32 (for compaction/saving)."""
+        if self.dtype == "int4":  # the int8 copy is the higher-fidelity one
+            raw = np.asarray(self.buf8[: self.count])
+            return raw.astype(np.float32) * np.asarray(self.scales[: self.count])[:, None]
         raw = np.asarray(self.buf[: self.count])
         if self.dtype == "int8":
             return raw.astype(np.float32) * np.asarray(self.scales[: self.count])[:, None]
@@ -271,7 +315,14 @@ class FlatIndex:
         # (kk = min(4k, 128)); re-ranking k > 128 from it would crash, so
         # wide requests take the exact XLA path instead.
         use_fused = self.use_fused and k_eff <= 128
-        if use_fused and self.dtype == "int8":
+        if use_fused and self.dtype == "int4":
+            bn = min(8192, self.capacity)
+            vals, idx = _search_masked_fused_int4(
+                self.buf, self.scales, self.buf8, self.alive, self.count,
+                jnp.asarray(queries), k_eff, block_n=bn,
+                rerank=min(max(64, 2 * k_eff), 1024),
+            )
+        elif use_fused and self.dtype == "int8":
             # block 8192 is the measured int8 sweet spot; clamp for small
             # capacities (kernel needs capacity % block_n == 0).
             bn = min(8192, self.capacity) if self.query_quantize else min(
@@ -286,11 +337,16 @@ class FlatIndex:
                 self.buf, self.alive, self.count, jnp.asarray(queries), k_eff
             )
         else:
+            # int4's XLA fallback scores from the int8 rerank copy (the
+            # packed nibbles only pay off inside the fused kernel).
+            buf = self.buf8 if self.dtype == "int4" else self.buf
             vals, idx = _search_xla(
-                self.buf, self.scales, self.alive, self.count,
+                buf, self.scales, self.alive, self.count,
                 jnp.asarray(queries), k_eff,
             )
-        vals, idx = np.asarray(vals), np.asarray(idx)
+        from ..ops.host import fetch
+
+        vals, idx = fetch(vals, idx)
         out = []
         for qi in range(queries.shape[0]):
             hits = []

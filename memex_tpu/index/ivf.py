@@ -336,7 +336,9 @@ class IVFIndex:
                         self.centroids, self.data, self.rscales, self.sizes,
                         jnp.asarray(queries), self.nprobe, kk,
                     )
-                vals, cl, sl = np.asarray(vals), np.asarray(cl), np.asarray(sl)
+                from ..ops.host import fetch
+
+                vals, cl, sl = fetch(vals, cl, sl)
                 for qi in range(Q):
                     for v, c, s in zip(vals[qi], cl[qi], sl[qi]):
                         if v <= -1e29:

@@ -299,7 +299,9 @@ class ShardedFlatIndex:
             jnp.asarray(self.counts, jnp.int32), self._vec_sharding
         )
         vals, idx = fn(self.buf, self.scales, self.alive, counts_dev, jnp.asarray(queries))
-        vals, idx = np.asarray(vals), np.asarray(idx)
+        from ..ops.host import fetch
+
+        vals, idx = fetch(vals, idx)
         out = []
         for qi in range(queries.shape[0]):
             hits = []

@@ -330,6 +330,216 @@ def _fused_kernel_int8q(count_ref, q_ref, db_ref, scale_ref, out_vals_ref,
         out_idx_ref[:] = idx_acc[:]
 
 
+# ---------------------------------------------------------------------------
+# int4 packed variant + exact int8 rerank. Storage halves again vs int8
+# (192 B/row at D=384): two 4-bit codes per byte, low nibble = column j,
+# high nibble = column j + D/2 (a fixed permutation of the D axis, so the
+# dot needs no interleaving — queries are just split in half). The MXU dot
+# runs s8xs8->s32 on the sign-extended nibbles. Direct int4 ranking is too
+# coarse for top-10 (recall ~0.76 at 200k), so the kernel's S-slot
+# candidate bank is REranked exactly against an int8 copy of the rows: the
+# scan reads 192 B/row, the rerank gathers only Q*R rows, and recall comes
+# back to the int8 tier's (~0.986 measured at S=1024, R=64). Total
+# storage 576 B/row + scales: less than bf16, faster than int8q, higher
+# recall than both int8 tiers.
+# ---------------------------------------------------------------------------
+
+
+def quantize_rows_int4(db: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[N, D] float -> ([N, D/2] int8 packed nibbles, [N] f32 scales).
+
+    Symmetric per-row to [-7, 7]; byte j packs (col j) in the low nibble and
+    (col j + D/2) in the high nibble."""
+    n, d = db.shape
+    assert d % 2 == 0, d
+    absmax = jnp.max(jnp.abs(db), axis=1)
+    scales = jnp.maximum(absmax, 1e-12) / 7.0
+    codes = jnp.clip(jnp.round(db / scales[:, None]), -7, 7).astype(jnp.int32)
+    lo, hi = codes[:, : d // 2], codes[:, d // 2 :]
+    packed = jnp.bitwise_or(
+        jnp.bitwise_and(lo, 0xF), jnp.left_shift(jnp.bitwise_and(hi, 0xF), 4)
+    )
+    return packed.astype(jnp.int8), scales.astype(jnp.float32)
+
+
+def np_quantize_rows_int4(vectors) -> tuple:
+    """Host-side pack (ingest path): [M, D] f32 -> ([M, D/2] int8, [M] f32)."""
+    import numpy as np
+
+    v = np.asarray(vectors, np.float32)
+    d = v.shape[1]
+    absmax = np.abs(v).max(axis=1)
+    scales = np.maximum(absmax, 1e-12) / 7.0
+    codes = np.clip(np.round(v / scales[:, None]), -7, 7).astype(np.int32)
+    lo, hi = codes[:, : d // 2], codes[:, d // 2 :]
+    packed = ((lo & 0xF) | ((hi & 0xF) << 4)).astype(np.uint8).view(np.int8)
+    return packed, scales.astype(np.float32)
+
+
+def _fused_kernel_int4q(count_ref, qlo_ref, qhi_ref, db_ref, scale_ref,
+                        out_vals_ref, out_idx_ref, vals_acc, idx_acc,
+                        *, block_n: int, banks: int):
+    i = pl.program_id(0)
+    nblocks = pl.num_programs(0)
+    S = banks * _LANES
+    Q = qlo_ref.shape[0]
+    G = block_n // S
+
+    @pl.when(i == 0)
+    def _init():
+        vals_acc[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
+        idx_acc[:] = jnp.zeros((Q, S), jnp.int32)
+
+    # Unpack nibbles on the VPU (sign-extending shifts), then two s8xs8->s32
+    # MXU dots over the D/2 halves. The unpack is ~2 ops/byte; the pipeline
+    # overlaps it with the next block's DMA, so the scan stays near the
+    # 192 B/row HBM bound.
+    b32 = db_ref[:].astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(b32, 28), 28).astype(jnp.int8)
+    hi = jnp.right_shift(b32, 4).astype(jnp.int8)
+    raw = jax.lax.dot_general(
+        qlo_ref[:], lo,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ) + jax.lax.dot_general(
+        qhi_ref[:], hi,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = raw.astype(jnp.float32) * scale_ref[:].reshape(1, block_n)
+
+    base = i * block_n
+    col = jax.lax.broadcasted_iota(jnp.int32, (Q, block_n), 1)
+    scores = jnp.where(col + base < count_ref[0], scores, NEG_INF)
+
+    s3 = scores.reshape(Q, G, S)
+    block_max = jnp.max(s3, axis=1)
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, G, S), 1)
+    g_sel = jnp.min(jnp.where(s3 == block_max[:, None, :], g_iota, G), axis=1)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, S), 1)
+    block_idx = base + g_sel * S + slot_iota
+
+    take = block_max > vals_acc[:]
+    vals_acc[:] = jnp.where(take, block_max, vals_acc[:])
+    idx_acc[:] = jnp.where(take, block_idx, idx_acc[:])
+
+    @pl.when(i == nblocks - 1)
+    def _flush():
+        out_vals_ref[:] = vals_acc[:]
+        out_idx_ref[:] = idx_acc[:]
+
+
+def _int4q_candidates(db_p, scales4, queries, count_arr, *, block_n: int,
+                      banks: int, interpret: bool):
+    """Run the int4 coarse kernel; returns ([Q, S] vals, [Q, S] idx) with the
+    per-query int8 scale NOT folded in (ranking is scale-invariant)."""
+    n, d2 = db_p.shape
+    q_n = queries.shape[0]
+    S = banks * _LANES
+    assert block_n % S == 0 and n % block_n == 0
+    q_pad = max(32, -(-q_n // 32) * 32)  # int8 VMEM tiles are (32, 128)
+    if q_pad != q_n:
+        queries = jnp.pad(queries, ((0, q_pad - q_n), (0, 0)))
+    q_absmax = jnp.max(jnp.abs(queries), axis=1)
+    q_scales = jnp.maximum(q_absmax, 1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(queries / q_scales[:, None]), -127, 127).astype(jnp.int8)
+    q_lo, q_hi = q8[:, :d2], q8[:, d2:]
+
+    nblocks = n // block_n
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((q_pad, d2), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, d2), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d2), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n,), lambda i, c: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((q_pad, S), jnp.float32),
+            pltpu.VMEM((q_pad, S), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(_fused_kernel_int4q, block_n=block_n, banks=banks)
+    cand_vals, cand_idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((q_pad, S), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, S), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * n * 2 * d2,
+            bytes_accessed=n * d2 + n * 4 + 2 * q_pad * d2 + 2 * q_pad * S * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(count_arr, q_lo, q_hi, db_p, scales4)
+    return cand_vals[:q_n], cand_idx[:q_n]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "rerank", "block_n", "banks", "interpret")
+)
+def fused_score_topk_int4_rerank(
+    db_p: jnp.ndarray,
+    scales8: jnp.ndarray,
+    db8: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    count=None,
+    alive=None,
+    *,
+    rerank: int = 64,
+    block_n: int = 8192,
+    banks: int = 8,
+    interpret: bool = False,
+):
+    """Two-stage fused search: int4 coarse scan -> exact int8 rerank.
+
+    (db_p [N, D/2] int8 nibbles, scales8 [N] f32 int8-scales, db8 [N, D]
+    int8, queries [Q, D] f32) -> (vals [Q, k] f32 cosine, idx [Q, k]).
+    One int8-scale array serves both stages: the int4 codes use
+    scales8 * 127/7 exactly (same per-row absmax, 7 vs 127 levels).
+    `alive` (f32 0/1 mask) filters tombstones on the candidate set."""
+    n, d2 = db_p.shape
+    if count is None:
+        count = n
+    count_arr = jnp.full((1,), count, jnp.int32)
+    scales4 = scales8 * (127.0 / 7.0)
+    banks = max(1, min(banks, block_n // _LANES))  # need banks*128 <= block_n
+    cand_vals, cand_idx = _int4q_candidates(
+        db_p, scales4, queries, count_arr,
+        block_n=block_n, banks=banks, interpret=interpret,
+    )
+    # Coarse top-R candidate rows, then exact int8 scoring on the gather.
+    r = min(rerank, cand_vals.shape[1])
+    cvals, order = jax.lax.top_k(cand_vals, r)
+    cand = jnp.take_along_axis(cand_idx, order, axis=1)      # [Q, R]
+    rows = jnp.take(db8, cand, axis=0)                       # [Q, R, D]
+    rsc = jnp.take(scales8, cand)                            # [Q, R]
+    rer = jnp.einsum(
+        "qd,qrd->qr",
+        queries.astype(jnp.bfloat16),
+        rows.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) * rsc
+    ok = cvals > NEG_INF * 0.5                               # count mask
+    if alive is not None:
+        ok = ok & (jnp.take(alive, cand) > 0)
+    rer = jnp.where(ok, rer, NEG_INF)
+    vals, args = jax.lax.top_k(rer, k)
+    idx = jnp.take_along_axis(cand, args, axis=1)
+    return vals, idx
+
+
 @functools.partial(jax.jit, static_argnames=("k", "block_n", "banks", "interpret"))
 def fused_score_topk_int8q(
     db_q: jnp.ndarray,

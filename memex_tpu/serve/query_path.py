@@ -24,6 +24,7 @@ import numpy as np
 from ..index.flat import (
     FlatIndex,
     _search_masked_fused,
+    _search_masked_fused_int4,
     _search_masked_fused_int8,
     _search_xla,
 )
@@ -45,16 +46,23 @@ def _bucket(n, buckets):
 
 @partial(jax.jit, static_argnames=("enc_cfg", "k", "dtype", "use_fused",
                                    "qquant", "block_n"))
-def _encode_and_search(params, ids, mask, buf, scales, alive, count,
+def _encode_and_search(params, ids, mask, buf, scales, alive, count, buf8,
                        *, enc_cfg, k: int, dtype: str, use_fused: bool,
                        qquant: bool, block_n: int):
     queries = MiniLMEncoder(enc_cfg).apply(params, ids, mask)  # unit vectors
+    if use_fused and dtype == "int4":
+        return _search_masked_fused_int4(
+            buf, scales, buf8, alive, count, queries, k, block_n=block_n,
+            rerank=min(max(64, 2 * k), 1024),
+        )
     if use_fused and dtype == "int8":
         return _search_masked_fused_int8(
             buf, scales, alive, count, queries, k, block_n=block_n, qquant=qquant
         )
     if use_fused:
         return _search_masked_fused(buf, alive, count, queries, k)
+    if dtype == "int4":  # XLA fallback scores from the int8 rerank copy
+        return _search_xla(buf8, scales, alive, count, queries, k)
     return _search_xla(buf, scales, alive, count, queries, k)
 
 
@@ -92,12 +100,14 @@ class FusedQueryPath:
             bn = (min(8192, index.capacity) if index.query_quantize
                   else min(index.block_n, index.capacity))
             args = (self.engine.params, jnp.asarray(ids), jnp.asarray(mask),
-                    index.buf, index.scales, index.alive, count)
+                    index.buf, index.scales, index.alive, count, index.buf8)
         vals, rows = _encode_and_search(
             *args, enc_cfg=self.engine.cfg, k=k_eff, dtype=index.dtype,
             use_fused=use_fused, qquant=index.query_quantize, block_n=bn,
         )
-        vals, rows = np.asarray(vals), np.asarray(rows)  # ONE round-trip
+        from ..ops.host import fetch
+
+        vals, rows = fetch(vals, rows)  # overlapped transfers: ONE round-trip
         out = []
         for qi in range(len(texts)):
             hits = []

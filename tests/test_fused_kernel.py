@@ -85,6 +85,66 @@ class TestFusedKernelInterpret:
         err = np.abs(recon - db).max()
         assert err <= 1.0 / 127.0  # symmetric int8 quantization bound
 
+    def test_int4_pack_roundtrip(self, rng):
+        from memex_tpu.ops.fused_topk import (
+            np_quantize_rows_int4,
+            quantize_rows_int4,
+        )
+
+        db = unit(rng, 128, 64)
+        p_dev, s_dev = quantize_rows_int4(jnp.asarray(db))
+        p_np, s_np = np_quantize_rows_int4(db)
+        np.testing.assert_array_equal(np.asarray(p_dev), p_np)
+        np.testing.assert_allclose(np.asarray(s_dev), s_np, rtol=1e-6)
+        # Unpack (low nibble = col j, high = col j + D/2) and check error.
+        b = p_np.astype(np.int32)
+        lo = (b << 28) >> 28
+        hi = b >> 4
+        recon = np.concatenate([lo, hi], axis=1).astype(np.float32) * s_np[:, None]
+        assert np.abs(recon - db).max() <= 1.0 / 7.0 + 1e-6
+
+    def test_int4_rerank_matches_exact(self, rng):
+        from memex_tpu.ops.fused_topk import (
+            fused_score_topk_int4_rerank,
+            np_quantize_rows_int4,
+            quantize_rows_int8,
+        )
+
+        db, q = unit(rng, 2048, 128), unit(rng, 4, 128)
+        db4, _ = np_quantize_rows_int4(db)
+        db8, s8 = quantize_rows_int8(jnp.asarray(db))
+        fv, fi = fused_score_topk_int4_rerank(
+            jnp.asarray(db4), s8, db8, jnp.asarray(q), 10, count=2048,
+            rerank=64, block_n=1024, interpret=True,
+        )
+        ev, ei = exact_topk(jnp.asarray(q @ db.T), 10)
+        fi, ei = np.asarray(fi), np.asarray(ei)
+        recall = np.mean([len(set(fi[i]) & set(ei[i])) / 10 for i in range(4)])
+        assert recall >= 0.8  # int4 coarse + slot collisions, int8 rerank
+        # Reranked scores are int8-exact (bf16 dot), not int4-coarse.
+        np.testing.assert_allclose(
+            np.asarray(fv)[:, 0], np.asarray(ev)[:, 0], atol=2e-2
+        )
+
+    def test_int4_rerank_count_and_alive_mask(self, rng):
+        from memex_tpu.ops.fused_topk import (
+            fused_score_topk_int4_rerank,
+            np_quantize_rows_int4,
+            quantize_rows_int8,
+        )
+
+        db, q = unit(rng, 1024, 64), unit(rng, 2, 64)
+        db4, _ = np_quantize_rows_int4(db)
+        db8, s8 = quantize_rows_int8(jnp.asarray(db))
+        alive = np.ones((1024,), np.float32)
+        alive[:50] = 0.0  # tombstone the first 50 rows
+        _, fi = fused_score_topk_int4_rerank(
+            jnp.asarray(db4), s8, db8, jnp.asarray(q), 5, count=500,
+            alive=jnp.asarray(alive), rerank=64, block_n=512, interpret=True,
+        )
+        fi = np.asarray(fi)
+        assert fi.max() < 500 and fi.min() >= 50
+
 
 class TestIvfProbeKernel:
     """Pallas IVF probe-scan (ops/ivf_scan.py) vs the XLA scan path."""

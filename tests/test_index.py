@@ -193,7 +193,7 @@ class TestIVFIndex:
 
 
 class TestFlatIndexDtypes:
-    @pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+    @pytest.mark.parametrize("dtype", ["bfloat16", "int8", "int4"])
     def test_recall_vs_f32(self, rng, dtype):
         d, n, q_n, k = 64, 2000, 8, 10
         db, qs = unit(rng, n, d), unit(rng, q_n, d)
@@ -209,7 +209,7 @@ class TestFlatIndexDtypes:
         ]
         assert np.mean(recalls) >= 0.9, (dtype, recalls)
 
-    @pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+    @pytest.mark.parametrize("dtype", ["bfloat16", "int8", "int4"])
     def test_roundtrip_and_compact(self, rng, dtype, tmp_path):
         d = 32
         db = unit(rng, 120, d)
@@ -223,6 +223,31 @@ class TestFlatIndexDtypes:
         idx2 = FlatIndex.load(path)
         assert idx2.dtype == dtype
         assert idx2.search(db[100:101], 1)[0][0][0] == "r100"
+
+
+def test_flat_index_int4_fused_interpret(rng):
+    """int4 FlatIndex through the fused coarse+rerank path (interpret mode)
+    matches the XLA fallback's results."""
+    d, n, k = 64, 2048, 5
+    db = unit(rng, n, d)
+    qs = unit(rng, 4, d)
+    ids = [f"v{i}" for i in range(n)]
+    from memex_tpu.index import flat as flat_mod
+
+    idx = FlatIndex(dim=d, dtype="int4", use_fused=False)
+    idx.add(db, ids)
+    xla = idx.search(qs, k)
+    fused = flat_mod._search_masked_fused_int4(
+        idx.buf, idx.scales, idx.buf8, idx.alive, idx.count,
+        np.asarray(qs, np.float32), k, block_n=512, rerank=64, interpret=True,
+    )
+    fvals, fidx = np.asarray(fused[0]), np.asarray(fused[1])
+    for qi in range(4):
+        x_ids = [s for s, _ in xla[qi]]
+        f_ids = [idx.ids[r] for r in fidx[qi] if fvals[qi][0] > -1e29]
+        # top-1 agrees; overlap is high (rerank is int8-exact on candidates)
+        assert x_ids[0] == f_ids[0]
+        assert len(set(x_ids) & set(f_ids)) >= k - 1
 
 
 def test_flat_index_thread_safety(rng):
