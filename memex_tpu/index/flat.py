@@ -100,6 +100,18 @@ def _search_masked_fused_int8(buf, scales, alive, count, queries, k: int,
     return svals, jnp.take_along_axis(idx, order, axis=1)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _write_block_cols(buf, block, start, nvalid):
+    """Column variant of _write_block for the transposed int4 buffer
+    [D/2, capacity]: write `block` [D/2, rows] at columns [start, start+rows),
+    preserving columns >= nvalid."""
+    rows = block.shape[1]
+    tail = jax.lax.dynamic_slice(buf, (0, start), (buf.shape[0], rows))
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, block.shape, 1)
+    merged = jnp.where(col_ids < nvalid, block, tail)
+    return jax.lax.dynamic_update_slice(buf, merged, (0, start))
+
+
 @partial(jax.jit, static_argnames=("k", "block_n", "rerank", "interpret"))
 def _search_masked_fused_int4(buf4, scales, buf8, alive, count, queries, k: int,
                               block_n: int = 8192, rerank: int = 64,
@@ -163,11 +175,15 @@ class FlatIndex:
         self._id_to_row: dict[str, int] = {}
         self._buf_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
                            "int8": jnp.int8, "int4": jnp.int8}[dtype]
-        # int4 mode: `buf` holds packed nibbles [cap, dim/2]; `buf8` holds the
-        # int8 rerank copy [cap, dim]; one scale array serves both stages
+        # int4 mode: `buf` holds packed nibbles TRANSPOSED [dim/2, cap] (the
+        # tile-aligned kernel layout; [N, dim/2]'s 192-lane minor dim would
+        # relayout the whole array every search); `buf8` holds the int8
+        # rerank copy [cap, dim]; one scale array serves both stages
         # (int4 scale = int8 scale * 127/7 exactly, same per-row absmax).
-        buf_cols = dim // 2 if dtype == "int4" else dim
-        self.buf = jnp.zeros((self.capacity, buf_cols), self._buf_dtype)
+        if dtype == "int4":
+            self.buf = jnp.zeros((dim // 2, self.capacity), jnp.int8)
+        else:
+            self.buf = jnp.zeros((self.capacity, dim), self._buf_dtype)
         self.buf8 = (
             jnp.zeros((self.capacity, dim), jnp.int8) if dtype == "int4" else None
         )
@@ -187,9 +203,14 @@ class FlatIndex:
             return
         logger.info("flat index grow %d -> %d", self.capacity, new_cap)
         pad = new_cap - self.capacity
-        self.buf = jnp.concatenate(
-            [self.buf, jnp.zeros((pad, self.buf.shape[1]), self._buf_dtype)]
-        )
+        if self.dtype == "int4":
+            self.buf = jnp.concatenate(
+                [self.buf, jnp.zeros((self.buf.shape[0], pad), jnp.int8)], axis=1
+            )
+        else:
+            self.buf = jnp.concatenate(
+                [self.buf, jnp.zeros((pad, self.dim), self._buf_dtype)]
+            )
         if self.buf8 is not None:
             self.buf8 = jnp.concatenate([self.buf8, jnp.zeros((pad, self.dim), jnp.int8)])
         if self.scales is not None:
@@ -225,10 +246,12 @@ class FlatIndex:
             if self.dtype == "int4":
                 from ..ops.fused_topk import np_quantize_rows_int4
 
-                p, _ = np_quantize_rows_int4(vectors)  # scales = s8*127/7
-                pblock = np.zeros((rows, self.dim // 2), np.int8)
-                pblock[:m] = p
-                self.buf = _write_block(self.buf, jnp.asarray(pblock), self.count, m)
+                p, _ = np_quantize_rows_int4(vectors)  # [D/2, m]; scales = s8*127/7
+                pblock = np.zeros((self.dim // 2, rows), np.int8)
+                pblock[:, :m] = p
+                self.buf = _write_block_cols(
+                    self.buf, jnp.asarray(pblock), self.count, m
+                )
                 self.buf8 = _write_block(self.buf8, jnp.asarray(qblock), self.count, m)
             else:
                 self.buf = _write_block(self.buf, jnp.asarray(qblock), self.count, m)
@@ -273,7 +296,10 @@ class FlatIndex:
         self.dead = 0
         self.ids = []
         self._id_to_row = {}
-        self.buf = jnp.zeros((self.capacity, self.buf.shape[1]), self._buf_dtype)
+        if self.dtype == "int4":
+            self.buf = jnp.zeros((self.dim // 2, self.capacity), jnp.int8)
+        else:
+            self.buf = jnp.zeros((self.capacity, self.dim), self._buf_dtype)
         if self.buf8 is not None:
             self.buf8 = jnp.zeros((self.capacity, self.dim), jnp.int8)
         if self.scales is not None:
@@ -316,7 +342,7 @@ class FlatIndex:
         # wide requests take the exact XLA path instead.
         use_fused = self.use_fused and k_eff <= 128
         if use_fused and self.dtype == "int4":
-            bn = min(8192, self.capacity)
+            bn = min(32768, self.capacity)
             vals, idx = _search_masked_fused_int4(
                 self.buf, self.scales, self.buf8, self.alive, self.count,
                 jnp.asarray(queries), k_eff, block_n=bn,

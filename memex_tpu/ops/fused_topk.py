@@ -149,8 +149,10 @@ def fused_score_topk(
         interpret=interpret,
     )(count_arr, queries, db)
 
-    # Exact top-k over the tiny candidate set.
-    vals, args = jax.lax.top_k(cand_vals, k)
+    # Exact top-k over the tiny candidate set (argsort-slice: measured
+    # faster than lax.top_k on TPU at these widths).
+    args = jnp.argsort(-cand_vals, axis=1)[:, :k]
+    vals = jnp.take_along_axis(cand_vals, args, axis=1)
     idx = jnp.take_along_axis(cand_idx, args, axis=1)
     return vals[:q_n], idx[:q_n]
 
@@ -273,7 +275,8 @@ def fused_score_topk_int8(
         ),
         interpret=interpret,
     )(count_arr, queries, db_q, scales)
-    vals, args = jax.lax.top_k(cand_vals, k)
+    args = jnp.argsort(-cand_vals, axis=1)[:, :k]
+    vals = jnp.take_along_axis(cand_vals, args, axis=1)
     idx = jnp.take_along_axis(cand_idx, args, axis=1)
     return vals[:q_n], idx[:q_n]
 
@@ -334,19 +337,35 @@ def _fused_kernel_int8q(count_ref, q_ref, db_ref, scale_ref, out_vals_ref,
 # int4 packed variant + exact int8 rerank. Storage halves again vs int8
 # (192 B/row at D=384): two 4-bit codes per byte, low nibble = column j,
 # high nibble = column j + D/2 (a fixed permutation of the D axis, so the
-# dot needs no interleaving — queries are just split in half). The MXU dot
-# runs s8xs8->s32 on the sign-extended nibbles. Direct int4 ranking is too
-# coarse for top-10 (recall ~0.76 at 200k), so the kernel's S-slot
-# candidate bank is REranked exactly against an int8 copy of the rows: the
-# scan reads 192 B/row, the rerank gathers only Q*R rows, and recall comes
-# back to the int8 tier's (~0.986 measured at S=1024, R=64). Total
-# storage 576 B/row + scales: less than bf16, faster than int8q, higher
-# recall than both int8 tiers.
+# dot needs no interleaving — queries are just split in half). Direct int4
+# ranking is too coarse for top-10 (recall ~0.76 at 200k), so the kernel's
+# S-slot candidate bank is REranked exactly against an int8 copy of the
+# rows: the scan reads 192 B/row, the rerank gathers only Q*R rows, and
+# recall comes back to the int8 tier's (~0.986 measured at S=1024, R=64).
+# Total storage 576 B/row + scales: more than int8q but ~1.5x faster at
+# higher recall.
+#
+# Layout: the packed codes are stored TRANSPOSED, [D/2, N]. A [N, 192]
+# int8 jit argument has a 192-lane minor dim (not a multiple of the
+# 128-lane tile), which forces XLA to relayout the whole array on every
+# call (~200MB -> measured 1.6ms/batch, 6x the scan itself); [192, N] is
+# fully tile-aligned (sublane 192 = 6x32, lane N), and the kernel's MXU
+# dots want the database as the [K, N] right-hand operand anyway.
+#
+# Unpack: the nibble unpack is the kernel's compute bottleneck (the MXU
+# dot and the DMA are both cheaper), so two in-kernel strategies exist:
+#   shift    — lo = (b<<28)>>28, hi = b>>4 via int32, two s8 MXU dots;
+#   deferred — only lo is extracted; scores = (q_hi/16)·b + (q_lo-q_hi/16)·lo
+#              via two bf16 MXU dots (b = 16*hi + lo exactly in two's
+#              complement). Halves the extraction work; the bf16 rounding
+#              of (q_lo - q_hi/16) adds ~1% score noise, far below the
+#              int4 quantization noise, and the rerank re-scores exactly.
 # ---------------------------------------------------------------------------
 
 
 def quantize_rows_int4(db: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """[N, D] float -> ([N, D/2] int8 packed nibbles, [N] f32 scales).
+    """[N, D] float -> ([D/2, N] int8 packed nibbles (transposed layout),
+    [N] f32 scales).
 
     Symmetric per-row to [-7, 7]; byte j packs (col j) in the low nibble and
     (col j + D/2) in the high nibble."""
@@ -359,11 +378,11 @@ def quantize_rows_int4(db: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     packed = jnp.bitwise_or(
         jnp.bitwise_and(lo, 0xF), jnp.left_shift(jnp.bitwise_and(hi, 0xF), 4)
     )
-    return packed.astype(jnp.int8), scales.astype(jnp.float32)
+    return packed.astype(jnp.int8).T, scales.astype(jnp.float32)
 
 
 def np_quantize_rows_int4(vectors) -> tuple:
-    """Host-side pack (ingest path): [M, D] f32 -> ([M, D/2] int8, [M] f32)."""
+    """Host-side pack (ingest path): [M, D] f32 -> ([D/2, M] int8, [M] f32)."""
     import numpy as np
 
     v = np.asarray(vectors, np.float32)
@@ -373,12 +392,12 @@ def np_quantize_rows_int4(vectors) -> tuple:
     codes = np.clip(np.round(v / scales[:, None]), -7, 7).astype(np.int32)
     lo, hi = codes[:, : d // 2], codes[:, d // 2 :]
     packed = ((lo & 0xF) | ((hi & 0xF) << 4)).astype(np.uint8).view(np.int8)
-    return packed, scales.astype(np.float32)
+    return np.ascontiguousarray(packed.T), scales.astype(np.float32)
 
 
 def _fused_kernel_int4q(count_ref, qlo_ref, qhi_ref, db_ref, scale_ref,
                         out_vals_ref, out_idx_ref, vals_acc, idx_acc,
-                        *, block_n: int, banks: int):
+                        *, block_n: int, banks: int, deferred: bool):
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
     S = banks * _LANES
@@ -390,23 +409,38 @@ def _fused_kernel_int4q(count_ref, qlo_ref, qhi_ref, db_ref, scale_ref,
         vals_acc[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
         idx_acc[:] = jnp.zeros((Q, S), jnp.int32)
 
-    # Unpack nibbles on the VPU (sign-extending shifts), then two s8xs8->s32
-    # MXU dots over the D/2 halves. The unpack is ~2 ops/byte; the pipeline
-    # overlaps it with the next block's DMA, so the scan stays near the
-    # 192 B/row HBM bound.
-    b32 = db_ref[:].astype(jnp.int32)
-    lo = jnp.right_shift(jnp.left_shift(b32, 28), 28).astype(jnp.int8)
-    hi = jnp.right_shift(b32, 4).astype(jnp.int8)
-    raw = jax.lax.dot_general(
-        qlo_ref[:], lo,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ) + jax.lax.dot_general(
-        qhi_ref[:], hi,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    scores = raw.astype(jnp.float32) * scale_ref[:].reshape(1, block_n)
+    b = db_ref[:]  # [D/2, block_n] packed bytes
+    if deferred:
+        # One extraction: scores = qh16·b + qdiff·lo (see module comment);
+        # qlo_ref carries qh16, qhi_ref carries qdiff (both bf16).
+        lo = jnp.right_shift(
+            jnp.left_shift(b.astype(jnp.int32), 28), 28
+        ).astype(jnp.bfloat16)
+        raw = jax.lax.dot_general(
+            qlo_ref[:], b.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            qhi_ref[:], lo,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scores = raw * scale_ref[:].reshape(1, block_n)
+    else:
+        # Sign-extending nibble unpack, two s8xs8->s32 MXU dots.
+        b32 = b.astype(jnp.int32)
+        lo = jnp.right_shift(jnp.left_shift(b32, 28), 28).astype(jnp.int8)
+        hi = jnp.right_shift(b32, 4).astype(jnp.int8)
+        raw = jax.lax.dot_general(
+            qlo_ref[:], lo,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ) + jax.lax.dot_general(
+            qhi_ref[:], hi,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = raw.astype(jnp.float32) * scale_ref[:].reshape(1, block_n)
 
     base = i * block_n
     col = jax.lax.broadcasted_iota(jnp.int32, (Q, block_n), 1)
@@ -430,10 +464,11 @@ def _fused_kernel_int4q(count_ref, qlo_ref, qhi_ref, db_ref, scale_ref,
 
 
 def _int4q_candidates(db_p, scales4, queries, count_arr, *, block_n: int,
-                      banks: int, interpret: bool):
+                      banks: int, deferred: bool, interpret: bool):
     """Run the int4 coarse kernel; returns ([Q, S] vals, [Q, S] idx) with the
-    per-query int8 scale NOT folded in (ranking is scale-invariant)."""
-    n, d2 = db_p.shape
+    per-query int8 scale NOT folded in (ranking is scale-invariant).
+    db_p is the TRANSPOSED packed array [D/2, N]."""
+    d2, n = db_p.shape
     q_n = queries.shape[0]
     S = banks * _LANES
     assert block_n % S == 0 and n % block_n == 0
@@ -444,6 +479,15 @@ def _int4q_candidates(db_p, scales4, queries, count_arr, *, block_n: int,
     q_scales = jnp.maximum(q_absmax, 1e-12) / 127.0
     q8 = jnp.clip(jnp.round(queries / q_scales[:, None]), -127, 127).astype(jnp.int8)
     q_lo, q_hi = q8[:, :d2], q8[:, d2:]
+    if deferred:
+        # /16 is an exact exponent shift; the subtraction's bf16 rounding is
+        # the documented ~1% coarse-score noise.
+        q_lo_f = q_lo.astype(jnp.float32)
+        q_hi_f = q_hi.astype(jnp.float32)
+        in1 = (q_hi_f / 16.0).astype(jnp.bfloat16)              # qh16
+        in2 = (q_lo_f - q_hi_f / 16.0).astype(jnp.bfloat16)     # qdiff
+    else:
+        in1, in2 = q_lo, q_hi
 
     nblocks = n // block_n
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -452,7 +496,7 @@ def _int4q_candidates(db_p, scales4, queries, count_arr, *, block_n: int,
         in_specs=[
             pl.BlockSpec((q_pad, d2), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((q_pad, d2), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, d2), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d2, block_n), lambda i, c: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n,), lambda i, c: (i,), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -464,7 +508,8 @@ def _int4q_candidates(db_p, scales4, queries, count_arr, *, block_n: int,
             pltpu.VMEM((q_pad, S), jnp.int32),
         ],
     )
-    kernel = functools.partial(_fused_kernel_int4q, block_n=block_n, banks=banks)
+    kernel = functools.partial(_fused_kernel_int4q, block_n=block_n,
+                               banks=banks, deferred=deferred)
     cand_vals, cand_idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -481,12 +526,13 @@ def _int4q_candidates(db_p, scales4, queries, count_arr, *, block_n: int,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(count_arr, q_lo, q_hi, db_p, scales4)
+    )(count_arr, in1, in2, db_p, scales4)
     return cand_vals[:q_n], cand_idx[:q_n]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "rerank", "block_n", "banks", "interpret")
+    jax.jit,
+    static_argnames=("k", "rerank", "block_n", "banks", "deferred", "interpret"),
 )
 def fused_score_topk_int4_rerank(
     db_p: jnp.ndarray,
@@ -498,18 +544,19 @@ def fused_score_topk_int4_rerank(
     alive=None,
     *,
     rerank: int = 64,
-    block_n: int = 8192,
+    block_n: int = 32768,
     banks: int = 8,
+    deferred: bool = True,
     interpret: bool = False,
 ):
     """Two-stage fused search: int4 coarse scan -> exact int8 rerank.
 
-    (db_p [N, D/2] int8 nibbles, scales8 [N] f32 int8-scales, db8 [N, D]
-    int8, queries [Q, D] f32) -> (vals [Q, k] f32 cosine, idx [Q, k]).
+    (db_p [D/2, N] int8 nibbles (transposed), scales8 [N] f32 int8-scales,
+    db8 [N, D] int8, queries [Q, D] f32) -> (vals [Q, k] f32, idx [Q, k]).
     One int8-scale array serves both stages: the int4 codes use
     scales8 * 127/7 exactly (same per-row absmax, 7 vs 127 levels).
     `alive` (f32 0/1 mask) filters tombstones on the candidate set."""
-    n, d2 = db_p.shape
+    d2, n = db_p.shape
     if count is None:
         count = n
     count_arr = jnp.full((1,), count, jnp.int32)
@@ -517,11 +564,14 @@ def fused_score_topk_int4_rerank(
     banks = max(1, min(banks, block_n // _LANES))  # need banks*128 <= block_n
     cand_vals, cand_idx = _int4q_candidates(
         db_p, scales4, queries, count_arr,
-        block_n=block_n, banks=banks, interpret=interpret,
+        block_n=block_n, banks=banks, deferred=deferred, interpret=interpret,
     )
-    # Coarse top-R candidate rows, then exact int8 scoring on the gather.
+    # Coarse top-R candidate rows (argsort beats lax.top_k on TPU for these
+    # widths, measured 0.05 vs 0.13 ms at [32, 1024]), then exact int8
+    # scoring on the gathered rows.
     r = min(rerank, cand_vals.shape[1])
-    cvals, order = jax.lax.top_k(cand_vals, r)
+    order = jnp.argsort(-cand_vals, axis=1)[:, :r]
+    cvals = jnp.take_along_axis(cand_vals, order, axis=1)
     cand = jnp.take_along_axis(cand_idx, order, axis=1)      # [Q, R]
     rows = jnp.take(db8, cand, axis=0)                       # [Q, R, D]
     rsc = jnp.take(scales8, cand)                            # [Q, R]
@@ -605,7 +655,8 @@ def fused_score_topk_int8q(
         ),
         interpret=interpret,
     )(count_arr, q8, db_q, scales)
-    vals, args = jax.lax.top_k(cand_vals, k)
+    args = jnp.argsort(-cand_vals, axis=1)[:, :k]
+    vals = jnp.take_along_axis(cand_vals, args, axis=1)
     idx = jnp.take_along_axis(cand_idx, args, axis=1)
     # Fold the per-query scale back in, preserving the -inf sentinel for
     # masked slots (a tiny positive scale would shrink it past the callers'

@@ -97,8 +97,12 @@ class FusedQueryPath:
             count = index.count
             k_eff = min(k, count)
             use_fused = index.use_fused and k_eff <= 128
-            bn = (min(8192, index.capacity) if index.query_quantize
-                  else min(index.block_n, index.capacity))
+            if index.dtype == "int4":
+                bn = min(32768, index.capacity)
+            elif index.query_quantize:
+                bn = min(8192, index.capacity)
+            else:
+                bn = min(index.block_n, index.capacity)
             args = (self.engine.params, jnp.asarray(ids), jnp.asarray(mask),
                     index.buf, index.scales, index.alive, count, index.buf8)
         vals, rows = _encode_and_search(

@@ -94,10 +94,11 @@ class TestFusedKernelInterpret:
         db = unit(rng, 128, 64)
         p_dev, s_dev = quantize_rows_int4(jnp.asarray(db))
         p_np, s_np = np_quantize_rows_int4(db)
+        assert p_np.shape == (32, 128)  # transposed [D/2, N]
         np.testing.assert_array_equal(np.asarray(p_dev), p_np)
         np.testing.assert_allclose(np.asarray(s_dev), s_np, rtol=1e-6)
         # Unpack (low nibble = col j, high = col j + D/2) and check error.
-        b = p_np.astype(np.int32)
+        b = p_np.T.astype(np.int32)
         lo = (b << 28) >> 28
         hi = b >> 4
         recon = np.concatenate([lo, hi], axis=1).astype(np.float32) * s_np[:, None]
