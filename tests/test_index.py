@@ -159,6 +159,50 @@ class TestIVFIndex:
             recalls.append(len(got & want) / k)
         assert np.mean(recalls) >= 0.9, recalls
 
+    def test_build_device_matches_host_build_recall(self, rng):
+        """All-device int8 build reaches the same recall regime as the
+        host-side build and keeps every row reachable (bucket + spill)."""
+        import jax.numpy as jnp
+
+        from memex_tpu.ops.fused_topk import quantize_rows_int8
+
+        d, n, q_n, k = 48, 4096, 8, 10
+        centers = unit(rng, 32, d)
+        assign = rng.integers(0, 32, size=n)
+        db = centers[assign] + 0.3 * rng.standard_normal((n, d)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        qs = unit(rng, q_n, d)
+        ids = [f"p{i}" for i in range(n)]
+        vq, sc = quantize_rows_int8(jnp.asarray(db))
+
+        dev = IVFIndex(dim=d, n_clusters=64, nprobe=24, dtype="int8",
+                       use_fused=False)
+        dev.build_device(vq, sc, ids)
+        assert dev.count == n
+        assert int(np.asarray(dev.sizes).sum()) + dev.spill.count == n
+        # Every id is reachable exactly once (bucket or spill).
+        seen = set()
+        sizes = np.asarray(dev.sizes)
+        for c in range(dev.C):
+            for m in range(int(sizes[c])):
+                r = dev.rowids[c, m]
+                assert r >= 0
+                seen.add(dev.ids[r])
+        seen |= set(dev.spill.ids)
+        assert seen == set(ids)
+
+        host = IVFIndex(dim=d, n_clusters=64, nprobe=24, dtype="int8",
+                        use_fused=False)
+        host.build(db, ids)
+        expect = oracle_topk(db, qs, k)
+        for idx in (dev, host):
+            recalls = []
+            for qq, hits in enumerate(idx.search(qs, k)):
+                got = {s for s, _ in hits}
+                want = {f"p{i}" for i in expect[qq]}
+                recalls.append(len(got & want) / k)
+            assert np.mean(recalls) >= 0.85, (type(idx), recalls)
+
     def test_nprobe_full_is_exact(self, rng):
         d, n, k = 32, 1024, 5
         db, qs = unit(rng, n, d), unit(rng, 4, d)
