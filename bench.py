@@ -3,8 +3,11 @@
 Headline: search QPS/chip on a 1M x 384 corpus (BASELINE.json north star:
 >=10k QPS/chip with >=95% recall@10). Storage tiers measured in one run:
 f32 (exact scan), bf16, int8 (per-row scales), int8q (queries quantized
-too -> s8xs8 MXU dot); the headline value is the fastest tier clearing the
-0.95 recall bar against the exact oracle.
+too -> s8xs8 MXU dot), int4 (packed nibbles + exact int8 rerank), plus
+Q=128 rows for the two fastest tiers (the scan is HBM-bound, so larger
+query batches raise QPS at near-constant per-batch latency). The headline
+value is the fastest row clearing the 0.95 recall bar against the exact
+oracle. A 10M-row device-resident stage reports flat + IVF at scale.
 
 Also measured (BASELINE.md target table): end-to-end query latency through
 the real serving stack (full MiniLM-L12 encode + fused search), ingest
@@ -30,10 +33,25 @@ N = 1_048_576
 D = 384
 Q = 32
 K = 10
-R = 32
+R = 128           # batches per timing chain (rpc noise divides by R)
 REPS = 3
 BASELINE_QPS = 10_000.0   # driver-set target (BASELINE.md)
 RECALL_BAR = 0.95
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: pallas compiles through the tunnel cost
+    3-5 min each; cached reruns load in seconds (verified on axon)."""
+    import jax
+
+    cache = os.environ.get("JAX_COMPILE_CACHE", "/root/.cache/jaxpc")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
 
 
 def bench_kernels(rpc: float) -> dict:
@@ -43,8 +61,10 @@ def bench_kernels(rpc: float) -> dict:
 
     from memex_tpu.ops.fused_topk import (
         fused_score_topk,
+        fused_score_topk_int4_rerank,
         fused_score_topk_int8,
         fused_score_topk_int8q,
+        quantize_rows_int4,
         quantize_rows_int8,
     )
     from memex_tpu.ops.topk import score_topk
@@ -53,40 +73,139 @@ def bench_kernels(rpc: float) -> dict:
     db = db / jnp.linalg.norm(db, axis=1, keepdims=True)
     db16 = db.astype(jnp.bfloat16)
     db8, scales = quantize_rows_int8(db)
-    qs = [
-        jax.random.normal(jax.random.PRNGKey(2 + i), (Q, D), jnp.float32)
-        for i in range(R)
-    ]
+    db4t, _ = quantize_rows_int4(db)
 
-    tiers = {
-        "f32": lambda q: fused_score_topk(db, q, K, count=N, block_n=2048),
-        "bf16": lambda q: fused_score_topk(db16, q, K, count=N, block_n=1024),
-        "int8": lambda q: fused_score_topk_int8(db8, scales, q, K, count=N, block_n=1024),
-        "int8q": lambda q: fused_score_topk_int8q(
-            db8, scales, q, K, count=N, block_n=8192, banks=4
-        ),
-    }
-    _, ei = score_topk(db, qs[0], K, method="exact")
+    # Tier rows: (name, query_batch, fn). Q=128 rows exist because the scan
+    # is HBM-bound and Q-independent until the slot fold saturates the VPU:
+    # throughput keeps climbing past Q=32 at near-unchanged per-batch time.
+    tiers = [
+        ("f32", Q, lambda q: fused_score_topk(db, q, K, count=N, block_n=2048)),
+        ("bf16", Q, lambda q: fused_score_topk(db16, q, K, count=N, block_n=1024)),
+        ("int8", Q, lambda q: fused_score_topk_int8(
+            db8, scales, q, K, count=N, block_n=1024)),
+        ("int8q", Q, lambda q: fused_score_topk_int8q(
+            db8, scales, q, K, count=N, block_n=8192, banks=4)),
+        ("int4", Q, lambda q: fused_score_topk_int4_rerank(
+            db4t, scales, db8, q, K, count=N, rerank=64, block_n=32768,
+            deferred=False)),
+        ("int8q_q128", 128, lambda q: fused_score_topk_int8q(
+            db8, scales, q, K, count=N, block_n=32768, banks=4)),
+        ("int8q_q256", 256, lambda q: fused_score_topk_int8q(
+            db8, scales, q, K, count=N, block_n=32768, banks=4)),
+        ("int4_q128", 128, lambda q: fused_score_topk_int4_rerank(
+            db4t, scales, db8, q, K, count=N, rerank=64, block_n=32768,
+            deferred=False)),
+    ]
+    oracle_q = jax.random.normal(jax.random.PRNGKey(2), (Q, D), jnp.float32)
+    _, ei = score_topk(db, oracle_q, K, method="exact")
     ei = np.asarray(ei)
 
-    for fn in tiers.values():  # compile everything first
-        float(fn(qs[0])[0][0, 0])
-
     results = {}
-    for name, fn in tiers.items():
+    for name, qb, fn in tiers:
+        qs = [
+            jax.random.normal(jax.random.PRNGKey(2 + i), (qb, D), jnp.float32)
+            for i in range(R if qb <= Q else 48)
+        ]
+        float(fn(qs[0])[0][0, 0])  # compile
         best = 1e9
         for _ in range(REPS):
             t0 = time.perf_counter()
             outs = [fn(q) for q in qs]      # async dispatch chain
             float(outs[-1][0][0, 0])        # sync the whole chain
-            best = min(best, (time.perf_counter() - t0 - rpc) / R)
-        fi = np.asarray(fn(qs[0])[1])
+            best = min(best, (time.perf_counter() - t0 - rpc) / len(qs))
+        fi = np.asarray(fn(qs[0])[1])[:Q]   # recall on the oracle's Q rows
         rec = float(np.mean([len(set(fi[i]) & set(ei[i])) / K for i in range(Q)]))
-        results[name] = {"qps": Q / best, "p50_batch_ms": best * 1e3, "recall_at_10": rec}
+        results[name] = {"qps": qb / best, "p50_batch_ms": best * 1e3,
+                         "recall_at_10": rec, "query_batch": qb}
 
-    # release the big buffers before the e2e stage
-    del db, db16, db8, scales, qs
+    # release the big buffers before the next stage
+    del db, db16, db8, db4t, scales
     return results
+
+
+def bench_scale_10m(rpc: float) -> dict:
+    """10M-row tier, fully device-resident (BASELINE.md config: 10M IVF).
+
+    The corpus is generated and quantized ON DEVICE (10M x 384 f32 would be
+    15 GB and ~8 min through the tunnel), the exact-int8 oracle is the flat
+    int8q scan over the same codes, and the IVF build uses build_device()
+    (device argsort + scatter packing). Reported: flat-scan QPS at Q=128
+    (best batched throughput), IVF probe QPS at Q=32 (low-latency tier),
+    recall vs the int8-exact oracle, and device build time.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from memex_tpu.index.ivf import IVFIndex
+    from memex_tpu.ops.fused_topk import fused_score_topk_int8q, quantize_rows_int8
+
+    N10 = 10 * (1 << 20)
+    BLK = 1 << 20
+
+    @jax.jit
+    def gen_block(key):
+        v = jax.random.normal(key, (BLK, D), jnp.float32)
+        v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+        return quantize_rows_int8(v)
+
+    t0 = time.perf_counter()
+    parts = [gen_block(jax.random.PRNGKey(100 + i)) for i in range(N10 // BLK)]
+    vecs = jnp.concatenate([p[0] for p in parts])
+    scales = jnp.concatenate([p[1] for p in parts])
+    jax.block_until_ready(vecs)
+    del parts
+    gen_s = time.perf_counter() - t0
+
+    qs32 = [jax.random.normal(jax.random.PRNGKey(300 + i), (Q, D), jnp.float32)
+            for i in range(16)]
+    qs128 = [jax.random.normal(jax.random.PRNGKey(300 + i), (128, D), jnp.float32)
+             for i in range(16)]
+
+    def flat(q):
+        return fused_score_topk_int8q(vecs, scales, q, K, count=N10,
+                                      block_n=32768, banks=4)
+
+    float(flat(qs128[0])[0][0, 0])
+    best = 1e9
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        outs = [flat(q) for q in qs128]
+        float(outs[-1][0][0, 0])
+        best = min(best, (time.perf_counter() - t0 - rpc) / len(qs128))
+    flat_qps = 128 / best
+    ei = np.asarray(flat(qs32[0])[1])  # int8-exact oracle for IVF routing
+
+    # --- IVF: device build + probe scan ------------------------------------
+    t0 = time.perf_counter()
+    # bucket_factor 1.6: [C, M, D] is factor x corpus bytes; 1.6 keeps the
+    # build's peak (codes + packed buckets) under ~10GB HBM with ~1% spill.
+    ivf = IVFIndex(dim=D, n_clusters=4096, nprobe=64, dtype="int8",
+                   bucket_factor=1.6)
+    ivf.build_device(vecs, scales, list(range(N10)))
+    build_s = time.perf_counter() - t0
+    del vecs, scales
+
+    hits = ivf.search(np.asarray(qs32[0]), K)  # compile + warm
+    best = 1e9
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        for q in qs32:
+            hits = ivf.search(np.asarray(q), K)
+        best = min(best, (time.perf_counter() - t0) / len(qs32))
+    ivf_qps = Q / best
+    rec = float(np.mean([
+        len({int(s) for s, _ in hits[i]} & set(ei[i].tolist())) / K
+        for i in range(Q)
+    ]))
+    return {
+        "n": N10,
+        "corpus_gen_s": round(gen_s, 2),
+        "flat_int8q_q128_qps": round(flat_qps, 1),
+        "ivf_build_device_s": round(build_s, 2),
+        "ivf_nprobe64_qps_q32": round(ivf_qps, 1),
+        "ivf_recall_at_10_vs_int8_exact": round(rec, 4),
+    }
 
 
 def bench_bulk_load() -> float:
@@ -173,6 +292,7 @@ def bench_e2e() -> dict:
 
 
 def main() -> None:
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
@@ -187,6 +307,11 @@ def main() -> None:
     best = max(eligible, key=lambda k: eligible[k]["qps"])
 
     extras = {}
+    if not os.environ.get("MEMEX_BENCH_SKIP_10M"):
+        try:
+            extras["scale_10M"] = bench_scale_10m(rpc)
+        except Exception as exc:
+            extras["scale_10M_error"] = str(exc)[:200]
     try:
         extras["bulk_load_1M_s"] = round(bench_bulk_load(), 2)
     except Exception as exc:  # keep the headline even if a stage breaks
@@ -205,12 +330,13 @@ def main() -> None:
         "storage_tier": best,
         "recall_at_10_vs_exact": round(results[best]["recall_at_10"], 4),
         "p50_batch_ms": round(results[best]["p50_batch_ms"], 3),
+        "query_batch": results[best]["query_batch"],
         "tiers": {
-            k: {"qps": round(v["qps"], 1), "recall": round(v["recall_at_10"], 4)}
+            k: {"qps": round(v["qps"], 1), "recall": round(v["recall_at_10"], 4),
+                "q": v["query_batch"]}
             for k, v in results.items()
         },
         "e2e": extras,
-        "query_batch": Q,
         "corpus": N,
         "backend": jax.default_backend(),
     }))

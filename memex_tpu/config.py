@@ -66,6 +66,10 @@ class Settings:
     worker_max_active: int = 5
     # New vs reference: reap tasks stuck in Processing after this lease.
     task_lease_s: float = 300.0
+    # Search microbatch cap: the fused scan is HBM-bound, so per-batch time
+    # is near-constant up to ~256 queries — under load a larger cap raises
+    # QPS/chip ~linearly (MEMEX_SEARCH_MAX_BATCH to override).
+    search_max_batch: int = 128
     # Device-index checkpoint cadence (seconds). SQL stays the source of
     # truth; checkpoints only warm-start restarts, so they are rate-limited
     # instead of per-ingest (vs reference local.rs:62-69 save-per-insert).
@@ -86,6 +90,9 @@ class Settings:
             openai_base_url=env.get("OPENAI_BASE_URL", cls.openai_base_url),
             local_llm_config=env.get("LOCAL_LLM_CONFIG") or None,
             embedding_model=env.get("EMBEDDING_MODEL", cls.embedding_model),
+            search_max_batch=int(
+                env.get("MEMEX_SEARCH_MAX_BATCH", cls.search_max_batch)
+            ),
         )
         kwargs.update(overrides)
         return cls(**kwargs)

@@ -349,9 +349,10 @@ class FlatIndex:
                 rerank=min(max(64, 2 * k_eff), 1024),
             )
         elif use_fused and self.dtype == "int8":
-            # block 8192 is the measured int8 sweet spot; clamp for small
-            # capacities (kernel needs capacity % block_n == 0).
-            bn = min(8192, self.capacity) if self.query_quantize else min(
+            # block 32768 is the measured int8 sweet spot with the
+            # unrolled fold; clamp for small capacities (kernel needs
+            # capacity % block_n == 0).
+            bn = min(32768, self.capacity) if self.query_quantize else min(
                 self.block_n, self.capacity)
             vals, idx = _search_masked_fused_int8(
                 self.buf, self.scales, self.alive, self.count,

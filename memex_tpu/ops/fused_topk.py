@@ -60,23 +60,27 @@ def _fused_kernel(count_ref, q_ref, db_ref, out_vals_ref, out_idx_ref,
     )
 
     # Mask unfilled rows: global column = i*block_n + col.
+    # Broadcast mask/index iotas from [1, ...]: materializing them at
+    # [Q, ...] costs Q x the VPU passes and the fold is the kernel's
+    # compute bound at large query batches.
     base = i * block_n
-    col = jax.lax.broadcasted_iota(jnp.int32, (Q, block_n), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, block_n), 1)
     scores = jnp.where(col + base < count_ref[0], scores, NEG_INF)
 
-    # Fold the block into S slots: col -> (g, slot); slot keeps its max over g.
-    s3 = scores.reshape(Q, G, S)
-    block_max = jnp.max(s3, axis=1)  # [Q, S]
-    # Argmax over g without an argmax primitive: first g achieving the max.
-    g_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, G, S), 1)
-    g_sel = jnp.min(jnp.where(s3 == block_max[:, None, :], g_iota, G), axis=1)
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, S), 1)
-    block_idx = base + g_sel * S + slot_iota  # global column of each slot max
-
-    # Merge with the running accumulator.
-    take = block_max > vals_acc[:]
-    vals_acc[:] = jnp.where(take, block_max, vals_acc[:])
-    idx_acc[:] = jnp.where(take, block_idx, idx_acc[:])
+    # Fold the block into S slots: col -> (g, slot); slot keeps its max
+    # over g. Statically-unrolled chunk loop: each S-wide lane-aligned
+    # slice merges straight into the accumulator — no [Q, G, S] reshape
+    # (which forces lane<->sublane relayouts of every score) and no
+    # block_max/argmax intermediates.
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    acc_v, acc_i = vals_acc[:], idx_acc[:]
+    for g in range(G):
+        chunk = scores[:, g * S : (g + 1) * S]
+        take = chunk > acc_v
+        acc_v = jnp.where(take, chunk, acc_v)
+        acc_i = jnp.where(take, base + g * S + slot_iota, acc_i)
+    vals_acc[:] = acc_v
+    idx_acc[:] = acc_i
 
     @pl.when(i == nblocks - 1)
     def _flush():
@@ -195,20 +199,22 @@ def _fused_kernel_int8(count_ref, q_ref, db_ref, scale_ref, out_vals_ref,
     )
     scores = raw * scale_ref[:].reshape(1, block_n)
 
+    # Broadcast mask/index iotas from [1, ...]: materializing them at
+    # [Q, ...] costs Q x the VPU passes and the fold is the kernel's
+    # compute bound at large query batches.
     base = i * block_n
-    col = jax.lax.broadcasted_iota(jnp.int32, (Q, block_n), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, block_n), 1)
     scores = jnp.where(col + base < count_ref[0], scores, NEG_INF)
 
-    s3 = scores.reshape(Q, G, S)
-    block_max = jnp.max(s3, axis=1)
-    g_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, G, S), 1)
-    g_sel = jnp.min(jnp.where(s3 == block_max[:, None, :], g_iota, G), axis=1)
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, S), 1)
-    block_idx = base + g_sel * S + slot_iota
-
-    take = block_max > vals_acc[:]
-    vals_acc[:] = jnp.where(take, block_max, vals_acc[:])
-    idx_acc[:] = jnp.where(take, block_idx, idx_acc[:])
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    acc_v, acc_i = vals_acc[:], idx_acc[:]
+    for g in range(G):
+        chunk = scores[:, g * S : (g + 1) * S]
+        take = chunk > acc_v
+        acc_v = jnp.where(take, chunk, acc_v)
+        acc_i = jnp.where(take, base + g * S + slot_iota, acc_i)
+    vals_acc[:] = acc_v
+    idx_acc[:] = acc_i
 
     @pl.when(i == nblocks - 1)
     def _flush():
@@ -312,20 +318,22 @@ def _fused_kernel_int8q(count_ref, q_ref, db_ref, scale_ref, out_vals_ref,
     )
     scores = raw.astype(jnp.float32) * scale_ref[:].reshape(1, block_n)
 
+    # Broadcast mask/index iotas from [1, ...]: materializing them at
+    # [Q, ...] costs Q x the VPU passes and the fold is the kernel's
+    # compute bound at large query batches.
     base = i * block_n
-    col = jax.lax.broadcasted_iota(jnp.int32, (Q, block_n), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, block_n), 1)
     scores = jnp.where(col + base < count_ref[0], scores, NEG_INF)
 
-    s3 = scores.reshape(Q, G, S)
-    block_max = jnp.max(s3, axis=1)
-    g_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, G, S), 1)
-    g_sel = jnp.min(jnp.where(s3 == block_max[:, None, :], g_iota, G), axis=1)
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, S), 1)
-    block_idx = base + g_sel * S + slot_iota
-
-    take = block_max > vals_acc[:]
-    vals_acc[:] = jnp.where(take, block_max, vals_acc[:])
-    idx_acc[:] = jnp.where(take, block_idx, idx_acc[:])
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    acc_v, acc_i = vals_acc[:], idx_acc[:]
+    for g in range(G):
+        chunk = scores[:, g * S : (g + 1) * S]
+        take = chunk > acc_v
+        acc_v = jnp.where(take, chunk, acc_v)
+        acc_i = jnp.where(take, base + g * S + slot_iota, acc_i)
+    vals_acc[:] = acc_v
+    idx_acc[:] = acc_i
 
     @pl.when(i == nblocks - 1)
     def _flush():
@@ -442,20 +450,22 @@ def _fused_kernel_int4q(count_ref, qlo_ref, qhi_ref, db_ref, scale_ref,
         )
         scores = raw.astype(jnp.float32) * scale_ref[:].reshape(1, block_n)
 
+    # Broadcast mask/index iotas from [1, ...]: materializing them at
+    # [Q, ...] costs Q x the VPU passes and the fold is the kernel's
+    # compute bound at large query batches.
     base = i * block_n
-    col = jax.lax.broadcasted_iota(jnp.int32, (Q, block_n), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, block_n), 1)
     scores = jnp.where(col + base < count_ref[0], scores, NEG_INF)
 
-    s3 = scores.reshape(Q, G, S)
-    block_max = jnp.max(s3, axis=1)
-    g_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, G, S), 1)
-    g_sel = jnp.min(jnp.where(s3 == block_max[:, None, :], g_iota, G), axis=1)
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, S), 1)
-    block_idx = base + g_sel * S + slot_iota
-
-    take = block_max > vals_acc[:]
-    vals_acc[:] = jnp.where(take, block_max, vals_acc[:])
-    idx_acc[:] = jnp.where(take, block_idx, idx_acc[:])
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    acc_v, acc_i = vals_acc[:], idx_acc[:]
+    for g in range(G):
+        chunk = scores[:, g * S : (g + 1) * S]
+        take = chunk > acc_v
+        acc_v = jnp.where(take, chunk, acc_v)
+        acc_i = jnp.where(take, base + g * S + slot_iota, acc_i)
+    vals_acc[:] = acc_v
+    idx_acc[:] = acc_i
 
     @pl.when(i == nblocks - 1)
     def _flush():

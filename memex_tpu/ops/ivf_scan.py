@@ -82,16 +82,17 @@ def _kernel_manual(probes_ref, sizes_ref, q_ref, db_hbm, rs_hbm,
         col = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
         scores = jnp.where(col < csize, scores, NEG_INF)
 
-        s3 = scores.reshape(1, G, S)
-        block_max = jnp.max(s3, axis=1)
-        g_iota = jax.lax.broadcasted_iota(jnp.int32, (1, G, S), 1)
-        g_sel = jnp.min(jnp.where(s3 == block_max[:, None, :], g_iota, G), axis=1)
+        # Unrolled chunk fold (no [1, G, S] reshape, which relayouts every
+        # score lane<->sublane; see fused_topk.py for the measured effect).
         slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-        cand_idx = cid * M + g_sel * S + slot_iota
-
-        take = block_max > acc_v[:]
-        acc_v[:] = jnp.where(take, block_max, acc_v[:])
-        acc_i[:] = jnp.where(take, cand_idx, acc_i[:])
+        av, ai = acc_v[:], acc_i[:]
+        for g in range(G):
+            chunk = scores[:, g * S : (g + 1) * S]
+            take = chunk > av
+            av = jnp.where(take, chunk, av)
+            ai = jnp.where(take, cid * M + g * S + slot_iota, ai)
+        acc_v[:] = av
+        acc_i[:] = ai
         return _
 
     jax.lax.fori_loop(0, nprobe, loop_body, None)

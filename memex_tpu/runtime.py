@@ -65,7 +65,9 @@ class Runtime:
             if self._batcher is None:
                 from .serve import SearchBatcher
 
-                self._batcher = SearchBatcher(self)
+                self._batcher = SearchBatcher(
+                    self, max_batch=self.settings.search_max_batch
+                )
             return self._batcher
 
     def encode_doc(self, text: str):

@@ -33,7 +33,7 @@ from ..models.minilm import MiniLMEncoder
 
 logger = get_logger(__name__)
 
-_Q_BUCKETS = (1, 8, 32)
+_Q_BUCKETS = (1, 8, 32, 128, 256)
 _L_BUCKETS = (32, 64, 128, 256)
 
 
@@ -100,7 +100,7 @@ class FusedQueryPath:
             if index.dtype == "int4":
                 bn = min(32768, index.capacity)
             elif index.query_quantize:
-                bn = min(8192, index.capacity)
+                bn = min(32768, index.capacity)
             else:
                 bn = min(index.block_n, index.capacity)
             args = (self.engine.params, jnp.asarray(ids), jnp.asarray(mask),
