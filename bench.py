@@ -118,8 +118,9 @@ def bench_kernels(rpc: float) -> dict:
         results[name] = {"qps": qb / best, "p50_batch_ms": best * 1e3,
                          "recall_at_10": rec, "query_batch": qb}
 
-    # release the big buffers before the next stage
-    del db, db16, db8, db4t, scales
+    # Release the big buffers before the next stage: the tier lambdas
+    # close over them, so the list must go too or nothing frees.
+    del tiers, db, db16, db8, db4t, scales
     return results
 
 
@@ -142,12 +143,33 @@ def bench_scale_10m(rpc: float) -> dict:
 
     N10 = 10 * (1 << 20)
     BLK = 1 << 20
+    # Clustered corpus (mixture of gaussians; benchmarks/datasets.py
+    # parameters: offset NORM 0.75 -> cos(point, center) ~ 0.8, matching
+    # intra-topic similarity of sentence embeddings). A uniform corpus has
+    # no cluster structure, which makes IVF routing meaningless (measured
+    # recall 0.08 at nprobe/C = 64/4096) — and no one runs IVF on noise.
+    CENTERS = 8192
+    ckey = jax.random.PRNGKey(99)
+    centers = jax.random.normal(ckey, (CENTERS, D), jnp.float32)
+    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+    sigma = 0.75 / (D ** 0.5)
 
     @jax.jit
     def gen_block(key):
-        v = jax.random.normal(key, (BLK, D), jnp.float32)
+        ka, kb = jax.random.split(key)
+        asg = jax.random.randint(ka, (BLK,), 0, CENTERS)
+        v = centers[asg] + sigma * jax.random.normal(kb, (BLK, D), jnp.float32)
         v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
         return quantize_rows_int8(v)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def gen_queries(key, m):
+        ka, kb = jax.random.split(key)
+        asg = jax.random.randint(ka, (m,), 0, CENTERS)
+        v = centers[asg] + sigma * jax.random.normal(kb, (m, D), jnp.float32)
+        return v / jnp.linalg.norm(v, axis=1, keepdims=True)
 
     t0 = time.perf_counter()
     parts = [gen_block(jax.random.PRNGKey(100 + i)) for i in range(N10 // BLK)]
@@ -157,10 +179,8 @@ def bench_scale_10m(rpc: float) -> dict:
     del parts
     gen_s = time.perf_counter() - t0
 
-    qs32 = [jax.random.normal(jax.random.PRNGKey(300 + i), (Q, D), jnp.float32)
-            for i in range(16)]
-    qs128 = [jax.random.normal(jax.random.PRNGKey(300 + i), (128, D), jnp.float32)
-             for i in range(16)]
+    qs32 = [gen_queries(jax.random.PRNGKey(300 + i), Q) for i in range(16)]
+    qs128 = [gen_queries(jax.random.PRNGKey(300 + i), 128) for i in range(16)]
 
     def flat(q):
         return fused_score_topk_int8q(vecs, scales, q, K, count=N10,
@@ -178,22 +198,36 @@ def bench_scale_10m(rpc: float) -> dict:
 
     # --- IVF: device build + probe scan ------------------------------------
     t0 = time.perf_counter()
-    # bucket_factor 1.6: [C, M, D] is factor x corpus bytes; 1.6 keeps the
-    # build's peak (codes + packed buckets) under ~10GB HBM with ~1% spill.
+    # bucket_factor 2.0: [C, M, D] is factor x corpus bytes (~8GB; peak
+    # with the int8 codes ~12GB). Smaller factors overflow more rows on
+    # clustered data, and every spill row round-trips to the host flat
+    # index (measured: factor 1.6 spilled enough to triple build time).
     ivf = IVFIndex(dim=D, n_clusters=4096, nprobe=64, dtype="int8",
-                   bucket_factor=1.6)
+                   bucket_factor=2.0)
     ivf.build_device(vecs, scales, list(range(N10)))
     build_s = time.perf_counter() - t0
     del vecs, scales
 
-    hits = ivf.search(np.asarray(qs32[0]), K)  # compile + warm
+    # Device-path IVF timing: chain jitted probe searches and fetch once
+    # (ivf.search() fetches per call, which is ~35ms RPC-bound through the
+    # tunnel and would measure the link, not the index).
+    from memex_tpu.index.ivf import _ivf_search_fused
+
+    def ivf_dev(q):
+        return _ivf_search_fused(ivf.centroids, ivf.data, ivf.rscales,
+                                 ivf.sizes, jnp.asarray(q), ivf.nprobe, K)
+
+    float(ivf_dev(qs32[0])[0][0, 0])
     best = 1e9
     for _ in range(REPS):
         t0 = time.perf_counter()
-        for q in qs32:
-            hits = ivf.search(np.asarray(q), K)
-        best = min(best, (time.perf_counter() - t0) / len(qs32))
+        outs = [ivf_dev(q) for q in qs32]
+        float(outs[-1][0][0, 0])
+        best = min(best, (time.perf_counter() - t0 - rpc) / len(qs32))
     ivf_qps = Q / best
+    # Recall through the full index path (bucket + spill + id mapping),
+    # hits and oracle on the SAME query batch.
+    hits = ivf.search(np.asarray(qs32[0]), K)
     rec = float(np.mean([
         len({int(s) for s, _ in hits[i]} & set(ei[i].tolist())) / K
         for i in range(Q)
@@ -203,7 +237,9 @@ def bench_scale_10m(rpc: float) -> dict:
         "corpus_gen_s": round(gen_s, 2),
         "flat_int8q_q128_qps": round(flat_qps, 1),
         "ivf_build_device_s": round(build_s, 2),
+        "ivf_spill_rows": ivf.spill.count,
         "ivf_nprobe64_qps_q32": round(ivf_qps, 1),
+        "ivf_p50_batch_ms": round(best * 1e3, 3),
         "ivf_recall_at_10_vs_int8_exact": round(rec, 4),
     }
 

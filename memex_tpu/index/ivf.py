@@ -303,15 +303,26 @@ class IVFIndex:
         # materializing a second full copy of the corpus).
         dest = jnp.zeros((n,), jnp.int32).at[order].set(dest_sorted)
 
-        data_flat = jnp.zeros((C * M + 1, dim), jnp.int8).at[dest].set(vecs_q)
-        rsc_flat = jnp.zeros((C * M + 1,), jnp.float32).at[dest].set(scales)
-        rid_flat = jnp.full((C * M + 1,), -1, jnp.int32).at[dest].set(
-            jnp.arange(n, dtype=jnp.int32)
-        )
-        self.data = data_flat[: C * M].reshape(C, M, dim)
-        self.rscales = rsc_flat[: C * M].reshape(C, M)
+        # Scatter inside ONE jit: eagerly, `.at[dest].set` would materialize
+        # the zeros input AND the output (2x the [C*M, D] bucket = OOM at
+        # 10M rows); jitted, the init and scatter share one buffer. Overflow
+        # rows carry dest == C*M, which is out of bounds for the [C*M]
+        # target — scatter mode="drop" discards them (they go to spill).
+        @partial(jax.jit, static_argnames=("C", "M"))
+        def _pack_scatter(vecs_q, scales, dest, C, M):
+            dim_ = vecs_q.shape[1]
+            data = (jnp.zeros((C * M, dim_), jnp.int8)
+                    .at[dest].set(vecs_q, mode="drop").reshape(C, M, dim_))
+            rsc = (jnp.zeros((C * M,), jnp.float32)
+                   .at[dest].set(scales, mode="drop").reshape(C, M))
+            rid = (jnp.full((C * M,), -1, jnp.int32)
+                   .at[dest].set(jnp.arange(vecs_q.shape[0], dtype=jnp.int32),
+                                 mode="drop").reshape(C, M))
+            return data, rsc, rid
+
+        self.data, self.rscales, rid_cm = _pack_scatter(vecs_q, scales, dest, C, M)
         self.sizes = jnp.minimum(counts, M).astype(jnp.int32)
-        self.rowids = np.asarray(rid_flat[: C * M]).astype(np.int64).reshape(C, M)
+        self.rowids = np.asarray(rid_cm).astype(np.int64)
         self.ids = list(ids)
 
         n_spill = int(n - int(jnp.sum(in_bucket)))

@@ -59,7 +59,7 @@ def make_search_fn(mesh: Mesh, axis: str, k: int, use_fused: bool,
 
             vals, idx = fused_score_topk_int8q(
                 buf, scales, queries, kk, count=count,
-                block_n=min(8192, cap), banks=4,
+                block_n=min(32768, cap), banks=4,
             )
         elif fused and dtype == "int8":
             from ..ops.fused_topk import fused_score_topk_int8

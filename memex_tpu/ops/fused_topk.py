@@ -556,7 +556,7 @@ def fused_score_topk_int4_rerank(
     rerank: int = 64,
     block_n: int = 32768,
     banks: int = 8,
-    deferred: bool = True,
+    deferred: bool = False,
     interpret: bool = False,
 ):
     """Two-stage fused search: int4 coarse scan -> exact int8 rerank.
