@@ -27,6 +27,7 @@ class Runtime:
         self._llm = None
         self._batcher = None
         self._encode_batcher = None
+        self._add_batcher = None
         self._rebuilt: set[str] = set()
         self._last_ckpt: dict[str, float] = {}
 
@@ -84,6 +85,31 @@ class Runtime:
                     name="encode",
                 )
         return self._encode_batcher(text, timeout=600.0)
+
+    def add_vectors(self, collection: str, items: list) -> None:
+        """Store writes through a microbatcher: concurrent ingest tasks on
+        the same collection share ONE device write (each FlatIndex add is a
+        ~35ms round-trip through the tunnel; per-task writes cap ingest at
+        ~1/RTT x workers regardless of batch math)."""
+        with self._lock:
+            if self._add_batcher is None:
+                from .serve.batcher import Microbatcher
+
+                def _run(batch):
+                    by_col: dict[str, list] = {}
+                    for col, vecs in batch:
+                        by_col.setdefault(col, []).extend(vecs)
+                    for col, vecs in by_col.items():
+                        self.store(col).add_vectors(vecs)
+                    return [None] * len(batch)
+
+                self._add_batcher = Microbatcher(
+                    _run,
+                    max_batch=max(2, self.settings.worker_max_active),
+                    max_wait_ms=5.0,
+                    name="store_add",
+                )
+        self._add_batcher((collection, items), timeout=600.0)
 
     def store(self, collection: str):
         from .store import get_vector_storage

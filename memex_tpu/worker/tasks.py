@@ -36,7 +36,8 @@ def process_ingest(rt: Runtime, task: queue.Task) -> None:
     doc = models.insert_document_from_task(rt.db, task)
     seg_uuids = models.insert_embeddings(rt.db, doc.uuid, task.collection, segments, vectors)
 
-    store.add_vectors(
+    rt.add_vectors(
+        task.collection,
         [
             VectorData(
                 id=seg_uuids[i],
@@ -46,7 +47,7 @@ def process_ingest(rt: Runtime, task: queue.Task) -> None:
                 segment_id=i,
             )
             for i in range(len(segments))
-        ]
+        ],
     )
     # Periodic, not per-task: SQL is the durable source of truth and
     # recovery.py rebuilds; a per-task checkpoint would re-introduce the
