@@ -35,18 +35,22 @@ from ..ops.topk import blockwise_topk
 
 logger = get_logger(__name__)
 
-_BUF_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8}
+_BUF_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+               "int8": jnp.int8, "int4": jnp.int8}
 
 
 def make_search_fn(mesh: Mesh, axis: str, k: int, use_fused: bool,
                    dtype: str = "float32", block_n: int = 1024,
                    query_quantize: bool = True):
-    """Build the jitted SPMD search: (buf, scales, alive, counts, queries)
-    -> (vals [Q, k], global_idx [Q, k]). `scales` is all-ones except int8."""
+    """Build the jitted SPMD search -> (vals [Q, k], global_idx [Q, k]).
+    `scales` is all-ones except int8/int4. int4 mode adds the per-shard
+    int8 rerank copy `buf8` (buf is the TRANSPOSED packed nibbles
+    [D/2, cap] per shard)."""
 
-    def local_search(buf, scales, alive, counts, queries):
-        # Shapes inside shard_map are per-device: buf [cap, D], counts [1].
-        cap = buf.shape[0]
+    def local_search(buf, scales, alive, counts, queries, buf8=None):
+        # Shapes inside shard_map are per-device: buf [cap, D] (int4:
+        # [D/2, cap]), counts [1].
+        cap = buf.shape[1] if dtype == "int4" else buf.shape[0]
         count = counts[0]
         kk = min(4 * k, 128, cap)
         # Fused kernel candidate banks are <=128 wide; k beyond that must
@@ -54,7 +58,16 @@ def make_search_fn(mesh: Mesh, axis: str, k: int, use_fused: bool,
         fused = use_fused and k <= kk
         if not fused:
             kk = min(max(kk, k), cap)
-        if fused and dtype == "int8" and query_quantize:
+        alive_filter = fused
+        if fused and dtype == "int4":
+            from ..ops.fused_topk import fused_score_topk_int4_rerank
+
+            vals, idx = fused_score_topk_int4_rerank(
+                buf, scales, buf8, queries, kk, count=count, alive=alive,
+                rerank=min(max(64, 2 * kk), 1024), block_n=min(32768, cap),
+            )
+            alive_filter = False  # tombstones filtered inside the rerank
+        elif fused and dtype == "int8" and query_quantize:
             from ..ops.fused_topk import fused_score_topk_int8q
 
             vals, idx = fused_score_topk_int8q(
@@ -72,17 +85,19 @@ def make_search_fn(mesh: Mesh, axis: str, k: int, use_fused: bool,
 
             vals, idx = fused_score_topk(buf, queries, kk, count=count, block_n=block_n)
         else:
+            # int4's XLA fallback scores from the int8 rerank copy.
+            rows = buf8 if dtype == "int4" else buf
             scores = jnp.einsum(
                 "qd,nd->qn",
                 queries.astype(jnp.bfloat16),
-                buf.astype(jnp.bfloat16),
+                rows.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
-            if dtype == "int8":
+            if dtype in ("int8", "int4"):
                 scores = scores * scales[None, :]
             scores = jnp.where(alive[None, :] > 0, scores, -1e30)
             vals, idx = blockwise_topk(scores, kk, count=count)
-        if fused:
+        if alive_filter:
             ok = jnp.take(alive, idx) > 0
             vals = jnp.where(ok, vals, -1e30)
         shard = jax.lax.axis_index(axis)
@@ -92,10 +107,14 @@ def make_search_fn(mesh: Mesh, axis: str, k: int, use_fused: bool,
 
         return merge_topk_across(vals, gidx, axis, k)
 
+    if dtype == "int4":
+        in_specs = (P(None, axis), P(axis), P(axis), P(axis), P(), P(axis, None))
+    else:
+        in_specs = (P(axis, None), P(axis), P(axis), P(axis), P())
     shmapped = jax.shard_map(
         local_search,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(axis), P(axis), P()),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         check_vma=False,  # outputs are replicated post-all_gather; checker can't infer
     )
@@ -129,6 +148,32 @@ def make_bulk_write_fn(mesh: Mesh, axis: str):
         out_specs=(P(axis, None), P(axis), P(axis)),
     )
     return jax.jit(shmapped, donate_argnums=(0, 1, 2))
+
+
+def make_bulk_write_fn_int4(mesh: Mesh, axis: str):
+    """int4 variant of the SPMD bulk write: lands the transposed packed
+    nibbles (column scatter), the int8 rerank copy, scales, and alive in
+    one dispatch."""
+
+    def local_bulk(buf4, buf8, scales, alive, block4, block8, sblock, valid, offset):
+        rows = block8.shape[0]
+        cap = buf8.shape[0]
+        arow = jnp.arange(rows, dtype=jnp.int32)
+        idx = jnp.where(arow < valid[0], offset[0] + arow, cap + 1)
+        buf4 = buf4.at[:, idx].set(block4, mode="drop")
+        buf8 = buf8.at[idx].set(block8, mode="drop")
+        scales = scales.at[idx].set(sblock, mode="drop")
+        alive = alive.at[idx].set(1.0, mode="drop")
+        return buf4, buf8, scales, alive
+
+    shmapped = jax.shard_map(
+        local_bulk,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis, None), P(axis), P(axis),
+                  P(None, axis), P(axis, None), P(axis), P(axis), P(axis)),
+        out_specs=(P(None, axis), P(axis, None), P(axis), P(axis)),
+    )
+    return jax.jit(shmapped, donate_argnums=(0, 1, 2, 3))
 
 
 def make_kill_fn(mesh: Mesh, axis: str):
@@ -183,17 +228,31 @@ class ShardedFlatIndex:
 
         self._row_sharding = NamedSharding(mesh, P(axis, None))
         self._vec_sharding = NamedSharding(mesh, P(axis))
+        self._col_sharding = NamedSharding(mesh, P(None, axis))
         total = self.P * self.cap
-        self.buf = jax.device_put(
-            jnp.zeros((total, dim), _BUF_DTYPES[dtype]), self._row_sharding
-        )
+        if dtype == "int4":
+            assert dim % 2 == 0, "int4 packing needs even dim"
+            # Transposed packed nibbles, column-sharded ([D/2, cap]/device),
+            # plus the int8 rerank copy (see index/flat.py int4 mode).
+            self.buf = jax.device_put(
+                jnp.zeros((dim // 2, total), jnp.int8), self._col_sharding
+            )
+            self.buf8 = jax.device_put(
+                jnp.zeros((total, dim), jnp.int8), self._row_sharding
+            )
+        else:
+            self.buf = jax.device_put(
+                jnp.zeros((total, dim), _BUF_DTYPES[dtype]), self._row_sharding
+            )
+            self.buf8 = None
         self.scales = jax.device_put(jnp.ones((total,), jnp.float32), self._vec_sharding)
         self.alive = jax.device_put(jnp.zeros((total,), jnp.float32), self._vec_sharding)
         self.counts = [0] * self.P  # host-side fill levels
         self.dead = 0
         self.ids: dict[int, str] = {}  # global row -> id
         self._id_to_row: dict[str, int] = {}
-        self._bulk_write = make_bulk_write_fn(mesh, axis)
+        self._bulk_write = (make_bulk_write_fn_int4(mesh, axis) if dtype == "int4"
+                            else make_bulk_write_fn(mesh, axis))
         self._kill = make_kill_fn(mesh, axis)
         self._search_cache: dict[int, object] = {}
 
@@ -202,7 +261,7 @@ class ShardedFlatIndex:
         return len(self._id_to_row)
 
     def _quantize(self, block: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        if self.dtype == "int8":
+        if self.dtype in ("int8", "int4"):
             from ..native_lib import np_quantize_rows_int8
 
             return np_quantize_rows_int8(block)  # one-pass C++ (ingest hot path)
@@ -233,15 +292,22 @@ class ShardedFlatIndex:
         # ONE SPMD dispatch writes every shard's slice (1M rows through a
         # ~30ms-RPC tunnel = a few round-trips, not ~1000).
         qall, sall = self._quantize(vectors)
-        np_dt = np.int8 if self.dtype == "int8" else np.float32
+        np_dt = np.int8 if self.dtype in ("int8", "int4") else np.float32
         blocks = np.zeros((self.P, rows, self.dim), np_dt)
         sblocks = np.ones((self.P, rows), np.float32)
+        if self.dtype == "int4":
+            from ..ops.fused_topk import np_quantize_rows_int4
+
+            pall, _ = np_quantize_rows_int4(vectors)  # [D/2, m] transposed
+            blocks4 = np.zeros((self.P, self.dim // 2, rows), np.int8)
         cursor = 0
         for s in range(self.P):
             take = alloc[s]
             if take:
                 blocks[s, :take] = qall[cursor : cursor + take]
                 sblocks[s, :take] = sall[cursor : cursor + take]
+                if self.dtype == "int4":
+                    blocks4[s, :, :take] = pall[:, cursor : cursor + take]
                 base = s * self.cap + self.counts[s]
                 grows = range(base, base + take)
                 sids = ids[cursor : cursor + take]
@@ -251,15 +317,26 @@ class ShardedFlatIndex:
         dev_block = jnp.asarray(blocks.reshape(self.P * rows, self.dim))
         if self.dtype == "bfloat16":
             dev_block = dev_block.astype(jnp.bfloat16)
-        self.buf, self.scales, self.alive = self._bulk_write(
-            self.buf,
-            self.scales,
-            self.alive,
-            jax.device_put(dev_block, self._row_sharding),
-            jax.device_put(jnp.asarray(sblocks.reshape(-1)), self._vec_sharding),
-            jax.device_put(jnp.asarray(alloc, jnp.int32), self._vec_sharding),
-            jax.device_put(jnp.asarray(self.counts, jnp.int32), self._vec_sharding),
-        )
+        sb = jax.device_put(jnp.asarray(sblocks.reshape(-1)), self._vec_sharding)
+        va = jax.device_put(jnp.asarray(alloc, jnp.int32), self._vec_sharding)
+        off = jax.device_put(jnp.asarray(self.counts, jnp.int32), self._vec_sharding)
+        if self.dtype == "int4":
+            # [P, D/2, rows] -> [D/2, P*rows] column-sharded
+            b4 = jnp.asarray(
+                np.concatenate(list(blocks4), axis=1)
+            )
+            self.buf, self.buf8, self.scales, self.alive = self._bulk_write(
+                self.buf, self.buf8, self.scales, self.alive,
+                jax.device_put(b4, self._col_sharding),
+                jax.device_put(dev_block, self._row_sharding),
+                sb, va, off,
+            )
+        else:
+            self.buf, self.scales, self.alive = self._bulk_write(
+                self.buf, self.scales, self.alive,
+                jax.device_put(dev_block, self._row_sharding),
+                sb, va, off,
+            )
         for s in range(self.P):
             self.counts[s] += alloc[s]
 
@@ -298,7 +375,10 @@ class ShardedFlatIndex:
         counts_dev = jax.device_put(
             jnp.asarray(self.counts, jnp.int32), self._vec_sharding
         )
-        vals, idx = fn(self.buf, self.scales, self.alive, counts_dev, jnp.asarray(queries))
+        args = (self.buf, self.scales, self.alive, counts_dev, jnp.asarray(queries))
+        if self.dtype == "int4":
+            args = args + (self.buf8,)
+        vals, idx = fn(*args)
         from ..ops.host import fetch
 
         vals, idx = fetch(vals, idx)
@@ -319,8 +399,9 @@ class ShardedFlatIndex:
         and bfloat16 is not np.load-portable)."""
         if not grows:
             return np.zeros((0, self.dim), np.float32)
-        raw = np.asarray(self.buf[np.asarray(grows)], dtype=np.float32)
-        if self.dtype == "int8":
+        rows_src = self.buf8 if self.dtype == "int4" else self.buf
+        raw = np.asarray(rows_src[np.asarray(grows)], dtype=np.float32)
+        if self.dtype in ("int8", "int4"):
             raw = raw * np.asarray(self.scales[np.asarray(grows)], np.float32)[:, None]
         return raw
 
@@ -356,9 +437,17 @@ class ShardedFlatIndex:
 
     def delete_all(self) -> None:
         total = self.P * self.cap
-        self.buf = jax.device_put(
-            jnp.zeros((total, self.dim), _BUF_DTYPES[self.dtype]), self._row_sharding
-        )
+        if self.dtype == "int4":
+            self.buf = jax.device_put(
+                jnp.zeros((self.dim // 2, total), jnp.int8), self._col_sharding
+            )
+            self.buf8 = jax.device_put(
+                jnp.zeros((total, self.dim), jnp.int8), self._row_sharding
+            )
+        else:
+            self.buf = jax.device_put(
+                jnp.zeros((total, self.dim), _BUF_DTYPES[self.dtype]), self._row_sharding
+            )
         self.scales = jax.device_put(jnp.ones((total,), jnp.float32), self._vec_sharding)
         self.alive = jax.device_put(jnp.zeros((total,), jnp.float32), self._vec_sharding)
         self.counts = [0] * self.P

@@ -342,7 +342,7 @@ class TestShardedDtypes:
             pytest.skip("needs 8 virtual devices")
         return Mesh(np.array(jax.devices()[:8]), ("shard",))
 
-    @pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+    @pytest.mark.parametrize("dtype", ["bfloat16", "int8", "int4"])
     def test_recall_vs_f32(self, rng, mesh, dtype):
         d, n, k = 64, 600, 10
         db, qs = unit(rng, n, d), unit(rng, 6, d)
