@@ -307,18 +307,23 @@ class FlatIndex:
         self.alive = jnp.zeros((self.capacity,), jnp.float32)
 
     def _dequantized(self) -> np.ndarray:
-        """Materialize live-prefix vectors as f32 (for compaction/saving)."""
+        """Materialize live-prefix vectors as f32 (for compaction/saving).
+
+        Fetches the FULL buffer and slices on host: a device-side
+        `buf[:count]` is a new shape for every fill level, and each eager
+        slice compiles a fresh executable (~1s per checkpoint through the
+        remote tunnel, unboundedly many cache entries)."""
         if self.dtype == "int4":  # the int8 copy is the higher-fidelity one
-            raw = np.asarray(self.buf8[: self.count])
-            return raw.astype(np.float32) * np.asarray(self.scales[: self.count])[:, None]
-        raw = np.asarray(self.buf[: self.count])
+            raw = np.asarray(self.buf8)[: self.count]
+            return raw.astype(np.float32) * np.asarray(self.scales)[: self.count][:, None]
+        raw = np.asarray(self.buf)[: self.count]
         if self.dtype == "int8":
-            return raw.astype(np.float32) * np.asarray(self.scales[: self.count])[:, None]
+            return raw.astype(np.float32) * np.asarray(self.scales)[: self.count][:, None]
         return raw.astype(np.float32)
 
     def compact(self) -> None:
         """Drop tombstoned rows and repack (host-side; O(count))."""
-        alive = np.asarray(self.alive[: self.count]) > 0
+        alive = np.asarray(self.alive)[: self.count] > 0
         keep = np.nonzero(alive)[0]
         vecs = self._dequantized()[keep]
         kept_ids = [self.ids[i] for i in keep]
@@ -391,7 +396,7 @@ class FlatIndex:
         durable in SQL — SURVEY.md §5 checkpoint/resume — so this is an
         optimization, not the source of truth)."""
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        alive = np.asarray(self.alive[: self.count]) > 0
+        alive = np.asarray(self.alive)[: self.count] > 0
         keep = np.nonzero(alive)[0]
         np.savez(path + ".npz", vectors=self._dequantized()[keep])
         meta = {"dim": self.dim, "dtype": self.dtype, "ids": [self.ids[i] for i in keep]}

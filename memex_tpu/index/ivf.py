@@ -378,8 +378,8 @@ class IVFIndex:
                         out_v.append(data[c, m])
                         out_i.append(sid)
         if self.spill.count:
-            alive = np.asarray(self.spill.alive[: self.spill.count]) > 0
-            svecs = np.asarray(self.spill.buf[: self.spill.count])
+            alive = np.asarray(self.spill.alive)[: self.spill.count] > 0
+            svecs = np.asarray(self.spill.buf)[: self.spill.count]
             for r in np.nonzero(alive)[0]:
                 sid = self.spill.ids[r]
                 if sid not in self._deleted:
@@ -471,7 +471,7 @@ class IVFIndex:
                     cids.append(sid)
         svecs, sids = [], []
         if self.spill.count:
-            alive = np.asarray(self.spill.alive[: self.spill.count]) > 0
+            alive = np.asarray(self.spill.alive)[: self.spill.count] > 0
             dq = self.spill._dequantized()
             for r in np.nonzero(alive)[0]:
                 sid = self.spill.ids[r]

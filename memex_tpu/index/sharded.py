@@ -399,10 +399,14 @@ class ShardedFlatIndex:
         and bfloat16 is not np.load-portable)."""
         if not grows:
             return np.zeros((0, self.dim), np.float32)
+        # Full fetch + host-side gather: a device gather by a host index
+        # list compiles a new executable per distinct length (checkpoint
+        # calls use ever-changing live-row counts).
         rows_src = self.buf8 if self.dtype == "int4" else self.buf
-        raw = np.asarray(rows_src[np.asarray(grows)], dtype=np.float32)
+        sel = np.asarray(grows)
+        raw = np.asarray(rows_src)[sel].astype(np.float32)
         if self.dtype in ("int8", "int4"):
-            raw = raw * np.asarray(self.scales[np.asarray(grows)], np.float32)[:, None]
+            raw = raw * np.asarray(self.scales)[sel].astype(np.float32)[:, None]
         return raw
 
     def delete(self, ids: list[str]) -> int:
