@@ -49,7 +49,7 @@ def _enable_compile_cache() -> None:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     except Exception:
         pass
 

@@ -118,9 +118,12 @@ class Worker:
         deadline = time.monotonic() + timeout
         while time.monotonic() < deadline:
             claimed = self.poll_once()
+            if claimed:
+                continue  # fill the worker pool immediately: staggered
+                # claims fragment the encode/store microbatch windows
             with self._lock:
                 active = self._active
-            if not claimed and active == 0:
+            if active == 0:
                 row = self.rt.db.query_one(
                     "SELECT COUNT(*) AS n FROM queue WHERE status IN ('Queued','Processing')"
                 )
