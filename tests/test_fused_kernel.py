@@ -127,6 +127,38 @@ class TestFusedKernelInterpret:
             np.asarray(fv)[:, 0], np.asarray(ev)[:, 0], atol=2e-2
         )
 
+    def test_int8q_rerank_improves_on_coarse(self, rng):
+        """Reranked int8q recall >= plain int8q recall (bf16-query
+        re-score of the candidate bank, same buffer)."""
+        from memex_tpu.ops.fused_topk import (
+            fused_score_topk_int8q,
+            fused_score_topk_int8q_rerank,
+            quantize_rows_int8,
+        )
+
+        db, q = unit(rng, 2048, 128), unit(rng, 8, 128)
+        db8, s8 = quantize_rows_int8(jnp.asarray(db))
+        ev, ei = exact_topk(jnp.asarray(q @ db.T), 10)
+        ei = np.asarray(ei)
+
+        def recall(fi):
+            fi = np.asarray(fi)
+            return np.mean([len(set(fi[i]) & set(ei[i])) / 10 for i in range(8)])
+
+        _, plain = fused_score_topk_int8q(
+            db8, s8, jnp.asarray(q), 10, count=2048, block_n=1024,
+            banks=4, interpret=True,
+        )
+        vals, rr = fused_score_topk_int8q_rerank(
+            db8, s8, jnp.asarray(q), 10, count=2048, rerank=64,
+            block_n=1024, banks=4, interpret=True,
+        )
+        assert recall(rr) >= recall(plain)
+        # Reranked scores are bf16-query exact (close to true cosine).
+        np.testing.assert_allclose(
+            np.asarray(vals)[:, 0], np.asarray(ev)[:, 0], atol=2e-2
+        )
+
     def test_int4_deferred_matches_shift_ranking(self, rng):
         """The deferred-hi unpack (one nibble extraction + algebraic fold,
         bf16 dots) ranks within noise of the two-extraction shift path —
