@@ -9,6 +9,7 @@ queue, exactly like the reference's role model.
 from __future__ import annotations
 
 import argparse
+import os
 import signal
 import sys
 import threading
@@ -30,6 +31,25 @@ def cmd_serve(args: argparse.Namespace) -> int:
             "vector_uri": args.vector_connection,
         }.items() if v is not None}
     )
+    # Persistent XLA compile cache: first-touch compiles (encoder buckets,
+    # index write blocks, fused scans) otherwise land in early request
+    # latency on every cold start — warm entries load in seconds.
+    # MEMEX_COMPILE_CACHE=off disables; any other value overrides the dir.
+    cache_dir = os.environ.get(
+        "MEMEX_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "memex_tpu_xla"),
+    )
+    if cache_dir.lower() not in ("off", "0", "none", ""):
+        try:
+            import jax
+
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        except Exception:
+            logger.exception("compile cache setup failed (continuing without)")
+
     # Multi-host (DCN) bring-up before any device use; no-op unless
     # MEMEX_COORDINATOR is set (single host / single slice needs nothing).
     from .parallel.distributed import init_multihost
