@@ -190,6 +190,7 @@ class IVFIndex:
         self.rscales: jnp.ndarray | None = None       # [C, M] f32 (int8 mode)
         self.sizes: jnp.ndarray | None = None
         self.rowids: np.ndarray | None = None  # [C, M] -> index into self.ids
+        self._rowids_dev = None  # device rowid table (device-built indexes)
         self.ids: list[str] = []
         self.spill = FlatIndex(dim, dtype=dtype)
         self._deleted: set[str] = set()
@@ -245,6 +246,7 @@ class IVFIndex:
         self._pack(data)
         self.sizes = jnp.asarray(np.minimum(counts, M).astype(np.int32))
         self.rowids = rowids
+        self._rowids_dev = None
         n_spill = int(n - in_bucket.sum())
         if n_spill:
             spill_rows = order[~in_bucket]
@@ -322,17 +324,40 @@ class IVFIndex:
 
         self.data, self.rscales, rid_cm = _pack_scatter(vecs_q, scales, dest, C, M)
         self.sizes = jnp.minimum(counts, M).astype(jnp.int32)
-        self.rowids = np.asarray(rid_cm).astype(np.int64)
+        # The rowid table stays ON DEVICE: the tunnel's device->host fetch
+        # path runs ~2 MB/s (measured: this 84MB int32 fetch alone was 44s
+        # of a 68s 10M build), and search maps winners to original rows
+        # with a tiny device gather instead. Host save/compact paths fetch
+        # it lazily via _rowids_host().
+        self.rowids = None
+        self._rowids_dev = rid_cm
         self.ids = list(ids)
 
-        n_spill = int(n - int(jnp.sum(in_bucket)))
-        if n_spill:
-            spill_rows = np.asarray(jnp.take(order, jnp.nonzero(~in_bucket)[0]))
-            logger.info("ivf device build: %d bucket-overflow rows -> spill", n_spill)
-            sv = np.asarray(vecs_q[spill_rows], np.float32) * np.asarray(
-                scales[spill_rows]
-            )[:, None]
+        # Spill rows: their sorted positions are derivable from counts on
+        # the host (cluster c overflows positions starts[c]+M..counts[c]),
+        # so no device nonzero / full-mask fetch is needed; fetch the int8
+        # codes + scales (4x fewer bytes than f32) and dequantize on host.
+        starts_h = np.concatenate([[0], np.cumsum(counts_h)[:-1]])
+        over = np.nonzero(counts_h > M)[0]
+        if len(over):
+            sel = np.concatenate(
+                [np.arange(starts_h[c] + M, starts_h[c] + counts_h[c]) for c in over]
+            ).astype(np.int32)
+            spill_rows = np.asarray(jnp.take(order, jnp.asarray(sel)))
+            logger.info("ivf device build: %d bucket-overflow rows -> spill",
+                        len(spill_rows))
+            sel_dev = jnp.asarray(spill_rows)
+            codes = np.asarray(jnp.take(vecs_q, sel_dev, axis=0))
+            ssc = np.asarray(jnp.take(scales, sel_dev))
+            sv = codes.astype(np.float32) * ssc[:, None]
             self.spill.add(sv, [ids[int(i)] for i in spill_rows])
+
+    def _rowids_host(self) -> np.ndarray | None:
+        """Host rowid table; device-built indexes fetch + cache it on first
+        use (save/compact paths only — search never needs it)."""
+        if self.rowids is None and self._rowids_dev is not None:
+            self.rowids = np.asarray(self._rowids_dev).astype(np.int64)
+        return self.rowids
 
     def _pack(self, data: np.ndarray) -> None:
         """[C, M, D] f32 -> device arrays in the storage dtype."""
@@ -370,10 +395,11 @@ class IVFIndex:
         out_v, out_i = [], []
         if self.data is not None:
             data = self._data_f32()
+            rowids = self._rowids_host()
             sizes = np.asarray(self.sizes)
             for c in range(self.C):
                 for m in range(sizes[c]):
-                    sid = self.ids[self.rowids[c, m]]
+                    sid = self.ids[rowids[c, m]]
                     if sid is not None and sid not in self._deleted:
                         out_v.append(data[c, m])
                         out_i.append(sid)
@@ -421,12 +447,24 @@ class IVFIndex:
                     )
                 from ..ops.host import fetch
 
-                vals, cl, sl = fetch(vals, cl, sl)
+                if self._rowids_dev is not None:
+                    # Map winners to original rows on device: the rowid
+                    # table fetch is prohibitively slow through the tunnel
+                    # (device->host ~2 MB/s), a [Q, k] gather is free.
+                    Mb = self.data.shape[1]
+                    orig = jnp.take(
+                        self._rowids_dev.reshape(-1),
+                        jnp.asarray(cl) * Mb + jnp.asarray(sl),
+                    )
+                    vals, cl, sl, orig = fetch(vals, cl, sl, orig)
+                else:
+                    vals, cl, sl = fetch(vals, cl, sl)
+                    orig = None
                 for qi in range(Q):
-                    for v, c, s in zip(vals[qi], cl[qi], sl[qi]):
+                    for j, (v, c, s) in enumerate(zip(vals[qi], cl[qi], sl[qi])):
                         if v <= -1e29:
                             continue
-                        ridx = self.rowids[c, s]
+                        ridx = orig[qi, j] if orig is not None else self.rowids[c, s]
                         if ridx < 0:
                             continue
                         sid = self.ids[ridx]
@@ -457,10 +495,11 @@ class IVFIndex:
         cvecs, cassign, cids = [], [], []
         if self.data is not None:
             data = self._data_f32()
+            rowids = self._rowids_host()
             sizes = np.asarray(self.sizes)
             for c in range(self.C):
                 for m in range(int(sizes[c])):
-                    ridx = self.rowids[c, m]
+                    ridx = rowids[c, m]
                     if ridx < 0:
                         continue
                     sid = self.ids[ridx]
@@ -547,7 +586,7 @@ class IVFIndex:
 
     def delete(self, ids: list[str]) -> int:
         known = set()
-        if self.rowids is not None:
+        if self.rowids is not None or self._rowids_dev is not None:
             known.update(i for i in self.ids if i is not None)
         known.update(self.spill.ids)
         removed = 0
@@ -564,6 +603,7 @@ class IVFIndex:
         self.data = None
         self.sizes = None
         self.rowids = None
+        self._rowids_dev = None
         self.ids = []
         self._deleted.clear()
         self._live.clear()

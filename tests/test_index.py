@@ -183,9 +183,10 @@ class TestIVFIndex:
         # Every id is reachable exactly once (bucket or spill).
         seen = set()
         sizes = np.asarray(dev.sizes)
+        rowids = dev._rowids_host()  # device-resident table, lazy host fetch
         for c in range(dev.C):
             for m in range(int(sizes[c])):
-                r = dev.rowids[c, m]
+                r = rowids[c, m]
                 assert r >= 0
                 seen.add(dev.ids[r])
         seen |= set(dev.spill.ids)
