@@ -198,12 +198,13 @@ def bench_scale_10m(rpc: float) -> dict:
 
     # --- IVF: device build + probe scan ------------------------------------
     t0 = time.perf_counter()
-    # bucket_factor 2.0: [C, M, D] is factor x corpus bytes (~8GB; peak
-    # with the int8 codes ~12GB). Smaller factors overflow more rows on
-    # clustered data, and every spill row round-trips to the host flat
-    # index (measured: factor 1.6 spilled enough to triple build time).
+    # bucket_factor 1.5: [C, M, D] is factor x corpus bytes (~6GB; peak
+    # with the int8 codes ~10GB), and probe DMA per query scales with M,
+    # so a tighter factor is directly faster. Overflow rows go to the
+    # spill flat index DEVICE-TO-DEVICE (add_quantized), so spill is
+    # cheap at build time and scanned exactly at search time.
     ivf = IVFIndex(dim=D, n_clusters=4096, nprobe=64, dtype="int8",
-                   bucket_factor=2.0)
+                   bucket_factor=1.5)
     ivf.build_device(vecs, scales, list(range(N10)))
     build_s = time.perf_counter() - t0
     del vecs, scales

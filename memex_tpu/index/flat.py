@@ -274,6 +274,31 @@ class FlatIndex:
         self.ids.extend(ids)
         self.count += m
 
+    def add_quantized(self, codes_dev, scales_dev, ids: list[str]) -> None:
+        """Device-to-device bulk insert of already-quantized int8 rows —
+        no host transit (the tunnel's device->host path is ~2 MB/s, so
+        fetch-then-re-add costs seconds per 100k rows). Builder-internal:
+        assumes fresh ids (no duplicate screening)."""
+        assert self.dtype == "int8", "device insert is int8-only"
+        m = int(codes_dev.shape[0])
+        assert m == len(ids) and codes_dev.shape[1] == self.dim
+        rows = _bucket_rows(m)
+        self._grow_to(self.count + rows + 1)
+        pad = rows - m
+        qblock = jnp.pad(codes_dev, ((0, pad), (0, 0)))
+        sblock = jnp.pad(scales_dev.astype(jnp.float32), ((0, pad),))
+        self.buf = _write_block(self.buf, qblock, self.count, m)
+        self.scales = _write_block(
+            self.scales[:, None], sblock[:, None], self.count, m
+        )[:, 0]
+        self.alive = _write_block(
+            self.alive[:, None], jnp.ones((rows, 1), jnp.float32), self.count, m
+        )[:, 0]
+        for i, sid in enumerate(ids):
+            self._id_to_row[sid] = self.count + i
+        self.ids.extend(ids)
+        self.count += m
+
     def delete(self, ids: list[str]) -> int:
         """Tombstone rows by id (the reference leaves this unimplemented,
         local.rs:29-32). Compacts when >25% of rows are dead."""

@@ -347,10 +347,12 @@ class IVFIndex:
             logger.info("ivf device build: %d bucket-overflow rows -> spill",
                         len(spill_rows))
             sel_dev = jnp.asarray(spill_rows)
-            codes = np.asarray(jnp.take(vecs_q, sel_dev, axis=0))
-            ssc = np.asarray(jnp.take(scales, sel_dev))
-            sv = codes.astype(np.float32) * ssc[:, None]
-            self.spill.add(sv, [ids[int(i)] for i in spill_rows])
+            # Device-to-device: the codes never touch the host.
+            self.spill.add_quantized(
+                jnp.take(vecs_q, sel_dev, axis=0),
+                jnp.take(scales, sel_dev),
+                [ids[int(i)] for i in spill_rows],
+            )
 
     def _rowids_host(self) -> np.ndarray | None:
         """Host rowid table; device-built indexes fetch + cache it on first
