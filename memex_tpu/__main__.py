@@ -43,10 +43,16 @@ def cmd_serve(args: argparse.Namespace) -> int:
         try:
             import jax
 
-            os.makedirs(cache_dir, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+            # TPU-only: XLA:CPU persists AOT executables keyed loosely
+            # enough that reloads can hit machine-feature mismatches
+            # ("prefer-no-gather is not supported on the host machine"),
+            # degrading every cached op to a slow fallback path (measured
+            # 243s for an 11s ingest job) with SIGILL risk.
+            if jax.default_backend() != "cpu":
+                os.makedirs(cache_dir, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
         except Exception:
             logger.exception("compile cache setup failed (continuing without)")
 
