@@ -41,9 +41,13 @@ RECALL_BAR = 0.95
 
 def _enable_compile_cache() -> None:
     """Persistent XLA compile cache: pallas compiles through the tunnel cost
-    3-5 min each; cached reruns load in seconds (verified on axon)."""
+    3-5 min each; cached reruns load in seconds (verified on axon). TPU-only:
+    XLA:CPU AOT entries can reload with machine-feature mismatches that
+    degrade every op ~20x (see CLAUDE.md), so never enable it on CPU."""
     import jax
 
+    if jax.default_backend() == "cpu":
+        return
     cache = os.environ.get("JAX_COMPILE_CACHE", "/root/.cache/jaxpc")
     try:
         os.makedirs(cache, exist_ok=True)
@@ -195,6 +199,10 @@ def bench_scale_10m(rpc: float) -> dict:
         best = min(best, (time.perf_counter() - t0 - rpc) / len(qs128))
     flat_qps = 128 / best
     ei = np.asarray(flat(qs32[0])[1])  # int8-exact oracle for IVF routing
+    # The `flat` closure pins vecs/scales; drop it so the later
+    # `del vecs, scales` actually frees the 3.8GB corpus copy and the IVF
+    # stage doesn't run with corpus + bucket table both resident.
+    del flat
 
     # --- IVF: device build + probe scan ------------------------------------
     t0 = time.perf_counter()

@@ -31,6 +31,14 @@ def cmd_serve(args: argparse.Namespace) -> int:
             "vector_uri": args.vector_connection,
         }.items() if v is not None}
     )
+    # Multi-host (DCN) bring-up FIRST: jax.distributed.initialize must run
+    # before anything initializes XLA backends (jax.default_backend() below
+    # does), or serve crashes/silently runs single-host under
+    # MEMEX_COORDINATOR. No-op unless MEMEX_COORDINATOR is set.
+    from .parallel.distributed import init_multihost
+
+    init_multihost()
+
     # Persistent XLA compile cache: first-touch compiles (encoder buckets,
     # index write blocks, fused scans) otherwise land in early request
     # latency on every cold start — warm entries load in seconds.
@@ -55,12 +63,6 @@ def cmd_serve(args: argparse.Namespace) -> int:
                 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
         except Exception:
             logger.exception("compile cache setup failed (continuing without)")
-
-    # Multi-host (DCN) bring-up before any device use; no-op unless
-    # MEMEX_COORDINATOR is set (single host / single slice needs nothing).
-    from .parallel.distributed import init_multihost
-
-    init_multihost()
 
     rt = get_runtime(settings)
     roles = {r.strip().lower() for r in args.roles.split(",") if r.strip()}

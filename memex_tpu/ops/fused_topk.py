@@ -412,14 +412,21 @@ def fused_score_topk_int8q_rerank(
 # fully tile-aligned (sublane 192 = 6x32, lane N), and the kernel's MXU
 # dots want the database as the [K, N] right-hand operand anyway.
 #
-# Unpack: the nibble unpack is the kernel's compute bottleneck (the MXU
+# Byte encoding: b = 16*hi + lo as a SIGNED int8 value (|b| <= 119). This
+# is deliberately NOT nibble-packing ((lo&0xF)|(hi&0xF)<<4): that format is
+# off by +16 in the byte whenever lo < 0, which poisons any identity that
+# uses b directly (the deferred path below scored +q_hi per negative-lo
+# column — a bias far above the int4 noise floor).
+#
+# Unpack: the code unpack is the kernel's compute bottleneck (the MXU
 # dot and the DMA are both cheaper), so two in-kernel strategies exist:
-#   shift    — lo = (b<<28)>>28, hi = b>>4 via int32, two s8 MXU dots;
-#   deferred — only lo is extracted; scores = (q_hi/16)·b + (q_lo-q_hi/16)·lo
-#              via two bf16 MXU dots (b = 16*hi + lo exactly in two's
-#              complement). Halves the extraction work; the bf16 rounding
-#              of (q_lo - q_hi/16) adds ~1% score noise, far below the
-#              int4 quantization noise, and the rerank re-scores exactly.
+#   shift    — hi = (b+8)>>4 (arithmetic, exact for |lo|<=7), lo = b-16*hi,
+#              two s8 MXU dots;
+#   deferred — only hi is extracted; scores = q_lo·b + (q_hi-16·q_lo)·hi
+#              via two bf16 MXU dots (b = 16*hi + lo exactly by
+#              construction). Halves the extraction work; the bf16 rounding
+#              of (q_hi - 16·q_lo) adds ~1% unbiased score noise, far below
+#              the int4 quantization noise, and the rerank re-scores exactly.
 # ---------------------------------------------------------------------------
 
 
@@ -427,17 +434,15 @@ def quantize_rows_int4(db: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """[N, D] float -> ([D/2, N] int8 packed nibbles (transposed layout),
     [N] f32 scales).
 
-    Symmetric per-row to [-7, 7]; byte j packs (col j) in the low nibble and
-    (col j + D/2) in the high nibble."""
+    Symmetric per-row to [-7, 7]; byte j encodes 16*(col j + D/2) + (col j)
+    as a signed value (see the module comment's byte-encoding note)."""
     n, d = db.shape
     assert d % 2 == 0, d
     absmax = jnp.max(jnp.abs(db), axis=1)
     scales = jnp.maximum(absmax, 1e-12) / 7.0
     codes = jnp.clip(jnp.round(db / scales[:, None]), -7, 7).astype(jnp.int32)
     lo, hi = codes[:, : d // 2], codes[:, d // 2 :]
-    packed = jnp.bitwise_or(
-        jnp.bitwise_and(lo, 0xF), jnp.left_shift(jnp.bitwise_and(hi, 0xF), 4)
-    )
+    packed = lo + 16 * hi  # |.| <= 119, fits signed int8
     return packed.astype(jnp.int8).T, scales.astype(jnp.float32)
 
 
@@ -451,7 +456,7 @@ def np_quantize_rows_int4(vectors) -> tuple:
     scales = np.maximum(absmax, 1e-12) / 7.0
     codes = np.clip(np.round(v / scales[:, None]), -7, 7).astype(np.int32)
     lo, hi = codes[:, : d // 2], codes[:, d // 2 :]
-    packed = ((lo & 0xF) | ((hi & 0xF) << 4)).astype(np.uint8).view(np.int8)
+    packed = (lo + 16 * hi).astype(np.int8)  # signed b = 16*hi + lo
     return np.ascontiguousarray(packed.T), scales.astype(np.float32)
 
 
@@ -469,28 +474,30 @@ def _fused_kernel_int4q(count_ref, qlo_ref, qhi_ref, db_ref, scale_ref,
         vals_acc[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
         idx_acc[:] = jnp.zeros((Q, S), jnp.int32)
 
-    b = db_ref[:]  # [D/2, block_n] packed bytes
+    b = db_ref[:]  # [D/2, block_n] packed bytes (b = 16*hi + lo, signed)
     if deferred:
-        # One extraction: scores = qh16·b + qdiff·lo (see module comment);
-        # qlo_ref carries qh16, qhi_ref carries qdiff (both bf16).
-        lo = jnp.right_shift(
-            jnp.left_shift(b.astype(jnp.int32), 28), 28
-        ).astype(jnp.bfloat16)
+        # One extraction: scores = q_lo·b + (q_hi-16·q_lo)·hi (see module
+        # comment); qlo_ref carries q_lo, qhi_ref carries q_hi-16·q_lo
+        # (both bf16). hi = (b+8)>>4 is exact since |lo| <= 7.
+        b32 = b.astype(jnp.int32)
+        hi = jnp.right_shift(b32 + 8, 4).astype(jnp.bfloat16)
         raw = jax.lax.dot_general(
             qlo_ref[:], b.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + jax.lax.dot_general(
-            qhi_ref[:], lo,
+            qhi_ref[:], hi,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         scores = raw * scale_ref[:].reshape(1, block_n)
     else:
-        # Sign-extending nibble unpack, two s8xs8->s32 MXU dots.
+        # Exact unpack, two s8xs8->s32 MXU dots (int32 shifts: int8-dtype
+        # shifts crash Mosaic).
         b32 = b.astype(jnp.int32)
-        lo = jnp.right_shift(jnp.left_shift(b32, 28), 28).astype(jnp.int8)
-        hi = jnp.right_shift(b32, 4).astype(jnp.int8)
+        hi32 = jnp.right_shift(b32 + 8, 4)
+        lo = (b32 - 16 * hi32).astype(jnp.int8)
+        hi = hi32.astype(jnp.int8)
         raw = jax.lax.dot_general(
             qlo_ref[:], lo,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -542,12 +549,12 @@ def _int4q_candidates(db_p, scales4, queries, count_arr, *, block_n: int,
     q8 = jnp.clip(jnp.round(queries / q_scales[:, None]), -127, 127).astype(jnp.int8)
     q_lo, q_hi = q8[:, :d2], q8[:, d2:]
     if deferred:
-        # /16 is an exact exponent shift; the subtraction's bf16 rounding is
-        # the documented ~1% coarse-score noise.
+        # scores = q_lo·b + (q_hi - 16·q_lo)·hi; the subtraction's bf16
+        # rounding is the documented ~1% (unbiased) coarse-score noise.
         q_lo_f = q_lo.astype(jnp.float32)
         q_hi_f = q_hi.astype(jnp.float32)
-        in1 = (q_hi_f / 16.0).astype(jnp.bfloat16)              # qh16
-        in2 = (q_lo_f - q_hi_f / 16.0).astype(jnp.bfloat16)     # qdiff
+        in1 = q_lo_f.astype(jnp.bfloat16)                       # multiplies b
+        in2 = (q_hi_f - 16.0 * q_lo_f).astype(jnp.bfloat16)     # multiplies hi
     else:
         in1, in2 = q_lo, q_hi
 

@@ -96,12 +96,21 @@ class Runtime:
                 from .serve.batcher import Microbatcher
 
                 def _run(batch):
+                    # Per-collection failure isolation: one collection's
+                    # failed write must not poison waiters whose writes
+                    # already committed (they would retry committed work).
                     by_col: dict[str, list] = {}
                     for col, vecs in batch:
                         by_col.setdefault(col, []).extend(vecs)
+                    outcome: dict[str, Exception | None] = {}
                     for col, vecs in by_col.items():
-                        self.store(col).add_vectors(vecs)
-                    return [None] * len(batch)
+                        try:
+                            self.store(col).add_vectors(vecs)
+                            outcome[col] = None
+                        except Exception as exc:  # noqa: BLE001 — re-raised per item
+                            logger.exception("store add failed for %r", col)
+                            outcome[col] = exc
+                    return [outcome[col] for col, _ in batch]
 
                 self._add_batcher = Microbatcher(
                     _run,
@@ -109,7 +118,9 @@ class Runtime:
                     max_wait_ms=5.0,
                     name="store_add",
                 )
-        self._add_batcher((collection, items), timeout=600.0)
+        err = self._add_batcher((collection, items), timeout=600.0)
+        if err is not None:
+            raise err
 
     def store(self, collection: str):
         from .store import get_vector_storage

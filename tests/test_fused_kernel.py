@@ -97,10 +97,11 @@ class TestFusedKernelInterpret:
         assert p_np.shape == (32, 128)  # transposed [D/2, N]
         np.testing.assert_array_equal(np.asarray(p_dev), p_np)
         np.testing.assert_allclose(np.asarray(s_dev), s_np, rtol=1e-6)
-        # Unpack (low nibble = col j, high = col j + D/2) and check error.
+        # Unpack (b = 16*hi + lo signed; lo = col j, hi = col j + D/2).
         b = p_np.T.astype(np.int32)
-        lo = (b << 28) >> 28
-        hi = b >> 4
+        hi = (b + 8) >> 4
+        lo = b - 16 * hi
+        assert np.abs(lo).max() <= 7 and np.abs(hi).max() <= 7
         recon = np.concatenate([lo, hi], axis=1).astype(np.float32) * s_np[:, None]
         assert np.abs(recon - db).max() <= 1.0 / 7.0 + 1e-6
 
@@ -160,9 +161,10 @@ class TestFusedKernelInterpret:
         )
 
     def test_int4_deferred_matches_shift_ranking(self, rng):
-        """The deferred-hi unpack (one nibble extraction + algebraic fold,
-        bf16 dots) ranks within noise of the two-extraction shift path —
-        kept as an alternative; both rerank to identical exact scores."""
+        """The deferred unpack (one extraction + algebraic fold, bf16 dots)
+        ranks within bf16 noise of the two-extraction shift path — since
+        b = 16*hi + lo holds exactly in the signed byte encoding, the only
+        difference is bf16 rounding (no sign-dependent bias)."""
         from memex_tpu.ops.fused_topk import (
             fused_score_topk_int4_rerank,
             np_quantize_rows_int4,
@@ -181,15 +183,53 @@ class TestFusedKernelInterpret:
             outs[deferred] = (np.asarray(vals), np.asarray(idx))
         for qi in range(4):
             a, b = set(outs[False][1][qi]), set(outs[True][1][qi])
-            # The deferred coarse scores carry ~1% bf16 fold noise, so the
-            # candidate sets can differ at the margin; most of the top-5
-            # agrees and shared winners score identically (exact rerank).
-            assert len(a & b) >= 3, (qi, a, b)
+            # bf16 fold noise can flip ties at the candidate-bank margin;
+            # the top-5 must agree nearly everywhere now the bias is gone.
+            assert len(a & b) >= 4, (qi, a, b)
         shared = set(outs[False][1][0]) & set(outs[True][1][0])
         va = {i: v for v, i in zip(outs[False][0][0], outs[False][1][0])}
         vb = {i: v for v, i in zip(outs[True][0][0], outs[True][1][0])}
         for i in shared:
             np.testing.assert_allclose(va[i], vb[i], atol=1e-5)
+
+    def test_int4_deferred_coarse_unbiased(self, rng):
+        """Regression (round-1 advisor): the old nibble-packed byte made the
+        deferred coarse score gain +q_hi per column with lo<0 — a systematic
+        bias far above bf16 noise. With b = 16*hi + lo signed, deferred
+        coarse scores must match the exact int4 dot to bf16 tolerance."""
+        from memex_tpu.ops.fused_topk import _int4q_candidates, np_quantize_rows_int4
+
+        db, q = unit(rng, 512, 64), unit(rng, 4, 64)
+        db4, s4 = np_quantize_rows_int4(db)
+        count = jnp.full((1,), 512, jnp.int32)
+        # Exact int4 reference scores, via integer unpack + quantized query.
+        b = db4.T.astype(np.int32)
+        hi = (b + 8) >> 4
+        lo = b - 16 * hi
+        codes = np.concatenate([lo, hi], axis=1).astype(np.float32)  # [N, D]
+        qa = np.abs(q).max(axis=1)
+        qs = np.maximum(qa, 1e-12) / 127.0
+        q8 = np.clip(np.round(q / qs[:, None]), -127, 127).astype(np.float32)
+        want = (q8 @ codes.T) * s4[None, :]  # [Q, N] (per-query scale omitted
+        # by the kernel too — ranking is query-scale invariant)
+        for deferred in (False, True):
+            vals, idx = _int4q_candidates(
+                jnp.asarray(db4), jnp.asarray(s4), jnp.asarray(q), count,
+                block_n=512, banks=4, deferred=deferred, interpret=True,
+            )
+            vals, idx = np.asarray(vals), np.asarray(idx)
+            # Compare every candidate-bank score against the exact value at
+            # its reported index: relative error must be bf16-level (shift
+            # path is integer-exact).
+            sel = want[np.arange(4)[:, None], idx]
+            scale = np.abs(want).max()
+            err = (vals - sel) / scale
+            tol = 1e-6 if not deferred else 3e-2
+            assert np.abs(err).max() <= tol, (deferred, np.abs(err).max())
+            # Unbiasedness is the actual regression: the old nibble packing
+            # gave deferred a +q_hi shift per lo<0 column (~half of D/2
+            # columns — an error orders of magnitude above this bound).
+            assert abs(err.mean()) <= 2e-3, (deferred, err.mean())
 
     def test_int4_rerank_count_and_alive_mask(self, rng):
         from memex_tpu.ops.fused_topk import (
