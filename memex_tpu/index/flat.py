@@ -192,6 +192,29 @@ class FlatIndex:
             if dtype in ("int8", "int4") else None
         )
         self.alive = jnp.zeros((self.capacity,), jnp.float32)
+        # Write-through host shadow: every serving-path row passes through
+        # the host in add() (quantization happens there), so mirroring it
+        # costs one memcpy and makes save()/compact() zero-device-fetch —
+        # the device->host path can be ~15x slower than host->device on
+        # remote-attached TPUs (CLAUDE.md: ~2 MB/s vs ~30 MB/s). int4 mode
+        # shadows the int8 rerank copy (the higher-fidelity one; the packed
+        # nibbles are re-derived on load). Device-built rows
+        # (add_quantized) invalidate the shadow; save() then falls back to
+        # a one-shot device fetch.
+        self._sh_dtype = np.int8 if dtype in ("int8", "int4") else np.float32
+        self._sh_rows = np.zeros((self.capacity, dim), self._sh_dtype)
+        self._sh_scales = (
+            np.zeros((self.capacity,), np.float32)
+            if dtype in ("int8", "int4") else None
+        )
+        self._sh_valid = True
+        # Incremental-checkpoint state (see save()).
+        self._generation = 0
+        self._dead_ids: set[str] = set()
+        self._ckpt_path: str | None = None
+        self._ckpt_gen = -1
+        self._saved_count = 0
+        self._segments: list[str] = []
 
     # -- mutation -------------------------------------------------------------
 
@@ -216,6 +239,13 @@ class FlatIndex:
         if self.scales is not None:
             self.scales = jnp.concatenate([self.scales, jnp.zeros((pad,), jnp.float32)])
         self.alive = jnp.concatenate([self.alive, jnp.zeros((pad,), jnp.float32)])
+        self._sh_rows = np.concatenate(
+            [self._sh_rows, np.zeros((pad, self.dim), self._sh_dtype)]
+        )
+        if self._sh_scales is not None:
+            self._sh_scales = np.concatenate(
+                [self._sh_scales, np.zeros((pad,), np.float32)]
+            )
         self.capacity = new_cap
 
     def add(self, vectors: np.ndarray, ids: list[str]) -> None:
@@ -239,6 +269,8 @@ class FlatIndex:
             from ..native_lib import np_quantize_rows_int8
 
             q, row_scales = np_quantize_rows_int8(vectors)
+            self._sh_rows[self.count : self.count + m] = q
+            self._sh_scales[self.count : self.count + m] = row_scales
             qblock = np.zeros((rows, self.dim), np.int8)
             qblock[:m] = q
             sblock = np.zeros((rows,), np.float32)
@@ -259,6 +291,7 @@ class FlatIndex:
                 self.scales[:, None], jnp.asarray(sblock)[:, None], self.count, m
             )[:, 0]
         else:
+            self._sh_rows[self.count : self.count + m] = vectors
             block = np.zeros((rows, self.dim), np.float32)
             block[:m] = vectors
             self.buf = _write_block(
@@ -280,6 +313,7 @@ class FlatIndex:
         fetch-then-re-add costs seconds per 100k rows). Builder-internal:
         assumes fresh ids (no duplicate screening)."""
         assert self.dtype == "int8", "device insert is int8-only"
+        self._sh_valid = False  # rows exist only on device now
         m = int(codes_dev.shape[0])
         assert m == len(ids) and codes_dev.shape[1] == self.dim
         rows = _bucket_rows(m)
@@ -308,6 +342,7 @@ class FlatIndex:
             row = self._id_to_row.pop(sid, None)
             if row is not None and alive[row] > 0:
                 alive[row] = 0.0
+                self._dead_ids.add(sid)
                 removed += 1
         if removed:
             self.alive = jnp.asarray(alive)
@@ -330,20 +365,38 @@ class FlatIndex:
         if self.scales is not None:
             self.scales = jnp.zeros((self.capacity,), jnp.float32)
         self.alive = jnp.zeros((self.capacity,), jnp.float32)
+        self._sh_rows = np.zeros((self.capacity, self.dim), self._sh_dtype)
+        if self._sh_scales is not None:
+            self._sh_scales = np.zeros((self.capacity,), np.float32)
+        self._sh_valid = True
+        self._dead_ids = set()
+        # Row numbering restarts: any incremental checkpoint prefix is
+        # invalid, force the next save() to rewrite from scratch.
+        self._generation += 1
+
+    def _raw_rows(self) -> np.ndarray:
+        """Live-prefix rows in storage precision (int8 codes or f32), from
+        the host shadow when valid — zero device bytes — else one full
+        buffer fetch (device-built rows only). Full-buffer + host slice
+        because a device-side `buf[:count]` compiles per fill level."""
+        if self._sh_valid:
+            return self._sh_rows[: self.count]
+        src = self.buf8 if self.dtype == "int4" else self.buf
+        return np.asarray(src)[: self.count]
+
+    def _raw_scales(self) -> np.ndarray | None:
+        if self.dtype not in ("int8", "int4"):
+            return None
+        if self._sh_valid:
+            return self._sh_scales[: self.count]
+        return np.asarray(self.scales)[: self.count]
 
     def _dequantized(self) -> np.ndarray:
-        """Materialize live-prefix vectors as f32 (for compaction/saving).
-
-        Fetches the FULL buffer and slices on host: a device-side
-        `buf[:count]` is a new shape for every fill level, and each eager
-        slice compiles a fresh executable (~1s per checkpoint through the
-        remote tunnel, unboundedly many cache entries)."""
-        if self.dtype == "int4":  # the int8 copy is the higher-fidelity one
-            raw = np.asarray(self.buf8)[: self.count]
-            return raw.astype(np.float32) * np.asarray(self.scales)[: self.count][:, None]
-        raw = np.asarray(self.buf)[: self.count]
-        if self.dtype == "int8":
-            return raw.astype(np.float32) * np.asarray(self.scales)[: self.count][:, None]
+        """Materialize live-prefix vectors as f32 (for compaction/saving)."""
+        raw = self._raw_rows()
+        scales = self._raw_scales()
+        if scales is not None:
+            return raw.astype(np.float32) * scales[:, None]
         return raw.astype(np.float32)
 
     def compact(self) -> None:
@@ -415,30 +468,179 @@ class FlatIndex:
         return out
 
     # -- persistence ------------------------------------------------------------
+    #
+    # Format v2 (incremental): `{path}.meta.json` lists immutable row
+    # segments (`{path}.seg****.****.npz`, each a contiguous run of rows in
+    # STORAGE precision — int8 codes + scales, not dequantized f32 — plus
+    # their ids) and the ids tombstoned since the last full rewrite. A
+    # checkpoint after a k-row ingest appends one k-row segment; only a
+    # compaction/clear (generation bump) rewrites from scratch. Rows come
+    # from the host shadow, so serving-path checkpoints transfer zero
+    # device bytes (vectors are also durable in SQL — SURVEY.md §5 — so
+    # this is a warm-start optimization, not the source of truth).
+
+    def _seg_path(self, path: str, name: str) -> str:
+        return os.path.join(os.path.dirname(path) or ".", name)
 
     def save(self, path: str) -> None:
-        """Checkpoint to `{path}.npz` + `{path}.meta.json` (vectors are also
-        durable in SQL — SURVEY.md §5 checkpoint/resume — so this is an
-        optimization, not the source of truth)."""
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        alive = np.asarray(self.alive)[: self.count] > 0
-        keep = np.nonzero(alive)[0]
-        np.savez(path + ".npz", vectors=self._dequantized()[keep])
-        meta = {"dim": self.dim, "dtype": self.dtype, "ids": [self.ids[i] for i in keep]}
-        with open(path + ".meta.json", "w", encoding="utf-8") as fh:
+        full = (
+            path != self._ckpt_path
+            or self._generation != self._ckpt_gen
+            or not os.path.exists(path + ".meta.json")
+        )
+        if full:
+            self.remove_checkpoint(path)  # clear stale segments
+            self._segments = []
+            self._saved_count = 0
+            self._ckpt_path = path
+            self._ckpt_gen = self._generation
+        if self.count > self._saved_count:
+            a, b = self._saved_count, self.count
+            name = (f"{os.path.basename(path)}.seg{self._ckpt_gen % 10000:04d}"
+                    f".{len(self._segments):04d}.npz")
+            arrs: dict[str, np.ndarray] = {"ids": np.asarray(self.ids[a:b])}
+            rows = self._raw_rows()[a:b]
+            scales = self._raw_scales()
+            if scales is not None:
+                arrs["codes"] = rows
+                arrs["scales"] = scales[a:b]
+            else:
+                arrs["vectors"] = rows.astype(np.float32)
+            np.savez(self._seg_path(path, name), **arrs)
+            self._segments.append(name)
+            self._saved_count = b
+        meta = {
+            "format": 2,
+            "dim": self.dim,
+            "dtype": self.dtype,
+            "segments": self._segments,
+            "dead_ids": sorted(self._dead_ids),
+        }
+        tmp = path + ".meta.json.tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(meta, fh)
+        os.replace(tmp, path + ".meta.json")  # atomic vs crash mid-write
+
+    def _install_prequantized(self, codes: np.ndarray, scales: np.ndarray,
+                              ids: list[str]) -> None:
+        """Bulk insert of already-int8-quantized rows (checkpoint restore):
+        skips the quantization pass and keeps the exact stored codes. int4
+        mode re-derives the packed nibbles from the int8 codes (coarse
+        codes can shift one level vs the original f32 quantization; the
+        exact int8 rerank is unaffected)."""
+        assert self.dtype in ("int8", "int4")
+        m = codes.shape[0]
+        if m == 0:
+            return
+        rows = _bucket_rows(m)
+        self._grow_to(self.count + rows + 1)
+        self._sh_rows[self.count : self.count + m] = codes
+        self._sh_scales[self.count : self.count + m] = scales
+        qblock = np.zeros((rows, self.dim), np.int8)
+        qblock[:m] = codes
+        sblock = np.zeros((rows,), np.float32)
+        sblock[:m] = scales
+        if self.dtype == "int4":
+            c4 = np.clip(np.round(codes.astype(np.float32) * (7.0 / 127.0)),
+                         -7, 7).astype(np.int32)
+            lo, hi = c4[:, : self.dim // 2], c4[:, self.dim // 2 :]
+            pblock = np.zeros((self.dim // 2, rows), np.int8)
+            pblock[:, :m] = (lo + 16 * hi).astype(np.int8).T
+            self.buf = _write_block_cols(self.buf, jnp.asarray(pblock), self.count, m)
+            self.buf8 = _write_block(self.buf8, jnp.asarray(qblock), self.count, m)
+        else:
+            self.buf = _write_block(self.buf, jnp.asarray(qblock), self.count, m)
+        self.scales = _write_block(
+            self.scales[:, None], jnp.asarray(sblock)[:, None], self.count, m
+        )[:, 0]
+        ones = np.zeros((rows,), np.float32)
+        ones[:m] = 1.0
+        self.alive = _write_block(
+            self.alive[:, None], jnp.asarray(ones)[:, None], self.count, m
+        )[:, 0]
+        for i, sid in enumerate(ids):
+            self._id_to_row[sid] = self.count + i
+        self.ids.extend(ids)
+        self.count += m
 
     @classmethod
     def load(cls, path: str, **kw) -> "FlatIndex":
         with open(path + ".meta.json", "r", encoding="utf-8") as fh:
             meta = json.load(fh)
-        vectors = np.load(path + ".npz")["vectors"]
         kw.setdefault("dtype", meta.get("dtype", "float32"))
-        idx = cls(dim=meta["dim"], capacity=max(MIN_CAPACITY, len(meta["ids"]) + 1), **kw)
-        if len(meta["ids"]):
-            idx.add(vectors, meta["ids"])
+        if meta.get("format") != 2:  # legacy single-npz checkpoints
+            vectors = np.load(path + ".npz")["vectors"]
+            idx = cls(dim=meta["dim"],
+                      capacity=max(MIN_CAPACITY, len(meta["ids"]) + 1), **kw)
+            if len(meta["ids"]):
+                idx.add(vectors, meta["ids"])
+            return idx
+        dead = set(meta.get("dead_ids", []))
+        ids_l, rows_l, scales_l = [], [], []
+        base = os.path.dirname(path) or "."
+        for name in meta["segments"]:
+            arrs = np.load(os.path.join(base, name))
+            ids_l.append(arrs["ids"])
+            if "codes" in arrs:
+                rows_l.append(arrs["codes"])
+                scales_l.append(arrs["scales"])
+            else:
+                rows_l.append(arrs["vectors"])
+        n_total = sum(len(a) for a in ids_l)
+        idx = cls(dim=meta["dim"], capacity=max(MIN_CAPACITY, n_total + 1), **kw)
+        if n_total:
+            ids_arr = np.concatenate(ids_l)
+            rows = np.concatenate(rows_l)
+            keep = ~np.isin(ids_arr, sorted(dead)) if dead else slice(None)
+            kept_ids = [str(s) for s in ids_arr[keep]]
+            if scales_l:
+                idx._install_prequantized(
+                    rows[keep], np.concatenate(scales_l)[keep], kept_ids
+                )
+            elif kept_ids:
+                idx.add(rows[keep], kept_ids)
+        if not dead:
+            # Resume the segment log in place: the next save() appends
+            # instead of rewriting (row numbering matches the segments
+            # exactly when nothing was dropped).
+            idx._ckpt_path = path
+            idx._ckpt_gen = idx._generation
+            idx._segments = list(meta["segments"])
+            idx._saved_count = idx.count
         return idx
 
     @classmethod
     def exists(cls, path: str) -> bool:
-        return os.path.exists(path + ".meta.json") and os.path.exists(path + ".npz")
+        if not os.path.exists(path + ".meta.json"):
+            return False
+        try:
+            with open(path + ".meta.json", "r", encoding="utf-8") as fh:
+                meta = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return False
+        if meta.get("format") == 2:
+            return True
+        return os.path.exists(path + ".npz")
+
+    @classmethod
+    def remove_checkpoint(cls, path: str) -> None:
+        """Delete every file belonging to the checkpoint at `path`
+        (meta + segments + legacy npz)."""
+        try:
+            with open(path + ".meta.json", "r", encoding="utf-8") as fh:
+                meta = json.load(fh)
+            segs = meta.get("segments", [])
+        except (OSError, json.JSONDecodeError):
+            segs = []
+        base = os.path.dirname(path) or "."
+        for name in segs:
+            try:
+                os.remove(os.path.join(base, name))
+            except FileNotFoundError:
+                pass
+        for suffix in (".npz", ".meta.json"):
+            try:
+                os.remove(path + suffix)
+            except FileNotFoundError:
+                pass

@@ -195,6 +195,14 @@ class IVFIndex:
         self.spill = FlatIndex(dim, dtype=dtype)
         self._deleted: set[str] = set()
         self._live: set[str] = set()
+        # Checkpoint state: the cluster base is immutable between
+        # (re)builds, so save() rewrites it only when dirty; streaming
+        # ingest checkpoints move only the spill delta (FlatIndex segment
+        # log) + the deleted-id list.
+        self._base_dirty = False
+        self._ckpt_path: str | None = None
+        self._host_data: np.ndarray | None = None  # packed-table shadow
+        self._host_scales: np.ndarray | None = None
 
     @property
     def count(self) -> int:
@@ -229,7 +237,7 @@ class IVFIndex:
             )
         counts = np.bincount(assign, minlength=self.C)
         M = int(max(8, self.bucket_factor * max(1, counts.mean())))
-        M = -(-M // 256) * 256  # multiple of the fused kernel's slot banks
+        M = -(-M // 512) * 512  # multiple of the fused kernels' slot banks
         # Vectorized packing (no per-row Python loop): stable-sort rows by
         # cluster; position-within-cluster beyond M overflows to spill.
         order = np.argsort(assign, kind="stable")
@@ -247,13 +255,14 @@ class IVFIndex:
         self.sizes = jnp.asarray(np.minimum(counts, M).astype(np.int32))
         self.rowids = rowids
         self._rowids_dev = None
+        self._base_dirty = True
         n_spill = int(n - in_bucket.sum())
         if n_spill:
             spill_rows = order[~in_bucket]
             logger.info("ivf build: %d bucket-overflow rows -> spill", n_spill)
             self.spill.add(vectors[spill_rows], [ids[i] for i in spill_rows])
 
-    def build_device(self, vecs_q, scales, ids: list) -> None:
+    def build_device(self, vecs_q, scales, ids: list, n_valid: int | None = None) -> None:
         """All-device build from an int8 corpus already resident on device.
 
         The host-side `build()` needs the f32 corpus in host RAM and ships
@@ -262,18 +271,22 @@ class IVFIndex:
         dequantized sample, blockwise assignment, argsort packing, and
         scatter into the padded cluster bucket — and only fetches the small
         rowid table. vecs_q: [N, D] int8 (device), scales: [N] f32 (device),
-        ids: host list of row ids (any hashables).
+        ids: host list of row ids (any hashables). Rows at index >= n_valid
+        are padding (shape-bucketed callers like rebuild_device): they are
+        excluded from training/packing and never land in a bucket.
         """
         assert self.dtype == "int8", "device build packs int8 storage"
         n, d = vecs_q.shape
+        if n_valid is None:
+            n_valid = n
         assert d == self.dim and n == len(ids)
-        assert n >= self.C * 4, f"n={n} too small for C={self.C}"
-        self._live.update(ids)
+        assert n_valid >= self.C * 4, f"n={n_valid} too small for C={self.C}"
+        self._live.update(i for i in ids[:n_valid] if i is not None)
 
         TRAIN_CAP = max(self.C * 64, 65536)
-        m_samp = min(n, TRAIN_CAP)
+        m_samp = min(n_valid, TRAIN_CAP)
         key = jax.random.PRNGKey(self.seed)
-        samp_idx = jax.random.choice(key, n, (m_samp,), replace=False)
+        samp_idx = jax.random.choice(key, n_valid, (m_samp,), replace=False)
         sample = vecs_q[samp_idx].astype(jnp.float32) * scales[samp_idx, None]
         self.centroids = kmeans_fit(sample, self.C, seed=self.seed)
         del sample
@@ -286,11 +299,15 @@ class IVFIndex:
             ].astype(jnp.bfloat16)
             parts.append(kmeans_assign(blk, self.centroids))
         assign = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        if n_valid < n:
+            # Padding rows sort to the tail (pseudo-cluster C) and scatter
+            # out of bounds -> dropped.
+            assign = jnp.where(jnp.arange(n) < n_valid, assign, self.C)
 
-        counts = jnp.zeros((self.C,), jnp.int32).at[assign].add(1)
+        counts = jnp.zeros((self.C,), jnp.int32).at[assign].add(1, mode="drop")
         counts_h = np.asarray(counts)
         M = int(max(8, self.bucket_factor * max(1, counts_h.mean())))
-        M = -(-M // 256) * 256  # fused-kernel slot alignment
+        M = -(-M // 512) * 512  # fused-kernel slot alignment
         C, dim = self.C, self.dim
 
         order = jnp.argsort(assign)
@@ -332,6 +349,8 @@ class IVFIndex:
         self.rowids = None
         self._rowids_dev = rid_cm
         self.ids = list(ids)
+        self._base_dirty = True
+        self._host_data = self._host_scales = None  # device-resident only
 
         # Spill rows: their sorted positions are derivable from counts on
         # the host (cluster c overflows positions starts[c]+M..counts[c]),
@@ -362,7 +381,9 @@ class IVFIndex:
         return self.rowids
 
     def _pack(self, data: np.ndarray) -> None:
-        """[C, M, D] f32 -> device arrays in the storage dtype."""
+        """[C, M, D] f32 -> device arrays in the storage dtype. Keeps a host
+        shadow of the packed table so save() never fetches it back through
+        the slow device->host path (mirrors FlatIndex's shadow)."""
         C, M, D = data.shape
         if self.dtype == "int8":
             from ..native_lib import np_quantize_rows_int8
@@ -370,17 +391,15 @@ class IVFIndex:
             q, s = np_quantize_rows_int8(data.reshape(C * M, D))
             self.data = jnp.asarray(q.reshape(C, M, D))
             self.rscales = jnp.asarray(s.reshape(C, M))
+            self._host_data = q.reshape(C, M, D)
+            self._host_scales = s.reshape(C, M)
         else:
             self.data = jnp.asarray(
                 data, jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
             )
             self.rscales = jnp.ones((C, M), jnp.float32)
-
-    def _data_f32(self) -> np.ndarray:
-        d = np.asarray(self.data, dtype=np.float32)
-        if self.dtype == "int8":
-            d = d * np.asarray(self.rscales)[:, :, None]
-        return d
+            self._host_data = data.astype(np.float32)
+            self._host_scales = None
 
     def add(self, vectors: np.ndarray, ids: list[str]) -> None:
         """Streaming ingest: spill index, folded in at next rebuild()."""
@@ -388,34 +407,137 @@ class IVFIndex:
         self._live.update(ids)
 
     def rebuild(self) -> None:
+        """Fold the spill back into retrained partitions. int8 indexes with
+        a resident cluster table rebuild ON DEVICE (gather + re-assign +
+        re-scatter; the corpus never transits the device->host link);
+        others take the host path."""
+        live = len(self._live)
+        if (self.dtype == "int8" and self.data is not None
+                and live >= self.C * 4):
+            self.rebuild_device()
+            return
         vecs, ids = self._all_vectors()
         self.spill.delete_all()
         self._deleted.clear()
         self.build(vecs, ids)
 
+    # -- vectorized live-row extraction (no per-row Python) -------------------
+
+    def _live_cluster_mask(self) -> np.ndarray:
+        """[C, M] bool: slot holds a live (in-size, rowid-valid, undeleted)
+        row. Pure numpy over the host rowid table."""
+        rowids = self._rowids_host()
+        sizes = np.asarray(self.sizes)
+        M = rowids.shape[1]
+        valid = (np.arange(M)[None, :] < sizes[:, None]) & (rowids >= 0)
+        if self._deleted:
+            ids_arr = np.asarray(self.ids, dtype=object)
+            sids = ids_arr[np.clip(rowids, 0, len(self.ids) - 1)]
+            valid &= ~np.isin(sids.astype(str), sorted(self._deleted))
+        return valid
+
+    def _cluster_live_ids(self, valid: np.ndarray) -> list:
+        """Ids of the selected bucket slots, row-major (matches boolean-mask
+        selection order)."""
+        rid = self._rowids_host()[valid]
+        return np.asarray(self.ids, dtype=object)[rid].tolist()
+
     def _all_vectors(self) -> tuple[np.ndarray, list[str]]:
-        out_v, out_i = [], []
+        parts_v, parts_i = [], []
         if self.data is not None:
-            data = self._data_f32()
-            rowids = self._rowids_host()
-            sizes = np.asarray(self.sizes)
-            for c in range(self.C):
-                for m in range(sizes[c]):
-                    sid = self.ids[rowids[c, m]]
-                    if sid is not None and sid not in self._deleted:
-                        out_v.append(data[c, m])
-                        out_i.append(sid)
+            valid = self._live_cluster_mask()
+            if valid.any():
+                data = np.asarray(self.data, dtype=np.float32 if
+                                  self.dtype != "int8" else np.int8)
+                sel = data[valid].astype(np.float32)
+                if self.dtype == "int8":
+                    sel *= np.asarray(self.rscales)[valid][:, None]
+                parts_v.append(sel)
+                parts_i.extend(self._cluster_live_ids(valid))
         if self.spill.count:
             alive = np.asarray(self.spill.alive)[: self.spill.count] > 0
-            svecs = np.asarray(self.spill.buf)[: self.spill.count]
-            for r in np.nonzero(alive)[0]:
-                sid = self.spill.ids[r]
-                if sid not in self._deleted:
-                    out_v.append(svecs[r])
-                    out_i.append(sid)
-        if not out_v:
+            svecs = self.spill._dequantized()[alive]
+            sids = np.asarray(self.spill.ids, dtype=object)[: self.spill.count][alive]
+            if self._deleted:
+                keep = ~np.isin(sids.astype(str), sorted(self._deleted))
+                svecs, sids = svecs[keep], sids[keep]
+            parts_v.append(svecs)
+            parts_i.extend(sids.tolist())
+        if not parts_v:
             return np.zeros((0, self.dim), np.float32), []
-        return np.stack(out_v), out_i
+        return np.concatenate(parts_v), parts_i
+
+    def rebuild_device(self) -> None:
+        """Device-side rebuild for int8 indexes: gather live bucket + spill
+        rows on device (host supplies only the [K] selection index — the
+        cheap transfer direction), retrain, re-scatter via build_device().
+        Selection lengths are padded to 64k multiples so eager gathers
+        compile O(log) distinct executables; pad slots use positive OOB
+        indices (fill/drop semantics) and are excluded from the build via
+        n_valid."""
+        assert self.dtype == "int8" and self.data is not None
+        PAD = 1 << 16
+
+        def _pad_to(sel: np.ndarray, oob: int) -> np.ndarray:
+            target = max(PAD, -(-max(len(sel), 1) // PAD) * PAD)
+            out = np.full((target,), oob, np.int64)
+            out[: len(sel)] = sel
+            return out
+
+        valid = self._live_cluster_mask()
+        sel = np.nonzero(valid.reshape(-1))[0]
+        ids_out: list = self._cluster_live_ids(valid)
+        n_live = len(sel)
+        flat_rows = self.data.reshape(-1, self.dim)
+        psel = jnp.asarray(_pad_to(sel, flat_rows.shape[0]))
+        # Real rows land first within each padded gather (pads at the end).
+        part_c = jnp.take(flat_rows, psel, axis=0, mode="fill", fill_value=0)
+        part_s = jnp.take(self.rscales.reshape(-1), psel,
+                          mode="fill", fill_value=0.0)
+        sids: list = []
+        n_spill = 0
+        if self.spill.count:
+            s_alive = np.asarray(self.spill.alive)[: self.spill.count] > 0
+            s_ids = np.asarray(self.spill.ids, dtype=object)[: self.spill.count]
+            if self._deleted:
+                s_alive &= ~np.isin(s_ids.astype(str), sorted(self._deleted))
+            ssel = np.nonzero(s_alive)[0]
+            n_spill = len(ssel)
+            sids = s_ids[ssel].tolist()
+            pssel = jnp.asarray(_pad_to(ssel, self.spill.buf.shape[0]))
+            part2_c = jnp.take(self.spill.buf, pssel, axis=0,
+                               mode="fill", fill_value=0)
+            part2_s = jnp.take(self.spill.scales, pssel,
+                               mode="fill", fill_value=0.0)
+        n_valid = n_live + n_spill
+        T = max(PAD, -(-n_valid // PAD) * PAD)
+        # Compact both parts into one prefix: scatter each part's real-row
+        # prefix to [0, n_live) and [n_live, n_valid); pad slots scatter to
+        # a positive OOB index and drop.
+        idx1 = jnp.asarray(_pad_to(np.arange(n_live, dtype=np.int64), T)[
+            : part_c.shape[0]])
+        all_codes = jnp.zeros((T, self.dim), jnp.int8).at[idx1].set(
+            part_c, mode="drop")
+        all_scales = jnp.zeros((T,), jnp.float32).at[idx1].set(
+            part_s, mode="drop")
+        if n_spill:
+            idx2 = jnp.asarray(_pad_to(
+                n_live + np.arange(n_spill, dtype=np.int64), T)[: part2_c.shape[0]])
+            all_codes = all_codes.at[idx2].set(part2_c, mode="drop")
+            all_scales = all_scales.at[idx2].set(part2_s, mode="drop")
+        ids_all = ids_out + sids + [None] * (T - n_valid)
+        del part_c, part_s
+        if n_spill:
+            del part2_c, part2_s
+        # Release the old table before the new scatter (HBM peak at scale).
+        self.data = self.rscales = self.sizes = None
+        self.rowids = None
+        self._rowids_dev = None
+        self.spill.delete_all()
+        self._deleted.clear()
+        self._live.clear()
+        self.ids = []
+        self.build_device(all_codes, all_scales, ids_all, n_valid=n_valid)
 
     # -- search --------------------------------------------------------------
 
@@ -427,12 +549,28 @@ class IVFIndex:
         if self.data is not None:
             kk = min(k + len(self._deleted), int(np.asarray(self.sizes).sum()))
             if kk > 0:
-                S = 2 * 128  # fused kernel slot width (banks=2)
-                vmem_need = 2 * self.data.shape[1] * self.dim * self.data.dtype.itemsize
-                fused_ok = (self.use_fused and kk <= S
-                            and self.data.shape[1] % S == 0
-                            and vmem_need <= 12 * 2**20)  # double buffer fits VMEM
-                if fused_ok:
+                M = self.data.shape[1]
+                vmem_need = 2 * M * self.dim * self.data.dtype.itemsize
+                # Batch-union kernel (ops/ivf_batch.py): each probed cluster
+                # is read once per query BATCH, banks=4 (slot width 512).
+                batch_ok = (self.use_fused and kk <= 512 and M % 512 == 0
+                            and vmem_need <= 12 * 2**20)
+                # Per-query kernel fallback for legacy 256-aligned buckets.
+                fused_ok = (self.use_fused and kk <= 256 and M % 256 == 0
+                            and vmem_need <= 12 * 2**20)
+                if batch_ok:
+                    try:
+                        from ..ops.ivf_batch import ivf_batch_search
+
+                        vals, cl, sl = ivf_batch_search(
+                            self.centroids, self.data, self.rscales, self.sizes,
+                            jnp.asarray(queries), self.nprobe, kk,
+                        )
+                        fused_ok = True
+                    except Exception:
+                        logger.exception("batch IVF kernel failed; fallback")
+                        batch_ok = False
+                if not batch_ok and fused_ok:
                     try:
                         vals, cl, sl = _ivf_search_fused(
                             self.centroids, self.data, self.rscales, self.sizes,
@@ -486,59 +624,76 @@ class IVFIndex:
     # -- persistence -----------------------------------------------------------
 
     def save(self, path: str) -> None:
-        """Checkpoint to `{path}.npz` + `{path}.meta.json`: centroids plus
-        packed live rows with their cluster assignment, so load() restores
-        the trained partitions WITHOUT re-running k-means (rebuild() is the
-        only path that retrains). Deleted rows are dropped (save compacts)."""
+        """Checkpoint: `{path}.npz` (cluster base: centroids + live rows in
+        STORAGE precision + assignments + ids) + `{path}.meta.json` +
+        `{path}.spill.*` (the spill FlatIndex's own incremental segment
+        log). The base is immutable between (re)builds and written only
+        when dirty, so streaming-ingest checkpoints move just the spill
+        delta and the deleted-id list — no per-row Python, no [C,M,D]
+        dequantization (load restores partitions without re-running
+        k-means; rebuild() is the only path that retrains)."""
         import json as _json
         import os as _os
 
         _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
-        cvecs, cassign, cids = [], [], []
-        if self.data is not None:
-            data = self._data_f32()
-            rowids = self._rowids_host()
-            sizes = np.asarray(self.sizes)
-            for c in range(self.C):
-                for m in range(int(sizes[c])):
-                    ridx = rowids[c, m]
-                    if ridx < 0:
-                        continue
-                    sid = self.ids[ridx]
-                    if sid is None or sid in self._deleted:
-                        continue
-                    cvecs.append(data[c, m])
-                    cassign.append(c)
-                    cids.append(sid)
-        svecs, sids = [], []
-        if self.spill.count:
-            alive = np.asarray(self.spill.alive)[: self.spill.count] > 0
-            dq = self.spill._dequantized()
-            for r in np.nonzero(alive)[0]:
-                sid = self.spill.ids[r]
-                if sid not in self._deleted:
-                    svecs.append(dq[r])
-                    sids.append(sid)
-        np.savez(
-            path + ".npz",
-            centroids=(np.asarray(self.centroids)
-                       if self.centroids is not None
-                       else np.zeros((0, self.dim), np.float32)),
-            cluster_vecs=(np.stack(cvecs) if cvecs else np.zeros((0, self.dim), np.float32)),
-            cluster_assign=np.asarray(cassign, np.int32),
-            spill_vecs=(np.stack(svecs) if svecs else np.zeros((0, self.dim), np.float32)),
-        )
+        if self._base_dirty or path != self._ckpt_path or not _os.path.exists(
+                path + ".npz"):
+            arrs: dict[str, np.ndarray] = {
+                "centroids": (np.asarray(self.centroids)
+                              if self.centroids is not None
+                              else np.zeros((0, self.dim), np.float32)),
+            }
+            if self.data is not None:
+                rowids = self._rowids_host()
+                sizes = np.asarray(self.sizes)
+                M = rowids.shape[1]
+                # Base keeps every rowid-valid row; deletes live in meta
+                # and are dropped at load (saves stay cheap under churn).
+                valid = (np.arange(M)[None, :] < sizes[:, None]) & (rowids >= 0)
+                arrs["cluster_assign"] = np.nonzero(valid)[0].astype(np.int32)
+                arrs["cluster_ids"] = np.asarray(
+                    np.asarray(self.ids, dtype=object)[rowids[valid]].tolist()
+                )
+                if self._host_data is not None:
+                    # Host shadow: zero device bytes.
+                    arrs_key = ("cluster_codes" if self.dtype == "int8"
+                                else "cluster_vecs")
+                    arrs[arrs_key] = self._host_data[valid]
+                    if self.dtype == "int8":
+                        arrs["cluster_scales"] = self._host_scales[valid]
+                elif self.dtype == "int8":
+                    # Device-built table: compact live rows ON DEVICE first
+                    # so the (slow) fetch moves only int8 codes, no bucket
+                    # padding and no dequantized f32.
+                    sel = jnp.asarray(np.nonzero(valid.reshape(-1))[0])
+                    arrs["cluster_codes"] = np.asarray(
+                        jnp.take(self.data.reshape(-1, self.dim), sel, axis=0))
+                    arrs["cluster_scales"] = np.asarray(
+                        jnp.take(self.rscales.reshape(-1), sel))
+                else:
+                    arrs["cluster_vecs"] = np.asarray(
+                        self.data, dtype=np.float32)[valid]
+            else:
+                arrs["cluster_assign"] = np.zeros((0,), np.int32)
+                arrs["cluster_ids"] = np.zeros((0,), np.str_)
+                arrs["cluster_vecs"] = np.zeros((0, self.dim), np.float32)
+            np.savez(path + ".npz", **arrs)
+            self._base_dirty = False
+            self._ckpt_path = path
         meta = {
+            "format": 2,
             "dim": self.dim,
             "n_clusters": self.C,
             "nprobe": self.nprobe,
             "bucket_factor": self.bucket_factor,
             "dtype": self.dtype,
-            "cluster_ids": cids,
-            "spill_ids": sids,
+            "deleted": sorted(str(s) for s in self._deleted),
         }
-        with open(path + ".meta.json", "w", encoding="utf-8") as fh:
+        tmp = path + ".meta.json.tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
             _json.dump(meta, fh)
+        _os.replace(tmp, path + ".meta.json")
+        self.spill.save(path + ".spill")
 
     @classmethod
     def load(cls, path: str, **kw) -> "IVFIndex":
@@ -546,12 +701,65 @@ class IVFIndex:
 
         with open(path + ".meta.json", "r", encoding="utf-8") as fh:
             meta = _json.load(fh)
-        arrs = np.load(path + ".npz")
         kw.setdefault("n_clusters", meta["n_clusters"])
         kw.setdefault("nprobe", meta["nprobe"])
         kw.setdefault("bucket_factor", meta["bucket_factor"])
         kw.setdefault("dtype", meta.get("dtype", "float32"))
         idx = cls(dim=meta["dim"], **kw)
+        if meta.get("format") != 2:
+            return cls._load_legacy(idx, path, meta)
+        arrs = np.load(path + ".npz")
+        deleted = set(meta.get("deleted", []))
+        cids_arr = arrs["cluster_ids"]
+        centroids = arrs["centroids"]
+        if len(centroids) and len(cids_arr):
+            assign = arrs["cluster_assign"]
+            if deleted:
+                keep = ~np.isin(cids_arr.astype(str), sorted(deleted))
+                cids_arr, assign = cids_arr[keep], assign[keep]
+            else:
+                keep = slice(None)
+            idx.centroids = jnp.asarray(centroids)
+            cids = [str(s) for s in cids_arr]
+            counts = np.bincount(assign, minlength=idx.C)
+            M = int(max(8, idx.bucket_factor * max(1, counts.mean())))
+            M = max(M, int(counts.max()))
+            M = -(-M // 512) * 512  # multiple of the fused kernels' slot banks
+            rowids = np.full((idx.C, M), -1, np.int64)
+            idx.ids = cids
+            # save() writes rows cluster-sorted, so positions are vectorizable
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            pos = np.arange(len(cids), dtype=np.int64) - starts[assign]
+            rowids[assign, pos] = np.arange(len(cids))
+            if "cluster_codes" in arrs:
+                # int8 base restores the EXACT stored codes (no
+                # dequantize/requantize round-trip).
+                codes = np.zeros((idx.C, M, idx.dim), np.int8)
+                rsc = np.zeros((idx.C, M), np.float32)
+                codes[assign, pos] = arrs["cluster_codes"][keep]
+                rsc[assign, pos] = arrs["cluster_scales"][keep]
+                idx.data = jnp.asarray(codes)
+                idx.rscales = jnp.asarray(rsc)
+                idx._host_data, idx._host_scales = codes, rsc
+            else:
+                data = np.zeros((idx.C, M, idx.dim), np.float32)
+                data[assign, pos] = arrs["cluster_vecs"][keep]
+                idx._pack(data)
+            idx.sizes = jnp.asarray(counts.astype(np.int32))
+            idx.rowids = rowids
+            idx._live.update(cids)
+        if FlatIndex.exists(path + ".spill"):
+            idx.spill = FlatIndex.load(path + ".spill", dtype=idx.dtype)
+            if deleted and idx.spill.count:
+                idx.spill.delete([s for s in idx.spill.ids if s in deleted])
+            idx._live.update(idx.spill._id_to_row)
+        idx._ckpt_path = path
+        return idx
+
+    @classmethod
+    def _load_legacy(cls, idx: "IVFIndex", path: str, meta: dict) -> "IVFIndex":
+        """Round-1 single-npz format (dequantized f32 rows)."""
+        arrs = np.load(path + ".npz")
         cids: list[str] = meta["cluster_ids"]
         centroids = arrs["centroids"]
         if len(centroids) and len(cids):
@@ -561,16 +769,15 @@ class IVFIndex:
             counts = np.bincount(assign, minlength=idx.C)
             M = int(max(8, idx.bucket_factor * max(1, counts.mean())))
             M = max(M, int(counts.max()))
-            M = -(-M // 256) * 256  # multiple of the fused kernel's slot banks
+            M = -(-M // 512) * 512
             data = np.zeros((idx.C, M, idx.dim), np.float32)
             rowids = np.full((idx.C, M), -1, np.int64)
             idx.ids = list(cids)
-            # save() writes rows cluster-sorted, so positions are vectorizable
             starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
             pos = np.arange(len(cids), dtype=np.int64) - starts[assign]
             data[assign, pos] = vectors
             rowids[assign, pos] = np.arange(len(cids))
-            idx._pack(data)  # re-quantize into the storage dtype
+            idx._pack(data)
             idx.sizes = jnp.asarray(counts.astype(np.int32))
             idx.rowids = rowids
             idx._live.update(cids)
@@ -585,6 +792,17 @@ class IVFIndex:
         import os as _os
 
         return _os.path.exists(path + ".meta.json") and _os.path.exists(path + ".npz")
+
+    @classmethod
+    def remove_checkpoint(cls, path: str) -> None:
+        import os as _os
+
+        FlatIndex.remove_checkpoint(path + ".spill")
+        for suffix in (".npz", ".meta.json"):
+            try:
+                _os.remove(path + suffix)
+            except FileNotFoundError:
+                pass
 
     def delete(self, ids: list[str]) -> int:
         known = set()
@@ -610,3 +828,5 @@ class IVFIndex:
         self._deleted.clear()
         self._live.clear()
         self.spill.delete_all()
+        self._base_dirty = True
+        self._host_data = self._host_scales = None

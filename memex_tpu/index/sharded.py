@@ -251,6 +251,23 @@ class ShardedFlatIndex:
         self.dead = 0
         self.ids: dict[int, str] = {}  # global row -> id
         self._id_to_row: dict[str, int] = {}
+        # Write-through host shadow (rows in storage precision, indexed by
+        # global row): checkpoints read it instead of fetching device
+        # shards back through the slow device->host path. int4 shadows the
+        # int8 rerank copy. np.zeros is lazily backed by the OS, so the
+        # full-capacity allocation costs only touched pages.
+        self._sh_dtype = np.int8 if dtype in ("int8", "int4") else np.float32
+        self._sh_rows = np.zeros((total, dim), self._sh_dtype)
+        self._sh_scales = (np.ones((total,), np.float32)
+                           if dtype in ("int8", "int4") else None)
+        # Incremental-checkpoint state (same segment-log scheme as
+        # FlatIndex.save): `_unsaved` = (global row, id) in insertion order.
+        self._unsaved: list[tuple[int, str]] = []
+        self._dead_ids: set[str] = set()
+        self._generation = 0
+        self._ckpt_path: str | None = None
+        self._ckpt_gen = -1
+        self._segments: list[str] = []
         self._bulk_write = (make_bulk_write_fn_int4(mesh, axis) if dtype == "int4"
                             else make_bulk_write_fn(mesh, axis))
         self._kill = make_kill_fn(mesh, axis)
@@ -313,6 +330,10 @@ class ShardedFlatIndex:
                 sids = ids[cursor : cursor + take]
                 self.ids.update(zip(grows, sids))
                 self._id_to_row.update(zip(sids, grows))
+                self._sh_rows[base : base + take] = qall[cursor : cursor + take]
+                if self._sh_scales is not None:
+                    self._sh_scales[base : base + take] = sall[cursor : cursor + take]
+                self._unsaved.extend(zip(grows, sids))
                 cursor += take
         dev_block = jnp.asarray(blocks.reshape(self.P * rows, self.dim))
         if self.dtype == "bfloat16":
@@ -394,19 +415,15 @@ class ShardedFlatIndex:
         return out
 
     def rows_f32(self, grows: list[int]) -> np.ndarray:
-        """Materialize the given global rows as dequantized float32 (for
-        checkpointing — int8 codes need their per-row scales folded back in
-        and bfloat16 is not np.load-portable)."""
+        """Materialize the given global rows as dequantized float32 from the
+        host shadow (zero device bytes; int8 codes get their per-row scales
+        folded back in)."""
         if not grows:
             return np.zeros((0, self.dim), np.float32)
-        # Full fetch + host-side gather: a device gather by a host index
-        # list compiles a new executable per distinct length (checkpoint
-        # calls use ever-changing live-row counts).
-        rows_src = self.buf8 if self.dtype == "int4" else self.buf
         sel = np.asarray(grows)
-        raw = np.asarray(rows_src)[sel].astype(np.float32)
-        if self.dtype in ("int8", "int4"):
-            raw = raw * np.asarray(self.scales)[sel].astype(np.float32)[:, None]
+        raw = self._sh_rows[sel].astype(np.float32)
+        if self._sh_scales is not None:
+            raw = raw * self._sh_scales[sel][:, None]
         return raw
 
     def delete(self, ids: list[str]) -> int:
@@ -415,6 +432,7 @@ class ShardedFlatIndex:
             row = self._id_to_row.pop(sid, None)
             if row is not None:
                 self.ids.pop(row, None)
+                self._dead_ids.add(sid)
                 grows.append(row)
         if grows:
             # Device-side tombstone scatter (no host copy of the full mask).
@@ -458,3 +476,104 @@ class ShardedFlatIndex:
         self.dead = 0
         self.ids = {}
         self._id_to_row = {}
+        self._sh_rows = np.zeros((total, self.dim), self._sh_dtype)
+        if self._sh_scales is not None:
+            self._sh_scales = np.ones((total,), np.float32)
+        self._unsaved = []
+        self._dead_ids = set()
+        self._generation += 1  # row numbering restarted
+
+    # -- persistence (FlatIndex-style segment log; see index/flat.py) --------
+
+    def save(self, path: str) -> None:
+        """Incremental checkpoint from the host shadow: appends only rows
+        added since the last save; a compaction/clear forces a rewrite."""
+        import json as _json
+        import os as _os
+
+        _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
+        full = (
+            path != self._ckpt_path
+            or self._generation != self._ckpt_gen
+            or not _os.path.exists(path + ".meta.json")
+        )
+        if full:
+            self.remove_checkpoint(path)
+            self._segments = []
+            self._ckpt_path = path
+            self._ckpt_gen = self._generation
+            self._unsaved = sorted(self.ids.items())  # all live rows
+            self._dead_ids = set()
+        pending = [(g, s) for g, s in self._unsaved if self.ids.get(g) == s]
+        if pending:
+            name = (f"{_os.path.basename(path)}.seg{self._ckpt_gen % 10000:04d}"
+                    f".{len(self._segments):04d}.npz")
+            grows = np.asarray([g for g, _ in pending])
+            arrs: dict[str, np.ndarray] = {
+                "ids": np.asarray([s for _, s in pending])
+            }
+            if self._sh_scales is not None:
+                arrs["codes"] = self._sh_rows[grows]
+                arrs["scales"] = self._sh_scales[grows]
+            else:
+                arrs["vectors"] = self._sh_rows[grows].astype(np.float32)
+            np.savez(_os.path.join(_os.path.dirname(path) or ".", name), **arrs)
+            self._segments.append(name)
+        self._unsaved = []
+        meta = {
+            "format": 2,
+            "dim": self.dim,
+            "dtype": self.dtype,
+            "segments": self._segments,
+            "dead_ids": sorted(self._dead_ids),
+        }
+        tmp = path + ".meta.json.tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            _json.dump(meta, fh)
+        _os.replace(tmp, path + ".meta.json")
+
+    def restore(self, path: str) -> int:
+        """Re-add rows from a checkpoint (fresh index; rows get new global
+        rows via the normal water-fill add). int8 codes round-trip exactly:
+        requantizing a dequantized row reproduces the same codes+scale.
+        Returns rows restored."""
+        import json as _json
+        import os as _os
+
+        with open(path + ".meta.json", "r", encoding="utf-8") as fh:
+            meta = _json.load(fh)
+        if meta.get("format") != 2:  # legacy single-npz
+            vectors = np.load(path + ".npz")["vectors"]
+            ids = meta["ids"]
+            if ids:
+                self.add(vectors, ids)
+            return len(ids)
+        dead = set(meta.get("dead_ids", []))
+        base = _os.path.dirname(path) or "."
+        restored = 0
+        for name in meta["segments"]:
+            arrs = np.load(_os.path.join(base, name))
+            ids_arr = arrs["ids"]
+            if "codes" in arrs:
+                vecs = arrs["codes"].astype(np.float32) * arrs["scales"][:, None]
+            else:
+                vecs = arrs["vectors"]
+            if dead:
+                keep = ~np.isin(ids_arr.astype(str), sorted(dead))
+                ids_arr, vecs = ids_arr[keep], vecs[keep]
+            if len(ids_arr):
+                self.add(vecs, [str(s) for s in ids_arr])
+                restored += len(ids_arr)
+        # Resume the log so the next save appends.
+        self._ckpt_path = path
+        self._ckpt_gen = self._generation
+        self._segments = list(meta["segments"])
+        self._dead_ids = set(dead)
+        self._unsaved = []
+        return restored
+
+    @classmethod
+    def remove_checkpoint(cls, path: str) -> None:
+        from .flat import FlatIndex
+
+        FlatIndex.remove_checkpoint(path)  # same file layout

@@ -87,11 +87,7 @@ class TpuFlatStore:
             self.index.delete_all()
             self._doc_of.clear()
             if self._path:
-                for suffix in (".npz", ".meta.json"):
-                    try:
-                        os.remove(self._path + suffix)
-                    except FileNotFoundError:
-                        pass
+                type(self.index).remove_checkpoint(self._path)
 
     def checkpoint(self) -> None:
         if self._path:
@@ -179,36 +175,23 @@ class TpuMeshStore(TpuFlatStore):
             dim=dim, mesh=mesh, capacity_per_shard=capacity_per_shard, **kw
         )
         self._doc_of: dict[str, str] = {}
-        if self._path and os.path.exists(self._path + ".npz"):
-            import json as _json
-
-            data = np.load(self._path + ".npz")["vectors"]
-            with open(self._path + ".meta.json", "r", encoding="utf-8") as fh:
-                ids = _json.load(fh)["ids"]
-            if len(ids):
-                self.index.add(data, ids)
-            logger.info("restored mesh collection %s (%d vectors)", collection, len(ids))
+        if self._path and os.path.exists(self._path + ".meta.json"):
+            n = self.index.restore(self._path)
+            logger.info("restored mesh collection %s (%d vectors)", collection, n)
 
     @property
     def count(self) -> int:
         return self.index.count
 
     def checkpoint(self) -> None:
+        """Incremental: moves only rows added since the last checkpoint
+        (ShardedFlatIndex segment log over the host shadow — zero device
+        fetch; the old path fetched every row through the ~2 MB/s
+        device->host tunnel per checkpoint)."""
         if not self._path:
             return
-        import json as _json
-
         with self._lock:
-            rows = sorted(self.index.ids.items())
-            ids = [sid for _, sid in rows]
-            grows = [r for r, _ in rows]
-            # Dequantized f32, never raw codes: int8 without scales restores
-            # ~283x-wrong scores and bf16 breaks np.load (mirrors
-            # FlatIndex.save's _dequantized()).
-            vecs = self.index.rows_f32(grows)
-            np.savez(self._path + ".npz", vectors=vecs)
-            with open(self._path + ".meta.json", "w", encoding="utf-8") as fh:
-                _json.dump({"dim": self.dim, "ids": ids}, fh)
+            self.index.save(self._path)
 
 
 class MemoryStore:
