@@ -1,0 +1,204 @@
+"""Batched IVF probe-scan: one pass over the UNION of probed clusters.
+
+The per-query kernel (ops/ivf_scan.py) reads, for every query, each of its
+`nprobe` clusters — so a cluster probed by j queries is DMA'd j times. The
+scan is HBM-bound (measured ~85% of speed-of-light at 10M rows), so those
+repeat reads are the entire cost. This kernel inverts the loop: the host of
+the batch routes every query, dedupes the probed clusters ON DEVICE into an
+ascending `cluster_list` (+ active count), and the kernel streams each
+unique cluster ONCE, scoring it against the WHOLE query block on the MXU.
+
+Semantics are batch-union IVF: every query is scored against the union of
+the batch's probed clusters, a superset of its own probes — recall is >=
+strict per-query IVF at identical nprobe (extra candidates are real rows
+with exact scores). Bytes read: |union| * M * D <= Q * nprobe * M * D, with
+equality only when no two queries share a cluster; for clustered query
+workloads the union saturates at C and per-batch cost goes FLAT while QPS
+scales linearly with Q.
+
+Compute check (v5e, C=4096, M=3840, D=384, bf16): scoring all Q queries per
+cluster costs Q*M*D*2 FLOPs against M*D bytes of DMA — the MXU runs out of
+HBM before it runs out of FLOPs until Q ~ 256, so the batch stays
+bandwidth-bound and the extra scoring is free.
+
+Kernel shape: grid (1,), hand-rolled double-buffered cluster DMAs driven by
+the scalar-prefetched cluster list, dynamic fori_loop over the active
+count, per-lane maxima slot banks (ops/fused_topk.py scheme) in VMEM.
+Replaces hnsw_rs ef_search traversal (reference
+lib/libmemex/src/storage/local.rs:71-91) at the 10M-100M tier.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+_LANES = 128
+
+
+def route_union(centroids, queries, nprobe: int):
+    """Route a query batch and dedupe its probed clusters.
+
+    (centroids [C, D], queries [Q, D]) -> (cluster_list [C] int32 — active
+    cluster ids ascending, inactive ids after; n_active [1] int32). f32
+    routing: bf16 would misroute probes on near-tied centroid scores."""
+    C = centroids.shape[0]
+    qc = jnp.einsum("qd,cd->qc", queries, centroids,
+                    preferred_element_type=jnp.float32)
+    _, probes = jax.lax.top_k(qc, nprobe)  # [Q, nprobe]
+    mask = jnp.zeros((C,), jnp.int32).at[probes.reshape(-1)].set(1, mode="drop")
+    # Actives first (ascending id = ascending HBM address), inactives after.
+    order = jnp.argsort(jnp.where(mask > 0, jnp.arange(C), C + jnp.arange(C)))
+    return order.astype(jnp.int32), jnp.sum(mask, keepdims=True)
+
+
+def _kernel(clist_ref, nact_ref, sizes_ref, q_ref, db_hbm, rs_hbm,
+            out_v_ref, out_i_ref, buf, rsbuf, acc_v, acc_i,
+            db_sems, rs_sems, *, M: int, banks: int, scaled: bool):
+    S = banks * _LANES
+    G = M // S
+    Q = q_ref.shape[0]
+    n_active = nact_ref[0]
+
+    def db_dma(slot, p):
+        cid = clist_ref[p]
+        return pltpu.make_async_copy(db_hbm.at[cid], buf.at[slot], db_sems.at[slot])
+
+    def rs_dma(slot, p):
+        cid = clist_ref[p]
+        return pltpu.make_async_copy(rs_hbm.at[cid], rsbuf.at[slot], rs_sems.at[slot])
+
+    @pl.when(n_active > 0)
+    def _start():
+        db_dma(0, 0).start()
+        if scaled:
+            rs_dma(0, 0).start()
+
+    acc_v[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
+    acc_i[:] = jnp.zeros((Q, S), jnp.int32)
+
+    def body(p, _):
+        slot = jax.lax.rem(p, 2)
+        nxt = jax.lax.rem(p + 1, 2)
+
+        @pl.when(p + 1 < n_active)
+        def _prefetch():
+            db_dma(nxt, p + 1).start()
+            if scaled:
+                rs_dma(nxt, p + 1).start()
+
+        db_dma(slot, p).wait()
+        if scaled:
+            rs_dma(slot, p).wait()
+
+        cid = clist_ref[p]
+        csize = sizes_ref[cid]
+        # [Q, M] on the MXU: the whole query block vs one cluster.
+        scores = jax.lax.dot_general(
+            q_ref[:],                             # [Q, D] bf16
+            buf[slot].astype(jnp.bfloat16),       # [M, D]
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if scaled:
+            scores = scores * rsbuf[slot]
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+        scores = jnp.where(col < csize, scores, NEG_INF)
+
+        # Unrolled chunk fold straight into the accumulator (the [Q, G, S]
+        # reshape alternative relayouts every score lane<->sublane; see
+        # fused_topk.py for the measured 2.8x effect).
+        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        av, ai = acc_v[:], acc_i[:]
+        for g in range(G):
+            chunk = scores[:, g * S : (g + 1) * S]
+            take = chunk > av
+            av = jnp.where(take, chunk, av)
+            ai = jnp.where(take, cid * M + g * S + slot_iota, ai)
+        acc_v[:] = av
+        acc_i[:] = ai
+        return _
+
+    jax.lax.fori_loop(0, n_active, body, None)
+    out_v_ref[:] = acc_v[:]
+    out_i_ref[:] = acc_i[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "banks", "interpret"))
+def ivf_batch_topk(data, rscales, sizes, cluster_list, n_active, queries,
+                   k: int, *, banks: int = 4, interpret: bool = False):
+    """(data [C,M,D] (f32/bf16/int8), rscales [C,M] f32, sizes [C] int32,
+    cluster_list [C] int32 actives-first, n_active [1] int32, queries
+    [Q,D] f32) -> (vals [Q,k], cluster [Q,k], slot [Q,k])."""
+    C, M, D = data.shape
+    Q = queries.shape[0]
+    S = banks * _LANES
+    assert M % S == 0, f"cluster bucket M={M} must be a multiple of {S}"
+    scaled = data.dtype == jnp.int8
+
+    q_pad = max(8, -(-Q // 8) * 8)
+    if q_pad != Q:
+        queries = jnp.pad(queries, ((0, q_pad - Q), (0, 0)))
+    q16 = queries.astype(jnp.bfloat16)
+    rscales3 = rscales.reshape(C, 1, M)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # cluster_list, n_active, sizes
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((q_pad, D), lambda i, cl, na, sz: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # data stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # rscales stay in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((q_pad, S), lambda i, cl, na, sz: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, S), lambda i, cl, na, sz: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, M, D), data.dtype),      # double-buffered cluster
+            pltpu.VMEM((2, 1, M), jnp.float32),     # double-buffered scales
+            pltpu.VMEM((q_pad, S), jnp.float32),
+            pltpu.VMEM((q_pad, S), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_kernel, M=M, banks=banks, scaled=scaled)
+    cand_v, cand_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((q_pad, S), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, S), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * C * M * D,
+            bytes_accessed=C * M * (D * data.dtype.itemsize + 4),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(cluster_list.astype(jnp.int32), n_active.astype(jnp.int32),
+      sizes.astype(jnp.int32), q16, data, rscales3)
+
+    vals, args = jax.lax.top_k(cand_v[:Q], k)
+    idx = jnp.take_along_axis(cand_i[:Q], args, axis=1)
+    return vals, idx // M, idx % M
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "k", "banks", "interpret"))
+def ivf_batch_search(centroids, data, rscales, sizes, queries,
+                     nprobe: int, k: int, banks: int = 4,
+                     interpret: bool = False):
+    """Routing + dedupe + the batch-union kernel in one jit."""
+    clist, nact = route_union(centroids, queries, nprobe)
+    return ivf_batch_topk(data, rscales, sizes, clist, nact, queries, k,
+                          banks=banks, interpret=interpret)

@@ -294,3 +294,112 @@ class TestIvfProbeKernel:
                 assert abs(mv[r] - ev[r]) < 2e-3
         # top-1 must never be lost (it always wins its slot)
         assert np.array_equal(g1[:, 0], g2[:, 0])
+
+
+class TestIvfBatchKernel:
+    """Batch-union probe scan (ops/ivf_batch.py) vs the strict XLA path."""
+
+    def _index(self, rng, dtype, n=4096, d=64, C=16):
+        from memex_tpu.index.ivf import IVFIndex
+
+        centers = unit(rng, 8, d)
+        db = centers[rng.integers(0, 8, n)] + 0.07 * rng.standard_normal(
+            (n, d)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        idx = IVFIndex(dim=d, n_clusters=C, nprobe=6, dtype=dtype,
+                       use_fused=False)
+        idx.build(db, [f"v{i}" for i in range(n)])
+        assert idx.data.shape[1] % 512 == 0  # batch-kernel bucket alignment
+        return idx, db
+
+    def test_route_union_dedupes(self, rng):
+        from memex_tpu.ops.ivf_batch import route_union
+
+        idx, _ = self._index(rng, "float32")
+        qs = jnp.asarray(unit(rng, 8, 64))
+        clist, nact = route_union(idx.centroids, qs, 6)
+        clist, nact = np.asarray(clist), int(np.asarray(nact)[0])
+        # actives are unique, ascending, and exactly the union of probes
+        qc = np.asarray(qs) @ np.asarray(idx.centroids).T
+        want = set()
+        for q in range(8):
+            want.update(np.argsort(-qc[q])[:6].tolist())
+        assert nact == len(want)
+        assert set(clist[:nact].tolist()) == want
+        assert np.all(np.diff(clist[:nact]) > 0)
+        # full permutation of cluster ids (inactives follow)
+        assert sorted(clist.tolist()) == list(range(idx.C))
+
+    @pytest.mark.parametrize("dtype", ["float32", "int8"])
+    def test_matches_strict_xla(self, rng, dtype):
+        from memex_tpu.index.ivf import IVFIndex, _ivf_search  # noqa: F401
+        from memex_tpu.ops.ivf_batch import ivf_batch_search
+
+        idx, _ = self._index(rng, dtype)
+        k, nprobe = 10, 6
+        qs = jnp.asarray(unit(rng, 4, 64))
+        v1, c1, s1 = _ivf_search(idx.centroids, idx.data, idx.rscales,
+                                 idx.sizes, qs, nprobe, k)
+        v2, c2, s2 = ivf_batch_search(idx.centroids, idx.data, idx.rscales,
+                                      idx.sizes, qs, nprobe, k,
+                                      interpret=True)
+        M = idx.data.shape[1]
+        g1 = np.asarray(c1) * M + np.asarray(s1)
+        g2 = np.asarray(c2) * M + np.asarray(s2)
+        v1, v2 = np.asarray(v1), np.asarray(v2)
+        for q in range(4):
+            a, b = set(g1[q].tolist()), set(g2[q].tolist())
+            # union semantics can only ADD candidates; slot banks may drop
+            # ~(k-1)/(2S); require high overlap and identical top-1
+            assert len(a & b) / k >= 0.8, (q, sorted(a), sorted(b))
+            mv = dict(zip(g1[q].tolist(), v1[q]))
+            ev = dict(zip(g2[q].tolist(), v2[q]))
+            for r in a & b:
+                assert abs(mv[r] - ev[r]) < 2e-3
+        assert np.array_equal(g1[:, 0], g2[:, 0])
+
+    def test_union_recall_geq_strict(self, rng):
+        """Batch-union results, mapped through the full index path, are at
+        least as good as strict per-query IVF against the exact oracle."""
+        from memex_tpu.index.ivf import IVFIndex, _ivf_search
+        from memex_tpu.ops.ivf_batch import ivf_batch_search
+
+        idx, db = self._index(rng, "float32")
+        k, nprobe, Q = 10, 6, 8
+        qs = unit(rng, Q, 64)
+        exact = np.argsort(-(qs @ db.T), axis=1)[:, :k]
+        M = idx.data.shape[1]
+        rowids = idx._rowids_host()
+
+        def recall(cl, sl):
+            got = 0
+            for q in range(Q):
+                rows = {int(rowids[c, s]) for c, s in
+                        zip(np.asarray(cl)[q], np.asarray(sl)[q])
+                        if rowids[c, s] >= 0}
+                got += len(rows & set(exact[q].tolist()))
+            return got / (Q * k)
+
+        _, c1, s1 = _ivf_search(idx.centroids, idx.data, idx.rscales,
+                                idx.sizes, jnp.asarray(qs), nprobe, k)
+        _, c2, s2 = ivf_batch_search(idx.centroids, idx.data, idx.rscales,
+                                     idx.sizes, jnp.asarray(qs), nprobe, k,
+                                     interpret=True)
+        assert recall(c2, s2) >= recall(c1, s1) - 0.05
+
+    def test_single_query_equals_strict(self, rng):
+        """Q=1: the union IS the query's own probe set — identical
+        semantics to strict IVF."""
+        from memex_tpu.index.ivf import IVFIndex, _ivf_search
+        from memex_tpu.ops.ivf_batch import ivf_batch_search
+
+        idx, _ = self._index(rng, "int8")
+        qs = jnp.asarray(unit(rng, 1, 64))
+        v1, c1, s1 = _ivf_search(idx.centroids, idx.data, idx.rscales,
+                                 idx.sizes, qs, 6, 5)
+        v2, c2, s2 = ivf_batch_search(idx.centroids, idx.data, idx.rscales,
+                                      idx.sizes, qs, 6, 5, interpret=True)
+        g1 = np.asarray(c1) * idx.data.shape[1] + np.asarray(s1)
+        g2 = np.asarray(c2) * idx.data.shape[1] + np.asarray(s2)
+        assert len(set(g1[0]) & set(g2[0])) >= 4
+        assert g1[0, 0] == g2[0, 0]
