@@ -1,9 +1,9 @@
-"""SQLite connection + migrations.
+"""SQLite connection + migrations (postgres lives in db/pg.py).
 
 URI-scheme backend selection mirrors the reference
-(lib/libmemex/src/db/mod.rs:9-28): `sqlite://<path>` or `sqlite::memory:`.
-Postgres URIs are recognized but rejected with a clear error (no postgres
-driver is bundled in this environment).
+(lib/libmemex/src/db/mod.rs:9-28): `sqlite://<path>`, `sqlite::memory:`,
+or `postgres://...` / `postgresql://...` (requires a postgres driver —
+psycopg/psycopg2/pg8000 — to be installed; none is bundled here).
 
 Migrations are an ordered list applied inside one transaction each and
 recorded in `schema_migrations`, mirroring the reference's migration crate
@@ -31,6 +31,8 @@ class Database:
     plane (enqueue/claim/hydrate), not the data plane, so serialized access
     is simpler and plenty fast; WAL mode keeps readers cheap.
     """
+
+    dialect = "sqlite"
 
     def __init__(self, path: str):
         self.path = path
@@ -122,9 +124,12 @@ def create_connection_by_uri(uri: str, run_migrations: bool = True) -> Database:
     elif uri.startswith("sqlite:"):
         path = uri[len("sqlite:") :]
     elif uri.startswith(("postgres://", "postgresql://")):
-        raise ValueError(
-            "postgres backends are not available in this build; use sqlite://<path>"
-        )
+        from .pg import PgDatabase
+
+        pdb = PgDatabase(uri)
+        if run_migrations:
+            pdb.run_migrations()
+        return pdb
     else:
         raise ValueError(f"Unsupported database URI: {uri}")
     db = Database(path)

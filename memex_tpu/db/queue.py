@@ -99,8 +99,13 @@ def get_task(db: Database, task_id: int) -> Task | None:
 def check_for_jobs(db: Database, lease_s: float = 300.0) -> Task | None:
     """Atomically claim the oldest Queued task (queue.rs:167-206).
 
-    The claim and the status flip happen in one UPDATE..RETURNING statement
-    under the connection lock, so two workers can never claim the same row.
+    sqlite: the claim and the status flip happen in one UPDATE..RETURNING
+    statement under the connection lock, so two workers in this process (or
+    two processes via the sqlite write lock) never claim the same row.
+    postgres: the subselect takes `FOR UPDATE SKIP LOCKED` (reference
+    queue.rs:185-200 uses FOR UPDATE), so concurrent claims from many
+    worker PROCESSES on many hosts skip each other's locked rows instead
+    of serializing or double-claiming.
     """
     now = utcnow()
     import datetime as _dt
@@ -108,9 +113,21 @@ def check_for_jobs(db: Database, lease_s: float = 300.0) -> Task | None:
     lease = (
         _dt.datetime.now(_dt.timezone.utc) + _dt.timedelta(seconds=lease_s)
     ).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
-    with db.transaction() as conn:
-        row = conn.execute(
+    if getattr(db, "dialect", "sqlite") == "postgres":
+        sql = """
+            UPDATE queue
+            SET status = 'Processing', updated_at = ?, lease_expires_at = ?
+            WHERE queue.id IN (
+                SELECT id FROM queue
+                WHERE status = 'Queued'
+                ORDER BY queue.created_at ASC
+                LIMIT 1
+                FOR UPDATE SKIP LOCKED
+            )
+            RETURNING *
             """
+    else:
+        sql = """
             UPDATE queue
             SET status = 'Processing', updated_at = ?, lease_expires_at = ?
             WHERE queue.id IN (
@@ -120,9 +137,9 @@ def check_for_jobs(db: Database, lease_s: float = 300.0) -> Task | None:
                 LIMIT 1
             )
             RETURNING *
-            """,
-            (now, lease),
-        ).fetchone()
+            """
+    with db.transaction() as conn:
+        row = conn.execute(sql, (now, lease)).fetchone()
     return Task.from_row(row) if row else None
 
 

@@ -144,3 +144,154 @@ def test_two_process_claims_do_not_collide(tmp_path):
     t1.start(); t2.start(); t1.join(); t2.join()
     assert sorted(claimed) == sorted(set(claimed))  # no double-claims
     assert len(claimed) == 20
+
+
+# ---------------------------------------------------------------------------
+# Postgres backend (db/pg.py). The adapter pieces are tested hermetically;
+# the full queue matrix runs against a real server only when one is
+# reachable (MEMEX_TEST_PG_URI) — reference parity: db/mod.rs:9-28 accepts
+# both URI schemes, pg claim SQL queue.rs:185-200.
+# ---------------------------------------------------------------------------
+
+
+class TestPgAdapterHermetic:
+    def test_ddl_transform(self):
+        from memex_tpu.db.pg import pg_transform_ddl
+
+        sql = ("CREATE TABLE t (id INTEGER PRIMARY KEY AUTOINCREMENT, "
+               "vector BLOB NOT NULL)")
+        out = pg_transform_ddl(sql)
+        assert "BIGSERIAL PRIMARY KEY" in out and "BYTEA" in out
+        assert "AUTOINCREMENT" not in out and "BLOB" not in out
+
+    def test_qmark_conversion(self):
+        from memex_tpu.db.pg import _to_format_style
+
+        assert _to_format_style("UPDATE q SET a=?, b=? WHERE id=?") == \
+            "UPDATE q SET a=%s, b=%s WHERE id=%s"
+
+    def test_row_access(self):
+        from memex_tpu.db.pg import PgRow
+
+        r = PgRow(["id", "status"], (7, "Queued"))
+        assert r["id"] == 7 and r["status"] == "Queued" and r[1] == "Queued"
+        assert r.keys() == ["id", "status"]
+
+    def test_insert_gains_returning_id(self):
+        from memex_tpu.db.pg import PgDatabase
+
+        captured = {}
+
+        class FakeCursor:
+            description = [("id",)]
+            rowcount = 1
+
+            def execute(self, sql, params=()):
+                captured["sql"] = sql
+
+            def fetchall(self):
+                return [(42,)]
+
+        res = PgDatabase._run(object.__new__(PgDatabase), FakeCursor(),
+                              "INSERT INTO queue (a) VALUES (?)", ("x",))
+        assert captured["sql"].endswith("RETURNING id")
+        assert "%s" in captured["sql"]
+        assert res.lastrowid == 42
+
+    def test_uri_rejected_without_driver(self):
+        from memex_tpu.db.pg import load_pg_driver
+
+        name, mod = load_pg_driver()
+        if mod is not None:
+            pytest.skip("a postgres driver is installed")
+        with pytest.raises(ValueError, match="no driver"):
+            create_connection_by_uri("postgres://u@localhost/db")
+
+    def test_pg_claim_sql_uses_skip_locked(self):
+        """The pg dialect's claim statement carries FOR UPDATE SKIP LOCKED
+        (captured via a stub db — no server needed)."""
+        seen = {}
+
+        class StubTxn:
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def execute(self, sql, params=()):
+                seen["sql"] = sql
+
+                class R:
+                    @staticmethod
+                    def fetchone():
+                        return None
+                return R
+
+        class StubDb:
+            dialect = "postgres"
+
+            @staticmethod
+            def transaction():
+                return StubTxn()
+
+        assert queue.check_for_jobs(StubDb()) is None
+        assert "FOR UPDATE SKIP LOCKED" in seen["sql"]
+
+
+def _pg_uri():
+    import os
+
+    return os.environ.get("MEMEX_TEST_PG_URI")
+
+
+@pytest.mark.skipif(_pg_uri() is None, reason="MEMEX_TEST_PG_URI not set")
+class TestPgQueueMatrix:
+    """The sqlite queue matrix against a live postgres (skip-if-absent)."""
+
+    @pytest.fixture
+    def pgdb(self):
+        db = create_connection_by_uri(_pg_uri(), run_migrations=True)
+        db.execute("DELETE FROM queue")
+        yield db
+        db.close()
+
+    def test_enqueue_claim_done(self, pgdb):
+        t = queue.enqueue(pgdb, "c", "hello", queue.TaskType.Ingest)
+        assert t.status == queue.JobStatus.Queued
+        claimed = queue.check_for_jobs(pgdb)
+        assert claimed is not None and claimed.id == t.id
+        assert claimed.status == queue.JobStatus.Processing
+        queue.mark_done(pgdb, t.id, {"ok": True})
+        assert queue.get_task(pgdb, t.id).status == queue.JobStatus.Completed
+
+    def test_retry_then_fail(self, pgdb):
+        t = queue.enqueue(pgdb, "c", "x", queue.TaskType.Ingest)
+        for _ in range(queue.MAX_RETRIES + 1):
+            claimed = queue.check_for_jobs(pgdb)
+            queue.mark_failed(pgdb, claimed.id, retry=True,
+                              error={"msg": "boom"})
+        queue.mark_failed(pgdb, t.id, retry=True, error={"msg": "boom"})
+        assert queue.get_task(pgdb, t.id).status == queue.JobStatus.Failed
+
+    def test_concurrent_claims_distinct(self, pgdb):
+        import threading
+
+        for i in range(20):
+            queue.enqueue(pgdb, "c", f"d{i}", queue.TaskType.Ingest)
+        b = create_connection_by_uri(_pg_uri(), run_migrations=False)
+        claimed = []
+
+        def drain(db):
+            while True:
+                t = queue.check_for_jobs(db)
+                if t is None:
+                    return
+                claimed.append(t.id)
+
+        t1 = threading.Thread(target=drain, args=(pgdb,))
+        t2 = threading.Thread(target=drain, args=(b,))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        b.close()
+        assert sorted(claimed) == sorted(set(claimed))
+        assert len(claimed) == 20
