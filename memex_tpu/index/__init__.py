@@ -11,10 +11,14 @@ TPU-resident indexes:
   (the memex analogue of TP/EP, SURVEY.md §2.3).
 - `IVFIndex`: k-means partitioned index for 10M+ scale; queries route to
   nprobe clusters (expert-style routing).
+- `ShardedIVFIndex`: IVF partitions sharded across the mesh — the
+  100M-tier (clusters as experts, batch-union probe scan per shard,
+  collective merge).
 """
 
 from .flat import FlatIndex
 from .sharded import ShardedFlatIndex
 from .ivf import IVFIndex
+from .sharded_ivf import ShardedIVFIndex
 
-__all__ = ["FlatIndex", "ShardedFlatIndex", "IVFIndex"]
+__all__ = ["FlatIndex", "ShardedFlatIndex", "IVFIndex", "ShardedIVFIndex"]

@@ -84,6 +84,10 @@ def _build_store(uri: str, collection: str, dim: int) -> VectorStore:
         from .tpu_store import TpuMeshStore
 
         return TpuMeshStore(path, collection, dim=dim, **opts)
+    if scheme == "tpu+ivf+mesh":
+        from .tpu_store import TpuMeshIVFStore
+
+        return TpuMeshIVFStore(path, collection, dim=dim, **opts)
     if scheme == "memory":
         from .tpu_store import MemoryStore
 

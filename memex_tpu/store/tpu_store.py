@@ -194,6 +194,66 @@ class TpuMeshStore(TpuFlatStore):
             self.index.save(self._path)
 
 
+class TpuMeshIVFStore(TpuFlatStore):
+    """Mesh-sharded IVF store (`tpu+ivf+mesh://`) — the 100M-tier scheme:
+    k-means partitions sharded over every local device, batch-union probe
+    scan per shard, collective top-k merge (index/sharded_ivf.py). The
+    scale-out answer that replaces the reference's OpenSearch delegation
+    (lib/libmemex/src/storage/mod.rs:122-133) with the index itself
+    spanning the mesh."""
+
+    def __init__(self, base_dir: str | None, collection: str, dim: int = 384,
+                 n_clusters: int = 1024, nprobe: int = 64, **kw):
+        import jax
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        from ..index.sharded_ivf import ShardedIVFIndex
+
+        self.collection = collection
+        self.dim = dim
+        self._lock = threading.Lock()
+        self._path = None
+        if base_dir:
+            os.makedirs(base_dir, exist_ok=True)
+            self._path = os.path.join(base_dir, f"{collection}.ivfmesh")
+        mesh = Mesh(_np.array(jax.devices()), ("shard",))
+        self.index = ShardedIVFIndex(
+            dim=dim, mesh=mesh, n_clusters=n_clusters, nprobe=nprobe, **kw
+        )
+        self._doc_of: dict[str, str] = {}
+        if self._path and os.path.exists(self._path + ".meta.json"):
+            n = self.index.restore(self._path)
+            logger.info("restored sharded-IVF collection %s (%d vectors)",
+                        collection, n)
+
+    def build(self, data: list[VectorData]) -> None:
+        vecs = _normalize(np.stack([d.vector for d in data]))
+        with self._lock:
+            self.index.build(vecs, [d.id for d in data])
+            for d in data:
+                self._doc_of[d.id] = d.document_id
+
+    def add_vectors(self, data: list[VectorData]) -> None:
+        super().add_vectors(data)
+        spill = self.index.spill.count
+        total = max(self.index.count, 1)
+        if spill > 16384 or (total > 4096 and spill * 5 > total):
+            logger.info("sharded ivf %s: auto-rebuild (spill=%d total=%d)",
+                        self.collection, spill, total)
+            with self._lock:
+                self.index.rebuild()
+
+    @property
+    def count(self) -> int:
+        return self.index.count
+
+    def checkpoint(self) -> None:
+        if self._path:
+            with self._lock:
+                self.index.save(self._path)
+
+
 class MemoryStore:
     """Plain numpy store — hermetic test backend (no JAX dependency)."""
 

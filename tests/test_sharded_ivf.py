@@ -1,0 +1,211 @@
+"""ShardedIVFIndex tests on the virtual 8-device CPU mesh (SURVEY.md §4:
+multi-device tests without hardware). The 100M-tier design: cluster shards
+as experts, batch-union probe scan per shard, collective merge — replaces
+the reference's OpenSearch delegation (storage/mod.rs:122-133)."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from memex_tpu.index import FlatIndex, ShardedIVFIndex
+
+
+def clustered(rng, n, d, centers=12, sigma=0.07):
+    c = rng.standard_normal((centers, d)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    v = c[rng.integers(0, centers, n)] + sigma * rng.standard_normal(
+        (n, d)).astype(np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def unit(rng, n, d):
+    v = rng.standard_normal((n, d), dtype=np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(5)
+
+
+@pytest.fixture
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.array(jax.devices()[:8]), ("shard",))
+
+
+def build_idx(rng, mesh, n=4096, d=32, C=16, nprobe=6, **kw):
+    db = clustered(rng, n, d)
+    idx = ShardedIVFIndex(dim=d, mesh=mesh, n_clusters=C, nprobe=nprobe,
+                          use_fused=False, **kw)
+    idx.build(db, [f"v{i}" for i in range(n)])
+    return idx, db
+
+
+class TestShardedIVF:
+    def test_build_shards_and_searches(self, rng, mesh):
+        idx, db = build_idx(rng, mesh)
+        assert idx.C % 8 == 0 and idx.Cp == idx.C // 8
+        # bucket table is actually sharded over the mesh axis
+        shardings = {s.index for s in idx.data.addressable_shards}
+        assert len(shardings) == 8
+        qs = clustered(rng, 8, 32)
+        hits = idx.search(qs, 10)
+        assert all(len(h) == 10 for h in hits)
+        exact = np.argsort(-(qs @ db.T), axis=1)[:, :10]
+        got = sum(
+            len({int(s[1:]) for s, _ in hits[q]} & set(exact[q].tolist()))
+            for q in range(8)
+        ) / 80.0
+        assert got >= 0.7  # routed recall on clustered data
+
+    def test_exhaustive_probe_matches_flat_int8(self, rng, mesh):
+        """nprobe=C probes everything: results must match the int8 flat
+        scan (same codes, same dot) — single-device-equivalence anchor."""
+        n, d, k = 2048, 32, 10
+        db = clustered(rng, n, d)
+        idx = ShardedIVFIndex(dim=d, mesh=mesh, n_clusters=8, nprobe=8,
+                              use_fused=False)
+        idx.build(db, [f"v{i}" for i in range(n)])
+        flat = FlatIndex(dim=d, dtype="int8", use_fused=False)
+        flat.add(db, [f"v{i}" for i in range(n)])
+        qs = clustered(rng, 6, d)
+        a, b = idx.search(qs, k), flat.search(qs, k)
+        for ha, hb in zip(a, b):
+            ids_a = {s for s, _ in ha}
+            ids_b = {s for s, _ in hb}
+            assert len(ids_a & ids_b) >= k - 1, (ids_a, ids_b)
+
+    def test_spill_add_search_rebuild(self, rng, mesh):
+        idx, db = build_idx(rng, mesh)
+        extra = clustered(rng, 200, 32)
+        idx.add(extra, [f"s{i}" for i in range(200)])
+        assert idx.spill.count >= 200
+        # nearest to an exact spill vector must surface through the merge
+        hits = idx.search(extra[:2], 3)
+        assert hits[0][0][0] == "s0" and hits[1][0][0] == "s1"
+        idx.rebuild()
+        assert idx.spill.count == 0 and idx.count == 4096 + 200
+        hits = idx.search(extra[:2], 3)
+        assert hits[0][0][0] == "s0"
+
+    def test_delete_respected_across_rebuild(self, rng, mesh):
+        idx, db = build_idx(rng, mesh, n=2048)
+        idx.add(unit(rng, 100, 32), [f"s{i}" for i in range(100)])
+        assert idx.delete(["v3", "s7"]) == 2
+        hits = idx.search(db[3], 2048)
+        assert "v3" not in {s for s, _ in hits[0]}
+        idx.rebuild()
+        assert idx.count == 2048 + 100 - 2
+        hits = idx.search(db[3], 2048)
+        seen = {s for s, _ in hits[0]}
+        assert "v3" not in seen and "s7" not in seen
+        assert None not in idx._live
+
+    def test_save_restore_roundtrip(self, rng, mesh, tmp_path):
+        idx, db = build_idx(rng, mesh)
+        idx.add(clustered(rng, 64, 32), [f"s{i}" for i in range(64)])
+        idx.delete(["v9"])
+        path = str(tmp_path / "si")
+        idx.save(path)
+        qs = clustered(rng, 5, 32)
+        before = idx.search(qs, 10)
+        idx2 = ShardedIVFIndex(dim=32, mesh=mesh, n_clusters=16, nprobe=6,
+                               use_fused=False)
+        n = idx2.restore(path)
+        assert n == idx.count == 4096 + 64 - 1
+        after = idx2.search(qs, 10)
+        for hb, ha in zip(before, after):
+            assert {s for s, _ in hb} == {s for s, _ in ha}
+        # centroids were NOT retrained on restore
+        np.testing.assert_array_equal(np.asarray(idx.centroids),
+                                      np.asarray(idx2.centroids))
+
+    def test_incremental_checkpoint_base_immutable(self, rng, mesh, tmp_path):
+        idx, _ = build_idx(rng, mesh, n=2048)
+        path = str(tmp_path / "si")
+        idx.save(path)
+        base = open(path + ".npz", "rb").read()
+        idx.add(clustered(rng, 30, 32), [f"s{i}" for i in range(30)])
+        idx.save(path)
+        assert open(path + ".npz", "rb").read() == base
+        smeta = json.load(open(path + ".spill.meta.json"))
+        seg = np.load(os.path.join(str(tmp_path), smeta["segments"][-1]))
+        assert len(seg["ids"]) == 30
+
+    def test_fused_kernel_interpret_in_shard_map(self, rng, mesh):
+        """The batch-union Pallas kernel runs inside shard_map (interpret
+        mode) and agrees with the dense masked-union XLA path."""
+        n, d = 2048, 32
+        db = clustered(rng, n, d)
+        xla = ShardedIVFIndex(dim=d, mesh=mesh, n_clusters=16, nprobe=6,
+                              use_fused=False)
+        xla.build(db, [f"v{i}" for i in range(n)])
+        fus = ShardedIVFIndex(dim=d, mesh=mesh, n_clusters=16, nprobe=6,
+                              use_fused=True, interpret=True)
+        fus.build(db, [f"v{i}" for i in range(n)])
+        qs = clustered(rng, 4, d)
+        a, b = xla.search(qs, 8), fus.search(qs, 8)
+        for ha, hb in zip(a, b):
+            ids_a = [s for s, _ in ha]
+            ids_b = [s for s, _ in hb]
+            assert ids_a[0] == ids_b[0]  # top-1 survives slot banks
+            assert len(set(ids_a) & set(ids_b)) >= 6
+
+
+class TestHundredMillionGeometry:
+    def test_100m_shape_lowers_on_virtual_pod(self, mesh):
+        """BASELINE config 5 geometry: 100M x 384 int8, C=16384 clusters,
+        bucket M rounded to the kernel's 512 alignment — the SPMD search
+        must trace and partition on an 8-way mesh (eval_shape: no buffers
+        materialized). 38 GB of codes would not fit one chip; sharded it
+        is ~4.8 GB/device on this virtual pod, ~0.6 GB/chip on 64 chips."""
+        from memex_tpu.index.sharded_ivf import make_ivf_search_fn
+
+        N, D, C = 100_000_000, 384, 16384
+        M = -(-int(1.2 * N / C) // 512) * 512
+        Cp = C // 8
+        fn = make_ivf_search_fn(mesh, "shard", Cp, M, nprobe=64, kk=128,
+                                use_fused=True, dtype="int8", interpret=True)
+        out = jax.eval_shape(
+            fn,
+            jax.ShapeDtypeStruct((C, D), np.float32),
+            jax.ShapeDtypeStruct((C, M, D), np.int8),
+            jax.ShapeDtypeStruct((C, M), np.float32),
+            jax.ShapeDtypeStruct((C,), np.int32),
+            jax.ShapeDtypeStruct((64, D), np.float32),
+        )
+        assert out[0].shape == (64, 128) and out[1].shape == (64, 128)
+        assert C * M >= N  # capacity actually covers the corpus
+
+
+class TestMeshIVFStore:
+    def test_store_roundtrip_via_registry(self, rng, mesh, tmp_path):
+        from memex_tpu.store.base import VectorData
+        from memex_tpu.store.registry import StoreRegistry
+
+        reg = StoreRegistry()
+        uri = f"tpu+ivf+mesh://{tmp_path}?n_clusters=8&nprobe=8"
+        store = reg.get(uri, "col", dim=16)
+        db = clustered(rng, 512, 16)
+        store.build([
+            VectorData(id=f"v{i}", document_id="d", text="", vector=db[i])
+            for i in range(512)
+        ])
+        store.add_vectors([
+            VectorData(id="extra", document_id="d2", text="",
+                       vector=db[0] * 0.9 + 0.1)
+        ])
+        hits = store.search(db[0], 3)
+        assert hits[0].id in ("v0", "extra")
+        store.checkpoint()
+        reg.drop(uri, "col")
+        store2 = reg.get(uri, "col", dim=16)
+        assert store2.count == 513
+        hits2 = store2.search(db[0], 3)
+        assert {h.id for h in hits2} == {h.id for h in hits}
