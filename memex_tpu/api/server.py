@@ -212,6 +212,40 @@ def create_app(runtime: Runtime | None = None) -> web.Application:
         return web.json_response(schema.api_response(t0, schema.task_result(task)))
 
     # -- fetch (fetch/handlers.rs) ------------------------------------------------
+    # SSRF guard (the reference fetches any URL unchecked,
+    # fetch/handlers.rs:21-41; this service also exposes network-writable
+    # vector routes on the same port, so it must not double as an open
+    # proxy): scheme allowlist, no loopback/link-local/private targets
+    # unless MEMEX_FETCH_ALLOW_PRIVATE=1, redirects re-checked per hop,
+    # response size cap.
+    FETCH_MAX_BYTES = 8 * 1024 * 1024
+    FETCH_MAX_REDIRECTS = 5
+
+    def _fetch_target_blocked(url: str) -> str | None:
+        import ipaddress
+        import socket
+        from urllib.parse import urlparse
+
+        parsed = urlparse(url)
+        if parsed.scheme not in ("http", "https"):
+            return f"scheme {parsed.scheme!r} not allowed (http/https only)"
+        host = parsed.hostname
+        if not host:
+            return "missing host"
+        if os.environ.get("MEMEX_FETCH_ALLOW_PRIVATE", "") in ("1", "true"):
+            return None
+        try:
+            infos = socket.getaddrinfo(host, parsed.port or 80,
+                                       proto=socket.IPPROTO_TCP)
+        except OSError as exc:
+            return f"cannot resolve {host!r}: {exc}"
+        for info in infos:
+            ip = ipaddress.ip_address(info[4][0])
+            if (ip.is_loopback or ip.is_private or ip.is_link_local
+                    or ip.is_reserved or ip.is_multicast or ip.is_unspecified):
+                return f"target {ip} is not a public address"
+        return None
+
     async def fetch_url(request: web.Request) -> web.Response:
         t0 = time.perf_counter()
         url = request.query.get("url")
@@ -221,9 +255,29 @@ def create_app(runtime: Runtime | None = None) -> web.Application:
         def work():
             import requests
 
-            resp = requests.get(url, timeout=30)
-            resp.raise_for_status()
-            return resp.text
+            target = url
+            for _ in range(FETCH_MAX_REDIRECTS + 1):
+                blocked = _fetch_target_blocked(target)
+                if blocked:
+                    raise ValueError(blocked)
+                resp = requests.get(target, timeout=30, stream=True,
+                                    allow_redirects=False)
+                if resp.is_redirect or resp.is_permanent_redirect:
+                    target = resp.headers.get("Location", "")
+                    resp.close()
+                    continue
+                resp.raise_for_status()
+                chunks, total = [], 0
+                for chunk in resp.iter_content(chunk_size=65536):
+                    total += len(chunk)
+                    if total > FETCH_MAX_BYTES:
+                        resp.close()
+                        raise ValueError(
+                            f"response exceeds {FETCH_MAX_BYTES} bytes")
+                    chunks.append(chunk)
+                enc = resp.encoding or "utf-8"
+                return b"".join(chunks).decode(enc, errors="replace")
+            raise ValueError("too many redirects")
 
         try:
             content = await asyncio.get_running_loop().run_in_executor(None, work)

@@ -66,36 +66,35 @@ def _write_block(buf, block, start, nvalid):
     return jax.lax.dynamic_update_slice(buf, merged, (start, 0))
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _search_masked_fused(buf, alive, count, queries, k: int, block_n: int = 1024):
-    """Fused path with tombstones: over-fetch 4k candidates, filter by the
-    alive mask on the candidate set, re-rank. Exact unless >3k of the top
-    4k are tombstoned (compaction triggers long before that)."""
+@partial(jax.jit, static_argnames=("k", "kk", "interpret"))
+def _search_masked_fused(buf, alive, count, queries, k: int, kk: int = 128,
+                         block_n: int = 1024, interpret: bool = False):
+    """Fused path with tombstones masked INSIDE the kernel (alive=None when
+    the index has no deletes — skips the mask read): dead rows never claim
+    candidate slots, so deletes cannot shadow live top-k rows."""
     from ..ops.fused_topk import fused_score_topk
 
-    kk = min(4 * k, 128)
-    vals, idx = fused_score_topk(buf, queries, kk, count=count, block_n=block_n)
-    ok = jnp.take(alive, idx) > 0
-    vals = jnp.where(ok, vals, -1e30)
+    vals, idx = fused_score_topk(buf, queries, kk, count=count, alive=alive,
+                                 block_n=block_n, interpret=interpret)
     svals, order = jax.lax.top_k(vals, k)
     return svals, jnp.take_along_axis(idx, order, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k", "block_n", "qquant"))
+@partial(jax.jit, static_argnames=("k", "kk", "block_n", "qquant", "interpret"))
 def _search_masked_fused_int8(buf, scales, alive, count, queries, k: int,
-                              block_n: int = 1024, qquant: bool = True):
-    """int8 fused path. qquant=True additionally quantizes the queries so
-    the dot rides the MXU's s8xs8->s32 path — measured 61k vs 46k QPS/chip
-    at 1M x 384 (the bf16 dot at Q=32 runs the systolic array 1/4 full and
-    dominates once int8 storage drops HBM time below it)."""
+                              kk: int = 128, block_n: int = 1024,
+                              qquant: bool = True, interpret: bool = False):
+    """int8 fused path, tombstones masked in-kernel (see above). qquant=True
+    additionally quantizes the queries so the dot rides the MXU's
+    s8xs8->s32 path — measured 61k vs 46k QPS/chip at 1M x 384 (the bf16
+    dot at Q=32 runs the systolic array 1/4 full and dominates once int8
+    storage drops HBM time below it)."""
     from ..ops.fused_topk import fused_score_topk_int8, fused_score_topk_int8q
 
-    kk = min(4 * k, 128)
     fn = fused_score_topk_int8q if qquant else fused_score_topk_int8
-    vals, idx = fn(buf, scales, queries, kk, count=count, block_n=block_n,
-                   banks=4 if qquant else 8)
-    ok = jnp.take(alive, idx) > 0
-    vals = jnp.where(ok, vals, -1e30)
+    vals, idx = fn(buf, scales, queries, kk, count=count, alive=alive,
+                   block_n=block_n, banks=4 if qquant else 8,
+                   interpret=interpret)
     svals, order = jax.lax.top_k(vals, k)
     return svals, jnp.take_along_axis(idx, order, axis=1)
 
@@ -171,6 +170,7 @@ class FlatIndex:
         self.block_n = block_n
         self.query_quantize = query_quantize
         self.use_fused = _is_tpu() if use_fused is None else use_fused
+        self._interpret = False  # tests: run fused kernels in interpret mode
         self.ids: list[str] = []
         self._id_to_row: dict[str, int] = {}
         self._buf_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
@@ -421,15 +421,24 @@ class FlatIndex:
             return [[] for _ in range(queries.shape[0])]
         k_eff = min(k, self.count)
         # The fused kernel over-fetches into a 128-wide candidate bank
-        # (kk = min(4k, 128)); re-ranking k > 128 from it would crash, so
-        # wide requests take the exact XLA path instead.
+        # (kk <= 128); re-ranking k > 128 from it would crash, so wide
+        # requests take the exact XLA path instead. With tombstones the
+        # over-fetch widens to the full bank (dead rows can crowd the
+        # candidates), and a post-filter shortfall falls back to the exact
+        # path below — deletes adversarially concentrated in the true
+        # top-k can exceed ANY bounded over-fetch.
         use_fused = self.use_fused and k_eff <= 128
+        kk = min(4 * k_eff, 128)
+        # alive rides into the kernel only when tombstones exist (the mask
+        # costs +4 bytes/row of HBM read).
+        alive_arg = self.alive if self.dead else None
         if use_fused and self.dtype == "int4":
             bn = min(32768, self.capacity)
             vals, idx = _search_masked_fused_int4(
-                self.buf, self.scales, self.buf8, self.alive, self.count,
+                self.buf, self.scales, self.buf8, alive_arg, self.count,
                 jnp.asarray(queries), k_eff, block_n=bn,
                 rerank=min(max(64, 2 * k_eff), 1024),
+                interpret=self._interpret,
             )
         elif use_fused and self.dtype == "int8":
             # block 32768 is the measured int8 sweet spot with the
@@ -438,13 +447,14 @@ class FlatIndex:
             bn = min(32768, self.capacity) if self.query_quantize else min(
                 self.block_n, self.capacity)
             vals, idx = _search_masked_fused_int8(
-                self.buf, self.scales, self.alive, self.count,
-                jnp.asarray(queries), k_eff, block_n=bn,
-                qquant=self.query_quantize,
+                self.buf, self.scales, alive_arg, self.count,
+                jnp.asarray(queries), k_eff, kk=kk, block_n=bn,
+                qquant=self.query_quantize, interpret=self._interpret,
             )
         elif use_fused:
             vals, idx = _search_masked_fused(
-                self.buf, self.alive, self.count, jnp.asarray(queries), k_eff
+                self.buf, alive_arg, self.count, jnp.asarray(queries), k_eff,
+                kk=kk, interpret=self._interpret,
             )
         else:
             # int4's XLA fallback scores from the int8 rerank copy (the
@@ -457,8 +467,25 @@ class FlatIndex:
         from ..ops.host import fetch
 
         vals, idx = fetch(vals, idx)
+        out = self._hits_from(vals, idx, queries.shape[0])
+        if use_fused and self.dead:
+            # Shortfall: fewer live hits than the index can provide means
+            # tombstones crowded the candidate bank — re-run exactly (the
+            # XLA path masks alive BEFORE top-k, so it cannot fall short).
+            expect = min(k_eff, self.count - self.dead)
+            if any(len(h) < expect for h in out):
+                logger.info("fused search shortfall under deletes; exact rerun")
+                buf = self.buf8 if self.dtype == "int4" else self.buf
+                vals, idx = fetch(*_search_xla(
+                    buf, self.scales, self.alive, self.count,
+                    jnp.asarray(queries), k_eff,
+                ))
+                out = self._hits_from(vals, idx, queries.shape[0])
+        return out
+
+    def _hits_from(self, vals, idx, q_n: int) -> list[list[tuple[str, float]]]:
         out = []
-        for qi in range(queries.shape[0]):
+        for qi in range(q_n):
             hits = []
             for v, r in zip(vals[qi], idx[qi]):
                 if v <= -1e29 or r >= self.count:

@@ -41,7 +41,8 @@ _BUF_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
 
 def make_search_fn(mesh: Mesh, axis: str, k: int, use_fused: bool,
                    dtype: str = "float32", block_n: int = 1024,
-                   query_quantize: bool = True):
+                   query_quantize: bool = True, interpret: bool = False,
+                   masked: bool = False):
     """Build the jitted SPMD search -> (vals [Q, k], global_idx [Q, k]).
     `scales` is all-ones except int8/int4. int4 mode adds the per-shard
     int8 rerank copy `buf8` (buf is the TRANSPOSED packed nibbles
@@ -58,32 +59,38 @@ def make_search_fn(mesh: Mesh, axis: str, k: int, use_fused: bool,
         fused = use_fused and k <= kk
         if not fused:
             kk = min(max(kk, k), cap)
-        alive_filter = fused
+        # Tombstones are masked INSIDE the kernels (dead rows crowding the
+        # candidate banks would shadow live top-k rows); the mask read is
+        # skipped entirely when the caller knows there are no deletes.
+        alive_arg = alive if masked else None
         if fused and dtype == "int4":
             from ..ops.fused_topk import fused_score_topk_int4_rerank
 
             vals, idx = fused_score_topk_int4_rerank(
-                buf, scales, buf8, queries, kk, count=count, alive=alive,
+                buf, scales, buf8, queries, kk, count=count, alive=alive_arg,
                 rerank=min(max(64, 2 * kk), 1024), block_n=min(32768, cap),
+                interpret=interpret,
             )
-            alive_filter = False  # tombstones filtered inside the rerank
         elif fused and dtype == "int8" and query_quantize:
             from ..ops.fused_topk import fused_score_topk_int8q
 
             vals, idx = fused_score_topk_int8q(
-                buf, scales, queries, kk, count=count,
-                block_n=min(32768, cap), banks=4,
+                buf, scales, queries, kk, count=count, alive=alive_arg,
+                block_n=min(32768, cap), banks=4, interpret=interpret,
             )
         elif fused and dtype == "int8":
             from ..ops.fused_topk import fused_score_topk_int8
 
             vals, idx = fused_score_topk_int8(
-                buf, scales, queries, kk, count=count, block_n=block_n
+                buf, scales, queries, kk, count=count, alive=alive_arg,
+                block_n=block_n, interpret=interpret,
             )
         elif fused:
             from ..ops.fused_topk import fused_score_topk
 
-            vals, idx = fused_score_topk(buf, queries, kk, count=count, block_n=block_n)
+            vals, idx = fused_score_topk(buf, queries, kk, count=count,
+                                         alive=alive_arg, block_n=block_n,
+                                         interpret=interpret)
         else:
             # int4's XLA fallback scores from the int8 rerank copy.
             rows = buf8 if dtype == "int4" else buf
@@ -97,9 +104,6 @@ def make_search_fn(mesh: Mesh, axis: str, k: int, use_fused: bool,
                 scores = scores * scales[None, :]
             scores = jnp.where(alive[None, :] > 0, scores, -1e30)
             vals, idx = blockwise_topk(scores, kk, count=count)
-        if alive_filter:
-            ok = jnp.take(alive, idx) > 0
-            vals = jnp.where(ok, vals, -1e30)
         shard = jax.lax.axis_index(axis)
         gidx = idx + shard * cap
         # Merge across shards over ICI (parallel/collectives.py).
@@ -271,7 +275,8 @@ class ShardedFlatIndex:
         self._bulk_write = (make_bulk_write_fn_int4(mesh, axis) if dtype == "int4"
                             else make_bulk_write_fn(mesh, axis))
         self._kill = make_kill_fn(mesh, axis)
-        self._search_cache: dict[int, object] = {}
+        self._search_cache: dict[object, object] = {}
+        self._interpret = False  # tests: run fused kernels in interpret mode
 
     @property
     def count(self) -> int:
@@ -386,25 +391,43 @@ class ShardedFlatIndex:
         if total == 0:
             return [[] for _ in range(queries.shape[0])]
         k_eff = min(k, total)
-        fn = self._search_cache.get(k_eff)
-        if fn is None:
-            fn = make_search_fn(
-                self.mesh, self.axis, k_eff, self.use_fused, self.dtype,
-                self.block_n, query_quantize=self.query_quantize,
-            )
-            self._search_cache[k_eff] = fn
         counts_dev = jax.device_put(
             jnp.asarray(self.counts, jnp.int32), self._vec_sharding
         )
         args = (self.buf, self.scales, self.alive, counts_dev, jnp.asarray(queries))
         if self.dtype == "int4":
             args = args + (self.buf8,)
-        vals, idx = fn(*args)
         from ..ops.host import fetch
 
-        vals, idx = fetch(vals, idx)
+        vals, idx = fetch(*self._search_fn(k_eff, self.use_fused)(*args))
+        out = self._hits_from(vals, idx, queries.shape[0])
+        if self.use_fused and self.dead:
+            # Shortfall under tombstones: the fused candidate banks can be
+            # crowded by dead rows when deletes concentrate in the true
+            # top-k; the exact path masks alive BEFORE top-k and cannot
+            # fall short (mirrors FlatIndex.search).
+            expect = min(k_eff, total)
+            if any(len(h) < expect for h in out):
+                logger.info("sharded fused shortfall under deletes; exact rerun")
+                vals, idx = fetch(*self._search_fn(k_eff, False)(*args))
+                out = self._hits_from(vals, idx, queries.shape[0])
+        return out
+
+    def _search_fn(self, k_eff: int, fused: bool):
+        key = (k_eff, fused, bool(self.dead))
+        fn = self._search_cache.get(key)
+        if fn is None:
+            fn = make_search_fn(
+                self.mesh, self.axis, k_eff, fused, self.dtype,
+                self.block_n, query_quantize=self.query_quantize,
+                interpret=self._interpret, masked=bool(self.dead),
+            )
+            self._search_cache[key] = fn
+        return fn
+
+    def _hits_from(self, vals, idx, q_n: int) -> list[list[tuple[str, float]]]:
         out = []
-        for qi in range(queries.shape[0]):
+        for qi in range(q_n):
             hits = []
             for v, r in zip(vals[qi], idx[qi]):
                 sid = self.ids.get(int(r))

@@ -37,8 +37,13 @@ NEG_INF = -1e30  # plain float: jnp scalars would be captured consts in the kern
 _LANES = 128
 
 
-def _fused_kernel(count_ref, q_ref, db_ref, out_vals_ref, out_idx_ref,
-                  vals_acc, idx_acc, *, block_n: int, banks: int):
+def _fused_kernel(count_ref, q_ref, db_ref, *rest, block_n: int, banks: int,
+                  has_alive: bool = False):
+    if has_alive:
+        alive_ref, out_vals_ref, out_idx_ref, vals_acc, idx_acc = rest
+    else:
+        out_vals_ref, out_idx_ref, vals_acc, idx_acc = rest
+        alive_ref = None
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
     S = banks * _LANES
@@ -66,6 +71,10 @@ def _fused_kernel(count_ref, q_ref, db_ref, out_vals_ref, out_idx_ref,
     base = i * block_n
     col = jax.lax.broadcasted_iota(jnp.int32, (1, block_n), 1)
     scores = jnp.where(col + base < count_ref[0], scores, NEG_INF)
+    if has_alive:
+        # In-kernel tombstones: dead rows must not claim candidate slots
+        # (a post-filter can't recover live rows they shadowed).
+        scores = jnp.where(alive_ref[:].reshape(1, block_n) > 0, scores, NEG_INF)
 
     # Fold the block into S slots: col -> (g, slot); slot keeps its max
     # over g. Statically-unrolled chunk loop: each S-wide lane-aligned
@@ -94,6 +103,7 @@ def fused_score_topk(
     queries: jnp.ndarray,
     k: int,
     count=None,
+    alive=None,
     *,
     block_n: int = 2048,
     banks: int = 8,
@@ -103,6 +113,9 @@ def fused_score_topk(
 
     N must be a multiple of block_n (FlatIndex capacities are powers of two
     >= block_n); Q is padded to the f32 sublane tile (8) internally.
+    `alive` ([N] f32, optional) masks tombstoned rows INSIDE the kernel so
+    they never claim candidate slots (+4 bytes/row of HBM read — only pass
+    it when deletes exist).
     """
     n, d = db.shape
     q_n, _ = queries.shape
@@ -117,14 +130,21 @@ def fused_score_topk(
     if q_pad != q_n:
         queries = jnp.pad(queries, ((0, q_pad - q_n), (0, 0)))
 
+    has_alive = alive is not None
     nblocks = n // block_n
+    in_specs = [
+        pl.BlockSpec((q_pad, d), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_n, d), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [count_arr, queries, db]
+    if has_alive:
+        in_specs.append(
+            pl.BlockSpec((block_n,), lambda i, c: (i,), memory_space=pltpu.VMEM))
+        inputs.append(alive)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec((q_pad, d), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, d), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
@@ -134,7 +154,8 @@ def fused_score_topk(
             pltpu.VMEM((q_pad, S), jnp.int32),
         ],
     )
-    kernel = functools.partial(_fused_kernel, block_n=block_n, banks=banks)
+    kernel = functools.partial(_fused_kernel, block_n=block_n, banks=banks,
+                               has_alive=has_alive)
     cand_vals, cand_idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -151,7 +172,7 @@ def fused_score_topk(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(count_arr, queries, db)
+    )(*inputs)
 
     # Exact top-k over the tiny candidate set (argsort-slice: measured
     # faster than lax.top_k on TPU at these widths).
@@ -176,8 +197,13 @@ def quantize_rows_int8(db: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q, scales.astype(jnp.float32)
 
 
-def _fused_kernel_int8(count_ref, q_ref, db_ref, scale_ref, out_vals_ref,
-                       out_idx_ref, vals_acc, idx_acc, *, block_n: int, banks: int):
+def _fused_kernel_int8(count_ref, q_ref, db_ref, scale_ref, *rest,
+                       block_n: int, banks: int, has_alive: bool = False):
+    if has_alive:
+        alive_ref, out_vals_ref, out_idx_ref, vals_acc, idx_acc = rest
+    else:
+        out_vals_ref, out_idx_ref, vals_acc, idx_acc = rest
+        alive_ref = None
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
     S = banks * _LANES
@@ -205,6 +231,8 @@ def _fused_kernel_int8(count_ref, q_ref, db_ref, scale_ref, out_vals_ref,
     base = i * block_n
     col = jax.lax.broadcasted_iota(jnp.int32, (1, block_n), 1)
     scores = jnp.where(col + base < count_ref[0], scores, NEG_INF)
+    if has_alive:
+        scores = jnp.where(alive_ref[:].reshape(1, block_n) > 0, scores, NEG_INF)
 
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     acc_v, acc_i = vals_acc[:], idx_acc[:]
@@ -229,12 +257,14 @@ def fused_score_topk_int8(
     queries: jnp.ndarray,
     k: int,
     count=None,
+    alive=None,
     *,
     block_n: int = 4096,
     banks: int = 8,
     interpret: bool = False,
 ):
-    """int8 fused MIPS: ([N,D] int8, [N] f32, [Q,D]) -> (vals, idx)."""
+    """int8 fused MIPS: ([N,D] int8, [N] f32, [Q,D]) -> (vals, idx).
+    `alive` masks tombstones in-kernel (see fused_score_topk)."""
     n, d = db_q.shape
     q_n = queries.shape[0]
     S = banks * _LANES
@@ -245,15 +275,22 @@ def fused_score_topk_int8(
     q_pad = max(8, -(-q_n // 8) * 8)
     if q_pad != q_n:
         queries = jnp.pad(queries, ((0, q_pad - q_n), (0, 0)))
+    has_alive = alive is not None
     nblocks = n // block_n
+    in_specs = [
+        pl.BlockSpec((q_pad, d), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_n, d), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_n,), lambda i, c: (i,), memory_space=pltpu.VMEM),
+    ]
+    inputs = [count_arr, queries, db_q, scales]
+    if has_alive:
+        in_specs.append(
+            pl.BlockSpec((block_n,), lambda i, c: (i,), memory_space=pltpu.VMEM))
+        inputs.append(alive)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec((q_pad, d), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, d), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n,), lambda i, c: (i,), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
@@ -263,7 +300,8 @@ def fused_score_topk_int8(
             pltpu.VMEM((q_pad, S), jnp.int32),
         ],
     )
-    kernel = functools.partial(_fused_kernel_int8, block_n=block_n, banks=banks)
+    kernel = functools.partial(_fused_kernel_int8, block_n=block_n, banks=banks,
+                               has_alive=has_alive)
     cand_vals, cand_idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -280,7 +318,7 @@ def fused_score_topk_int8(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(count_arr, queries, db_q, scales)
+    )(*inputs)
     args = jnp.argsort(-cand_vals, axis=1)[:, :k]
     vals = jnp.take_along_axis(cand_vals, args, axis=1)
     idx = jnp.take_along_axis(cand_idx, args, axis=1)
@@ -297,8 +335,13 @@ def fused_score_topk_int8(
 # ---------------------------------------------------------------------------
 
 
-def _fused_kernel_int8q(count_ref, q_ref, db_ref, scale_ref, out_vals_ref,
-                        out_idx_ref, vals_acc, idx_acc, *, block_n: int, banks: int):
+def _fused_kernel_int8q(count_ref, q_ref, db_ref, scale_ref, *rest,
+                        block_n: int, banks: int, has_alive: bool = False):
+    if has_alive:
+        alive_ref, out_vals_ref, out_idx_ref, vals_acc, idx_acc = rest
+    else:
+        out_vals_ref, out_idx_ref, vals_acc, idx_acc = rest
+        alive_ref = None
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
     S = banks * _LANES
@@ -324,6 +367,8 @@ def _fused_kernel_int8q(count_ref, q_ref, db_ref, scale_ref, out_vals_ref,
     base = i * block_n
     col = jax.lax.broadcasted_iota(jnp.int32, (1, block_n), 1)
     scores = jnp.where(col + base < count_ref[0], scores, NEG_INF)
+    if has_alive:
+        scores = jnp.where(alive_ref[:].reshape(1, block_n) > 0, scores, NEG_INF)
 
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     acc_v, acc_i = vals_acc[:], idx_acc[:]
@@ -461,8 +506,13 @@ def np_quantize_rows_int4(vectors) -> tuple:
 
 
 def _fused_kernel_int4q(count_ref, qlo_ref, qhi_ref, db_ref, scale_ref,
-                        out_vals_ref, out_idx_ref, vals_acc, idx_acc,
-                        *, block_n: int, banks: int, deferred: bool):
+                        *rest, block_n: int, banks: int, deferred: bool,
+                        has_alive: bool = False):
+    if has_alive:
+        alive_ref, out_vals_ref, out_idx_ref, vals_acc, idx_acc = rest
+    else:
+        out_vals_ref, out_idx_ref, vals_acc, idx_acc = rest
+        alive_ref = None
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
     S = banks * _LANES
@@ -515,6 +565,8 @@ def _fused_kernel_int4q(count_ref, qlo_ref, qhi_ref, db_ref, scale_ref,
     base = i * block_n
     col = jax.lax.broadcasted_iota(jnp.int32, (1, block_n), 1)
     scores = jnp.where(col + base < count_ref[0], scores, NEG_INF)
+    if has_alive:
+        scores = jnp.where(alive_ref[:].reshape(1, block_n) > 0, scores, NEG_INF)
 
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     acc_v, acc_i = vals_acc[:], idx_acc[:]
@@ -532,8 +584,8 @@ def _fused_kernel_int4q(count_ref, qlo_ref, qhi_ref, db_ref, scale_ref,
         out_idx_ref[:] = idx_acc[:]
 
 
-def _int4q_candidates(db_p, scales4, queries, count_arr, *, block_n: int,
-                      banks: int, deferred: bool, interpret: bool):
+def _int4q_candidates(db_p, scales4, queries, count_arr, alive=None, *,
+                      block_n: int, banks: int, deferred: bool, interpret: bool):
     """Run the int4 coarse kernel; returns ([Q, S] vals, [Q, S] idx) with the
     per-query int8 scale NOT folded in (ranking is scale-invariant).
     db_p is the TRANSPOSED packed array [D/2, N]."""
@@ -558,16 +610,23 @@ def _int4q_candidates(db_p, scales4, queries, count_arr, *, block_n: int,
     else:
         in1, in2 = q_lo, q_hi
 
+    has_alive = alive is not None
     nblocks = n // block_n
+    in_specs = [
+        pl.BlockSpec((q_pad, d2), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((q_pad, d2), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d2, block_n), lambda i, c: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_n,), lambda i, c: (i,), memory_space=pltpu.VMEM),
+    ]
+    inputs = [count_arr, in1, in2, db_p, scales4]
+    if has_alive:
+        in_specs.append(
+            pl.BlockSpec((block_n,), lambda i, c: (i,), memory_space=pltpu.VMEM))
+        inputs.append(alive)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec((q_pad, d2), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_pad, d2), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d2, block_n), lambda i, c: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n,), lambda i, c: (i,), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
@@ -578,7 +637,8 @@ def _int4q_candidates(db_p, scales4, queries, count_arr, *, block_n: int,
         ],
     )
     kernel = functools.partial(_fused_kernel_int4q, block_n=block_n,
-                               banks=banks, deferred=deferred)
+                               banks=banks, deferred=deferred,
+                               has_alive=has_alive)
     cand_vals, cand_idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -595,7 +655,7 @@ def _int4q_candidates(db_p, scales4, queries, count_arr, *, block_n: int,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(count_arr, in1, in2, db_p, scales4)
+    )(*inputs)
     return cand_vals[:q_n], cand_idx[:q_n]
 
 
@@ -631,8 +691,11 @@ def fused_score_topk_int4_rerank(
     count_arr = jnp.full((1,), count, jnp.int32)
     scales4 = scales8 * (127.0 / 7.0)
     banks = max(1, min(banks, block_n // _LANES))  # need banks*128 <= block_n
+    # alive also masks INSIDE the coarse kernel: dead rows crowding the
+    # candidate bank would shadow live top-k rows beyond what the rerank's
+    # post-filter can recover.
     cand_vals, cand_idx = _int4q_candidates(
-        db_p, scales4, queries, count_arr,
+        db_p, scales4, queries, count_arr, alive,
         block_n=block_n, banks=banks, deferred=deferred, interpret=interpret,
     )
     # Coarse top-R candidate rows (argsort beats lax.top_k on TPU for these
@@ -666,13 +729,15 @@ def fused_score_topk_int8q(
     queries: jnp.ndarray,
     k: int,
     count=None,
+    alive=None,
     *,
     block_n: int = 8192,
     banks: int = 8,
     interpret: bool = False,
 ):
     """All-int8 fused MIPS: queries quantized per-row on device, s8xs8->s32
-    MXU dot, db row scales applied in-kernel, query scales on the winners."""
+    MXU dot, db row scales applied in-kernel, query scales on the winners.
+    `alive` masks tombstones in-kernel (see fused_score_topk)."""
     n, d = db_q.shape
     q_n = queries.shape[0]
     S = banks * _LANES
@@ -688,15 +753,22 @@ def fused_score_topk_int8q(
     q_scales = jnp.maximum(q_absmax, 1e-12) / 127.0
     q8 = jnp.clip(jnp.round(queries / q_scales[:, None]), -127, 127).astype(jnp.int8)
 
+    has_alive = alive is not None
     nblocks = n // block_n
+    in_specs = [
+        pl.BlockSpec((q_pad, d), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_n, d), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_n,), lambda i, c: (i,), memory_space=pltpu.VMEM),
+    ]
+    inputs = [count_arr, q8, db_q, scales]
+    if has_alive:
+        in_specs.append(
+            pl.BlockSpec((block_n,), lambda i, c: (i,), memory_space=pltpu.VMEM))
+        inputs.append(alive)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec((q_pad, d), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, d), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n,), lambda i, c: (i,), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
@@ -706,7 +778,8 @@ def fused_score_topk_int8q(
             pltpu.VMEM((q_pad, S), jnp.int32),
         ],
     )
-    kernel = functools.partial(_fused_kernel_int8q, block_n=block_n, banks=banks)
+    kernel = functools.partial(_fused_kernel_int8q, block_n=block_n, banks=banks,
+                               has_alive=has_alive)
     cand_vals, cand_idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -723,7 +796,7 @@ def fused_score_topk_int8q(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(count_arr, q8, db_q, scales)
+    )(*inputs)
     args = jnp.argsort(-cand_vals, axis=1)[:, :k]
     vals = jnp.take_along_axis(cand_vals, args, axis=1)
     idx = jnp.take_along_axis(cand_idx, args, axis=1)

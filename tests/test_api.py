@@ -235,3 +235,46 @@ def test_stats_endpoint(rt):
         assert "timings" in body
 
     run(_with_client(rt, fn))
+
+
+def test_fetch_url_ssrf_guard(rt, monkeypatch):
+    """/api/fetch must not be an open proxy (round-2 hardening; the
+    reference fetches anything, fetch/handlers.rs:21-41): non-http schemes
+    and loopback/private targets are rejected unless explicitly allowed."""
+    monkeypatch.delenv("MEMEX_FETCH_ALLOW_PRIVATE", raising=False)
+
+    async def fn(client):
+        for url in ("file:///etc/passwd", "gopher://x", "ftp://host/a"):
+            resp = await client.get("/api/fetch", params={"url": url})
+            assert resp.status == 400
+            body = await resp.json()
+            msg = body["result"]["message"]
+            assert "not allowed" in msg or "scheme" in msg
+        # loopback target: resolves but is blocked by the address check
+        resp = await client.get(
+            "/api/fetch", params={"url": "http://127.0.0.1:1/x"})
+        assert resp.status == 400
+        body = await resp.json()
+        assert "public" in body["result"]["message"]
+        # missing host
+        resp = await client.get("/api/fetch", params={"url": "http://"})
+        assert resp.status == 400
+
+    run(_with_client(rt, fn))
+
+
+def test_fetch_url_private_allowed_with_env(rt, monkeypatch):
+    """MEMEX_FETCH_ALLOW_PRIVATE=1 re-enables internal targets (needed for
+    the delegated-store deployments that fetch from cluster-local nodes);
+    the request then proceeds to the socket (and fails with a connection
+    error, not a policy error, against a closed port)."""
+    monkeypatch.setenv("MEMEX_FETCH_ALLOW_PRIVATE", "1")
+
+    async def fn(client):
+        resp = await client.get(
+            "/api/fetch", params={"url": "http://127.0.0.1:9/x"})
+        assert resp.status == 400
+        body = await resp.json()
+        assert "public" not in body["result"]["message"]  # policy ok; socket failed
+
+    run(_with_client(rt, fn))
