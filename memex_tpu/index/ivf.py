@@ -203,6 +203,7 @@ class IVFIndex:
         self._ckpt_path: str | None = None
         self._host_data: np.ndarray | None = None  # packed-table shadow
         self._host_scales: np.ndarray | None = None
+        self.needs_recovery = False  # set by load() when the base was skipped
 
     @property
     def count(self) -> int:
@@ -494,6 +495,15 @@ class IVFIndex:
         part_c = jnp.take(flat_rows, psel, axis=0, mode="fill", fill_value=0)
         part_s = jnp.take(self.rscales.reshape(-1), psel,
                           mode="fill", fill_value=0.0)
+        # Free the bucket table as soon as it is gathered from: at the 10M
+        # tier the table (6.4GB) + gathered codes (4GB) + compacted corpus
+        # (4GB) + the rebuilt table would exceed a 16GB chip. (Dropping the
+        # reference is async-safe: the runtime keeps the buffer alive until
+        # the queued gather completes.)
+        del flat_rows
+        self.data = self.rscales = self.sizes = None
+        self.rowids = None
+        self._rowids_dev = None
         sids: list = []
         n_spill = 0
         if self.spill.count:
@@ -529,10 +539,6 @@ class IVFIndex:
         del part_c, part_s
         if n_spill:
             del part2_c, part2_s
-        # Release the old table before the new scatter (HBM peak at scale).
-        self.data = self.rscales = self.sizes = None
-        self.rowids = None
-        self._rowids_dev = None
         self.spill.delete_all()
         self._deleted.clear()
         self._live.clear()
@@ -636,7 +642,20 @@ class IVFIndex:
         import os as _os
 
         _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
-        if self._base_dirty or path != self._ckpt_path or not _os.path.exists(
+        # Device-built bases (no host shadow) are NOT fetched by default:
+        # on remote-attached TPUs the device->host link makes a multi-GB
+        # base fetch take ~an hour, and SQL is the durable source of truth
+        # anyway — load() flags the index for SQL recovery instead. Set
+        # MEMEX_CKPT_DEVICE_BASE=1 to force the fetch (local PCIe TPUs).
+        skip_base = (self.data is not None and self._host_data is None
+                     and self.dtype == "int8"
+                     and _os.environ.get("MEMEX_CKPT_DEVICE_BASE") != "1")
+        if skip_base:
+            try:
+                _os.remove(path + ".npz")  # drop any stale base
+            except FileNotFoundError:
+                pass
+        elif self._base_dirty or path != self._ckpt_path or not _os.path.exists(
                 path + ".npz"):
             arrs: dict[str, np.ndarray] = {
                 "centroids": (np.asarray(self.centroids)
@@ -688,6 +707,7 @@ class IVFIndex:
             "bucket_factor": self.bucket_factor,
             "dtype": self.dtype,
             "deleted": sorted(str(s) for s in self._deleted),
+            "base_skipped": bool(skip_base),
         }
         tmp = path + ".meta.json.tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -708,8 +728,21 @@ class IVFIndex:
         idx = cls(dim=meta["dim"], **kw)
         if meta.get("format") != 2:
             return cls._load_legacy(idx, path, meta)
-        arrs = np.load(path + ".npz")
         deleted = set(meta.get("deleted", []))
+        import os as _os
+
+        if meta.get("base_skipped") or not _os.path.exists(path + ".npz"):
+            # Device-built base was not persisted: restore the spill and
+            # flag for SQL recovery (runtime.store() re-streams the rows).
+            idx.needs_recovery = True
+            if FlatIndex.exists(path + ".spill"):
+                idx.spill = FlatIndex.load(path + ".spill", dtype=idx.dtype)
+                if deleted and idx.spill.count:
+                    idx.spill.delete([s for s in idx.spill.ids if s in deleted])
+                idx._live.update(idx.spill._id_to_row)
+            idx._ckpt_path = path
+            return idx
+        arrs = np.load(path + ".npz")
         cids_arr = arrs["cluster_ids"]
         centroids = arrs["centroids"]
         if len(centroids) and len(cids_arr):
@@ -789,9 +822,18 @@ class IVFIndex:
 
     @classmethod
     def exists(cls, path: str) -> bool:
+        import json as _json
         import os as _os
 
-        return _os.path.exists(path + ".meta.json") and _os.path.exists(path + ".npz")
+        if not _os.path.exists(path + ".meta.json"):
+            return False
+        if _os.path.exists(path + ".npz"):
+            return True
+        try:
+            with open(path + ".meta.json", "r", encoding="utf-8") as fh:
+                return bool(_json.load(fh).get("base_skipped"))
+        except (OSError, _json.JSONDecodeError):
+            return False
 
     @classmethod
     def remove_checkpoint(cls, path: str) -> None:

@@ -31,10 +31,20 @@ logger = get_logger(__name__)
 RESPONSE_BUDGET = 1024
 PROMPT_OVERHEAD = 100
 MODEL_TIERS = [
-    # (model, context window)
+    # (model, context window) — escalation order parity with the
+    # reference (openai/mod.rs:143-186): fit -> 3.5, bigger -> 16k.
     ("gpt-3.5-turbo", 4097),
     ("gpt-3.5-turbo-16k", 16384),
 ]
+# Full model table parity (openai/mod.rs:20-37): gpt-4 is listed by the
+# reference but, like there, takes no part in automatic escalation — use
+# it via default_model / OPENAI_MODEL.
+KNOWN_MODELS = {
+    "gpt-3.5-turbo": 4097,
+    "gpt-3.5-turbo-16k": 16384,
+    "gpt-3.5-turbo-0613": 4097,
+    "gpt-4": 8192,
+}
 
 
 def budget_for(context: int) -> int:

@@ -29,33 +29,44 @@ def list_collections(rt: Runtime) -> list[str]:
     return [r["collection"] for r in rows]
 
 
-def rebuild_collection(rt: Runtime, collection: str, batch: int = 4096) -> int:
+def rebuild_collection(rt: Runtime, collection: str, batch: int = 4096,
+                       force: bool = False) -> int:
     """Stream a collection's vectors from SQL into its store. Returns rows
     restored. No-op if the store already has content (e.g. restored from a
-    checkpoint file)."""
+    checkpoint file) unless force=True (partial restore: a checkpoint that
+    skipped its device-built base — adds are idempotent, so re-streaming
+    over the restored spill is safe)."""
     store = rt.store(collection)
-    if store.count > 0:
+    if store.count > 0 and not force:
         return 0
     t0 = time.perf_counter()
     total = 0
     pending: list[VectorData] = []
-    for row in iter_collection_embeddings(rt.db, collection, batch=batch):
-        pending.append(
-            VectorData(
-                id=row.uuid,
-                document_id=row.document_id,
-                text=row.content,
-                vector=np.asarray(row.vector, np.float32),
-                segment_id=row.segment,
+    store._recovering = True  # suppress per-batch auto-rebuilds
+    try:
+        for row in iter_collection_embeddings(rt.db, collection, batch=batch):
+            pending.append(
+                VectorData(
+                    id=row.uuid,
+                    document_id=row.document_id,
+                    text=row.content,
+                    vector=np.asarray(row.vector, np.float32),
+                    segment_id=row.segment,
+                )
             )
-        )
-        if len(pending) >= batch:
+            if len(pending) >= batch:
+                store.add_vectors(pending)
+                total += len(pending)
+                pending = []
+        if pending:
             store.add_vectors(pending)
             total += len(pending)
-            pending = []
-    if pending:
-        store.add_vectors(pending)
-        total += len(pending)
+    finally:
+        store._recovering = False
+    if getattr(store, "needs_recovery", False):
+        store.recovered()
+        if hasattr(store, "rebuild") and store.count > 0:
+            store.rebuild()  # fold the recovered spill into partitions once
     if total:
         logger.info(
             "rebuilt collection %s from SQL: %d vectors in %.1fms",

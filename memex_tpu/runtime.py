@@ -139,10 +139,11 @@ class Runtime:
                     # Mark BEFORE rebuilding: rebuild_collection re-enters
                     # store() on this thread (RLock) and must not recurse.
                     self._rebuilt.add(collection)
-                    if store.count == 0:
+                    needs = getattr(store, "needs_recovery", False)
+                    if store.count == 0 or needs:
                         from .recovery import rebuild_collection
 
-                        rebuild_collection(self, collection)
+                        rebuild_collection(self, collection, force=needs)
         return store
 
     def maybe_checkpoint(self, collection: str, store, interval_s: float | None = None) -> bool:

@@ -122,8 +122,20 @@ class TpuIVFStore(TpuFlatStore):
             for d in data:
                 self._doc_of[d.id] = d.document_id
 
+    @property
+    def needs_recovery(self) -> bool:
+        """True when the loaded checkpoint skipped its device-built base
+        (index/ivf.py save policy) — runtime.store() re-streams the rows
+        from SQL."""
+        return getattr(self.index, "needs_recovery", False)
+
+    def recovered(self) -> None:
+        self.index.needs_recovery = False
+
     def add_vectors(self, data: list[VectorData]) -> None:
         super().add_vectors(data)
+        if getattr(self, "_recovering", False):
+            return  # one rebuild at the end of recovery, not per batch
         # Amortized re-clustering: fold the exact spill tier back into the
         # IVF partitions once it outgrows 20% of the corpus (or 4096 rows).
         spill = self.index.spill.count

@@ -6,9 +6,11 @@
   154-198).
 - `split_text`: word-level chunker with ~10-word overlap for LLM context
   budgets (lib/libmemex/src/llm/mod.rs:76-117).
-- `count_tokens`: pluggable token counter. The reference uses tiktoken
-  cl100k (unavailable offline); default is a calibrated heuristic
-  (≈ max(words·4/3, chars/4)) documented as approximate.
+- `count_tokens`: pluggable token counter. Uses EXACT tiktoken cl100k
+  when its encoding data is loadable (reference parity,
+  lib/libmemex/src/llm/mod.rs:77); falls back to a calibrated heuristic
+  (≈ max(words·4/3, chars/4), over-counting = budget-safe) in air-gapped
+  environments where the cl100k BPE file cannot be fetched.
 - `encode_windows`: the host→TPU contract — fixed-shape padded int32
   id/mask arrays for a batch of windows.
 """
@@ -23,13 +25,33 @@ from .tokenizer import WordPieceTokenizer
 
 _WORD_RE = re.compile(r"\w+|[^\w\s]")
 
+_CL100K = None  # 0 = probed and unavailable
+
+
+def _cl100k():
+    """tiktoken cl100k_base, probed once; loading fetches the BPE ranks
+    file over the network, so air-gapped hosts land on the heuristic."""
+    global _CL100K
+    if _CL100K is None:
+        try:
+            import tiktoken
+
+            _CL100K = tiktoken.get_encoding("cl100k_base")
+        except Exception:
+            _CL100K = 0
+    return _CL100K or None
+
 
 def count_tokens(text: str) -> int:
-    """Approximate cl100k token count: GPT-style BPE averages ~4 chars or
-    ~0.75 words per token on English text; take the max of both estimates
-    so budgets err on the safe (over-counting) side."""
+    """cl100k token count: exact via tiktoken when available, else a
+    calibrated heuristic (GPT-style BPE averages ~4 chars or ~0.75 words
+    per token on English; the max of both estimates over-counts, so
+    budgets err on the safe side)."""
     if not text:
         return 0
+    enc = _cl100k()
+    if enc is not None:
+        return len(enc.encode(text, disallowed_special=()))
     words = len(_WORD_RE.findall(text))
     return max(int(words * 4 / 3), len(text) // 4, 1)
 

@@ -69,3 +69,106 @@ def test_failed_task_retries_then_parks(tmp_path):
     final = queue.get_task(rt.db, task.id)
     assert final.status == queue.JobStatus.Failed
     assert final.error == {"error": "boom"}
+
+
+def test_device_built_ivf_base_skipped_then_recovered(tmp_path):
+    """A device-built IVF base (no host shadow) is NOT fetched at
+    checkpoint time (the device->host link makes multi-GB fetches take
+    ~an hour on remote TPUs); load flags the index and runtime.store()
+    re-streams the rows from SQL, folding them back into partitions."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from memex_tpu.index import IVFIndex
+    from memex_tpu.ops.fused_topk import quantize_rows_int8
+
+    rng = np.random.default_rng(3)
+    n, d = 2048, 32
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    codes, scales = quantize_rows_int8(jnp.asarray(db))
+    idx = IVFIndex(dim=d, n_clusters=8, nprobe=8, dtype="int8",
+                   use_fused=False)
+    idx.build_device(codes, scales, [f"v{i}" for i in range(n)])
+    idx.add(db[:5] * 0.99, [f"s{i}" for i in range(5)])
+    path = str(tmp_path / "dev.ivf")
+    idx.save(path)
+    import json
+    import os
+
+    meta = json.load(open(path + ".meta.json"))
+    assert meta["base_skipped"] is True
+    assert not os.path.exists(path + ".npz")
+    idx2 = IVFIndex.load(path, use_fused=False)
+    assert idx2.needs_recovery and idx2.data is None
+    assert idx2.spill.count == 5  # spill segment log restored
+
+    # With MEMEX_CKPT_DEVICE_BASE=1 the fetch happens and load is complete.
+    os.environ["MEMEX_CKPT_DEVICE_BASE"] = "1"
+    try:
+        path2 = str(tmp_path / "dev2.ivf")
+        idx.save(path2)
+        idx3 = IVFIndex.load(path2, use_fused=False)
+        assert not idx3.needs_recovery and idx3.count == idx.count
+    finally:
+        del os.environ["MEMEX_CKPT_DEVICE_BASE"]
+
+
+def test_forced_recovery_restreams_partial_store(tmp_path):
+    """needs_recovery stores get force-rebuilt even though count > 0
+    (restored spill); idempotent adds dedupe the overlap."""
+    from memex_tpu import recovery
+    from memex_tpu.store.base import VectorData
+    from memex_tpu.store.tpu_store import TpuIVFStore
+    import numpy as np
+
+    rt = make_rt(tmp_path, name="f")
+    worker = Worker(rt, poll_interval=0.01)
+    queue.enqueue(rt.db, "colf", "one two three four five content words",
+                  queue.TaskType.Ingest)
+    assert worker.drain(timeout=60)
+    sql_rows = len(rt.db.query(
+        "SELECT uuid FROM embeddings WHERE collection='colf'"))
+    assert sql_rows > 0
+
+    # Build a partial IVF store: one row already present + recovery flag.
+    store = TpuIVFStore(str(tmp_path / "vecf"), "colf", dim=64,
+                        n_clusters=4, nprobe=4, use_fused=False)
+    row = rt.db.query("SELECT * FROM embeddings WHERE collection='colf'")[0]
+    from memex_tpu.db.models import iter_collection_embeddings
+
+    first = next(iter_collection_embeddings(rt.db, "colf"))
+    store.add_vectors([VectorData(
+        id=first.uuid, document_id=first.document_id, text=first.content,
+        vector=np.asarray(first.vector, np.float32))])
+    store.index.needs_recovery = True
+    assert store.count == 1
+
+    rt._rebuilt = set()
+    orig_store = rt.store
+
+    def patched(collection):
+        if collection == "colf" and collection not in rt._rebuilt:
+            # inject our partial store into the registry path
+            pass
+        return orig_store(collection)
+
+    restored = recovery.rebuild_collection(
+        rt_for_store(rt, store), "colf", force=True)
+    assert restored == sql_rows
+    assert store.count == sql_rows  # overlap deduped by idempotent add
+    assert not store.needs_recovery
+
+
+def rt_for_store(rt, store):
+    """Tiny runtime facade: same db, fixed store (keeps the test off the
+    registry plumbing)."""
+
+    class _RT:
+        db = rt.db
+
+        @staticmethod
+        def store(collection):
+            return store
+
+    return _RT()
