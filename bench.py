@@ -91,7 +91,7 @@ def bench_kernels(rpc: float) -> dict:
             db8, scales, q, K, count=N, block_n=8192, banks=4)),
         ("int4", Q, lambda q: fused_score_topk_int4_rerank(
             db4t, scales, db8, q, K, count=N, rerank=64, block_n=32768,
-            deferred=False)),
+            deferred=True)),  # hi-only unpack: 2.6x at Q=32 (VPU-bound)
         ("int8q_q128", 128, lambda q: fused_score_topk_int8q(
             db8, scales, q, K, count=N, block_n=32768, banks=4)),
         ("int8q_q256", 256, lambda q: fused_score_topk_int8q(
@@ -206,13 +206,15 @@ def bench_scale_10m(rpc: float) -> dict:
 
     # --- IVF: device build + probe scan ------------------------------------
     t0 = time.perf_counter()
-    # bucket_factor 1.5: [C, M, D] is factor x corpus bytes (~6GB; peak
-    # with the int8 codes ~10GB), and probe DMA per query scales with M,
-    # so a tighter factor is directly faster. Overflow rows go to the
-    # spill flat index DEVICE-TO-DEVICE (add_quantized), so spill is
-    # cheap at build time and scanned exactly at search time.
+    # bucket_factor 1.4 -> M=3584: the chunked batch kernel reads only
+    # ceil(live/512) chunks per bucket, so padding no longer costs scan
+    # bandwidth — the factor is sized for (a) small spill (1.2 spilled 1M
+    # rows) and (b) rebuild HBM headroom (table 5.6GB + compacted corpus
+    # 4GB; the 6.4GB table at factor 1.6 OOMed ~10.5GB working sets on
+    # this chip). Overflow rows go to the spill flat index
+    # DEVICE-TO-DEVICE (add_quantized) and are scanned exactly.
     ivf = IVFIndex(dim=D, n_clusters=4096, nprobe=64, dtype="int8",
-                   bucket_factor=1.5)
+                   bucket_factor=1.4)
     ivf.build_device(vecs, scales, list(range(N10)))
     build_s = time.perf_counter() - t0
     del vecs, scales

@@ -111,9 +111,11 @@ def _write_block_cols(buf, block, start, nvalid):
     return jax.lax.dynamic_update_slice(buf, merged, (0, start))
 
 
-@partial(jax.jit, static_argnames=("k", "block_n", "rerank", "interpret"))
+@partial(jax.jit, static_argnames=("k", "block_n", "rerank", "deferred",
+                              "interpret"))
 def _search_masked_fused_int4(buf4, scales, buf8, alive, count, queries, k: int,
                               block_n: int = 8192, rerank: int = 64,
+                              deferred: bool = False,
                               interpret: bool = False):
     """int4 packed coarse scan + exact int8 rerank (ops/fused_topk.py).
     Tombstones are filtered inside the rerank (alive gather on the
@@ -122,7 +124,8 @@ def _search_masked_fused_int4(buf4, scales, buf8, alive, count, queries, k: int,
 
     return fused_score_topk_int4_rerank(
         buf4, scales, buf8, queries, k, count=count, alive=alive,
-        rerank=rerank, block_n=block_n, interpret=interpret,
+        rerank=rerank, block_n=block_n, deferred=deferred,
+        interpret=interpret,
     )
 
 
@@ -209,6 +212,7 @@ class FlatIndex:
         )
         self._sh_valid = True
         # Incremental-checkpoint state (see save()).
+        self.needs_recovery = False  # set by load() when rows were skipped
         self._generation = 0
         self._dead_ids: set[str] = set()
         self._ckpt_path: str | None = None
@@ -307,31 +311,36 @@ class FlatIndex:
         self.ids.extend(ids)
         self.count += m
 
-    def add_quantized(self, codes_dev, scales_dev, ids: list[str]) -> None:
+    def add_quantized(self, codes_dev, scales_dev, ids: list[str],
+                      n_valid: int | None = None) -> None:
         """Device-to-device bulk insert of already-quantized int8 rows —
         no host transit (the tunnel's device->host path is ~2 MB/s, so
         fetch-then-re-add costs seconds per 100k rows). Builder-internal:
-        assumes fresh ids (no duplicate screening)."""
+        assumes fresh ids (no duplicate screening). Rows at index >=
+        n_valid are padding from shape-bucketed callers and never land."""
         assert self.dtype == "int8", "device insert is int8-only"
         self._sh_valid = False  # rows exist only on device now
         m = int(codes_dev.shape[0])
+        if n_valid is None:
+            n_valid = m
         assert m == len(ids) and codes_dev.shape[1] == self.dim
         rows = _bucket_rows(m)
         self._grow_to(self.count + rows + 1)
         pad = rows - m
         qblock = jnp.pad(codes_dev, ((0, pad), (0, 0)))
         sblock = jnp.pad(scales_dev.astype(jnp.float32), ((0, pad),))
-        self.buf = _write_block(self.buf, qblock, self.count, m)
+        self.buf = _write_block(self.buf, qblock, self.count, n_valid)
         self.scales = _write_block(
-            self.scales[:, None], sblock[:, None], self.count, m
+            self.scales[:, None], sblock[:, None], self.count, n_valid
         )[:, 0]
         self.alive = _write_block(
-            self.alive[:, None], jnp.ones((rows, 1), jnp.float32), self.count, m
+            self.alive[:, None], jnp.ones((rows, 1), jnp.float32), self.count,
+            n_valid,
         )[:, 0]
-        for i, sid in enumerate(ids):
+        for i, sid in enumerate(ids[:n_valid]):
             self._id_to_row[sid] = self.count + i
-        self.ids.extend(ids)
-        self.count += m
+        self.ids.extend(ids[:n_valid])
+        self.count += n_valid
 
     def delete(self, ids: list[str]) -> int:
         """Tombstone rows by id (the reference leaves this unimplemented,
@@ -434,10 +443,15 @@ class FlatIndex:
         alive_arg = self.alive if self.dead else None
         if use_fused and self.dtype == "int4":
             bn = min(32768, self.capacity)
+            # Unpack strategy by batch size (measured on v5e): deferred
+            # (hi-only extraction + bf16 dots) wins ~2.6x at Q<=32 where
+            # the VPU unpack dominates; the shift unpack wins at Q>=128
+            # where the doubled bf16 MXU time overtakes it.
             vals, idx = _search_masked_fused_int4(
                 self.buf, self.scales, self.buf8, alive_arg, self.count,
                 jnp.asarray(queries), k_eff, block_n=bn,
                 rerank=min(max(64, 2 * k_eff), 1024),
+                deferred=queries.shape[0] <= 64,
                 interpret=self._interpret,
             )
         elif use_fused and self.dtype == "int8":
@@ -511,6 +525,23 @@ class FlatIndex:
 
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        if not self._sh_valid and os.environ.get("MEMEX_CKPT_DEVICE_BASE") != "1":
+            # Device-built rows (add_quantized) have no host shadow; saving
+            # them means fetching the full buffer through the slow
+            # device->host link (~half an hour per GB on remote TPUs). SQL
+            # is the durable source of truth, so record the skip and let
+            # load() flag the index for SQL recovery instead.
+            self.remove_checkpoint(path)
+            meta = {"format": 2, "dim": self.dim, "dtype": self.dtype,
+                    "segments": [], "dead_ids": [], "rows_skipped": True}
+            tmp = path + ".meta.json.tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(meta, fh)
+            os.replace(tmp, path + ".meta.json")
+            self._ckpt_path = path
+            self._segments = []
+            self._saved_count = 0
+            return
         full = (
             path != self._ckpt_path
             or self._generation != self._ckpt_gen
@@ -606,6 +637,10 @@ class FlatIndex:
         dead = set(meta.get("dead_ids", []))
         ids_l, rows_l, scales_l = [], [], []
         base = os.path.dirname(path) or "."
+        if meta.get("rows_skipped"):
+            idx = cls(dim=meta["dim"], **kw)
+            idx.needs_recovery = True
+            return idx
         for name in meta["segments"]:
             arrs = np.load(os.path.join(base, name))
             ids_l.append(arrs["ids"])

@@ -158,6 +158,19 @@ def _ivf_search_fused(centroids, data, rscales, sizes, queries,
                           banks=banks, interpret=interpret)
 
 
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _fold_scatter(data, rsc, rid, codes, scales, dest, rid_new):
+    """In-place (donated) scatter of spill rows into bucket slots: the
+    fold_spill hot op. OOB dests (full buckets / padding) drop."""
+    C, M, D_ = data.shape
+    data = data.reshape(C * M, D_).at[dest].set(
+        codes, mode="drop").reshape(C, M, D_)
+    rsc = rsc.reshape(C * M).at[dest].set(scales, mode="drop").reshape(C, M)
+    rid = rid.reshape(C * M).at[dest].set(
+        rid_new.astype(jnp.int32), mode="drop").reshape(C, M)
+    return data, rsc, rid
+
+
 class IVFIndex:
     """k-means inverted-file index with exact in-cluster scoring.
 
@@ -367,11 +380,14 @@ class IVFIndex:
             logger.info("ivf device build: %d bucket-overflow rows -> spill",
                         len(spill_rows))
             sel_dev = jnp.asarray(spill_rows)
-            # Device-to-device: the codes never touch the host.
+            # Device-to-device: the codes never touch the host; ids mapped
+            # with a vectorized object-array gather (a Python loop here ran
+            # minutes at 1M overflow rows).
+            spill_ids = np.asarray(ids, dtype=object)[spill_rows].tolist()
             self.spill.add_quantized(
                 jnp.take(vecs_q, sel_dev, axis=0),
                 jnp.take(scales, sel_dev),
-                [ids[int(i)] for i in spill_rows],
+                spill_ids,
             )
 
     def _rowids_host(self) -> np.ndarray | None:
@@ -406,6 +422,108 @@ class IVFIndex:
         """Streaming ingest: spill index, folded in at next rebuild()."""
         self.spill.add(vectors, ids)
         self._live.update(ids)
+
+    def fold_spill(self) -> int:
+        """Stream spill rows into the EXISTING partitions in place: assign
+        on the current centroids, scatter into free bucket slots (donated
+        update — no second table, no retrain), leave rows whose bucket is
+        full in the spill. The IVF streaming-insert path: O(spill) work vs
+        rebuild()'s O(corpus), so the auto-maintenance cadence can be
+        aggressive. Returns rows folded. int8 + resident table only."""
+        if (self.dtype != "int8" or self.data is None
+                or self.centroids is None or not self.spill.count):
+            return 0
+        C, M, D = self.data.shape
+        alive = np.asarray(self.spill.alive)[: self.spill.count] > 0
+        s_ids = np.asarray(self.spill.ids, dtype=object)[: self.spill.count]
+        if self._deleted:
+            alive &= ~np.isin(s_ids.astype(str), sorted(self._deleted))
+        ssel = np.nonzero(alive)[0]
+        n = len(ssel)
+        if n == 0:
+            self.spill.delete_all()
+            return 0
+        PAD = 1 << 12
+        n_pad = max(PAD, -(-n // PAD) * PAD)
+        psel = np.full((n_pad,), self.spill.buf.shape[0], np.int64)  # OOB
+        psel[:n] = ssel
+        psel_d = jnp.asarray(psel)
+        codes = jnp.take(self.spill.buf, psel_d, axis=0, mode="fill",
+                         fill_value=0)
+        scales = jnp.take(self.spill.scales, psel_d, mode="fill",
+                          fill_value=0.0)
+        assign = kmeans_assign(
+            codes.astype(jnp.bfloat16) * scales[:, None].astype(jnp.bfloat16),
+            self.centroids,
+        )
+        a_h = np.asarray(assign)[:n]
+        sizes_h = np.asarray(self.sizes)
+        order = np.argsort(a_h, kind="stable")
+        counts = np.bincount(a_h[order], minlength=C)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(n, dtype=np.int64) - starts[a_h[order]]
+        slot = sizes_h[a_h[order]] + pos
+        ok = slot < M
+        # destination per PADDED gather row (pads + full buckets -> OOB)
+        dest = np.full((n_pad,), C * M, np.int64)
+        dest[order[ok]] = a_h[order[ok]] * M + slot[ok]
+        n_fold = int(ok.sum())
+        if n_fold == 0:
+            return 0
+        base = len(self.ids)
+        rid_new = np.full((n_pad,), -1, np.int64)
+        rid_new[:n] = base + np.arange(n)
+
+        rid_dev = (self._rowids_dev if self._rowids_dev is not None
+                   else jnp.asarray(self._rowids_host().astype(np.int32)))
+        self.data, self.rscales, self._rowids_dev = _fold_scatter(
+            self.data, self.rscales, rid_dev, codes, scales,
+            jnp.asarray(dest), jnp.asarray(rid_new))
+        self.rowids = None  # host cache invalid
+        self.sizes = jnp.asarray(
+            np.minimum(sizes_h + np.bincount(
+                a_h[order[ok]], minlength=C), M).astype(np.int32))
+        # ids: every gathered row gets a table entry; un-folded rows keep
+        # id None there (their rowid never landed) and stay in the spill.
+        folded_mask = np.zeros((n,), bool)
+        folded_mask[order[ok]] = True
+        sids_sel = s_ids[ssel]
+        new_ids = np.full((n,), None, dtype=object)
+        new_ids[folded_mask] = sids_sel[folded_mask]
+        self.ids.extend(new_ids.tolist())
+        # Host shadow (host-built indexes): mirror the scatter when both
+        # shadows are intact, else degrade to device-built semantics.
+        if self._host_data is not None and self.spill._sh_valid:
+            sh_codes = self.spill._sh_rows[: self.spill.count][ssel]
+            sh_scales = self.spill._sh_scales[: self.spill.count][ssel]
+            flat = self._host_data.reshape(C * M, D)
+            fsc = self._host_scales.reshape(C * M)
+            d_ok = dest[:n][folded_mask]
+            flat[d_ok] = sh_codes[folded_mask]
+            fsc[d_ok] = sh_scales[folded_mask]
+        elif self._host_data is not None:
+            self._host_data = self._host_scales = None
+        # Rebuild the spill with only the leftover rows (device-to-device).
+        left = ssel[~folded_mask]
+        left_ids = sids_sel[~folded_mask].tolist()
+        # Rows filtered by the alive/deleted mask are physically gone now.
+        dropped = set(s_ids[~alive].tolist()) - {None}
+        old_buf, old_scales = self.spill.buf, self.spill.scales
+        self.spill.delete_all()
+        self._deleted -= dropped  # deleted spill rows are physically gone
+        if len(left):
+            lp = np.full((max(PAD, -(-len(left) // PAD) * PAD),),
+                         old_buf.shape[0], np.int64)
+            lp[: len(left)] = left
+            lp_d = jnp.asarray(lp)
+            self.spill.add_quantized(
+                jnp.take(old_buf, lp_d, axis=0, mode="fill", fill_value=0),
+                jnp.take(old_scales, lp_d, mode="fill", fill_value=0.0),
+                left_ids + [None] * (len(lp) - len(left)),
+                n_valid=len(left),
+            )
+        self._base_dirty = True
+        return n_fold
 
     def rebuild(self) -> None:
         """Fold the spill back into retrained partitions. int8 indexes with
@@ -786,6 +904,9 @@ class IVFIndex:
             if deleted and idx.spill.count:
                 idx.spill.delete([s for s in idx.spill.ids if s in deleted])
             idx._live.update(idx.spill._id_to_row)
+            if idx.spill.needs_recovery:
+                # Device-built spill rows were policy-skipped at save time.
+                idx.needs_recovery = True
         idx._ckpt_path = path
         return idx
 

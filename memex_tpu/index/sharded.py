@@ -69,6 +69,7 @@ def make_search_fn(mesh: Mesh, axis: str, k: int, use_fused: bool,
             vals, idx = fused_score_topk_int4_rerank(
                 buf, scales, buf8, queries, kk, count=count, alive=alive_arg,
                 rerank=min(max(64, 2 * kk), 1024), block_n=min(32768, cap),
+                deferred=queries.shape[0] <= 64,  # measured crossover
                 interpret=interpret,
             )
         elif fused and dtype == "int8" and query_quantize:

@@ -217,9 +217,11 @@ class ShardedIVFIndex:
         scales = jax.device_put(jnp.asarray(sp), self._vec_sh)
         self.build_device(vecs_q, scales,
                           list(ids) + [None] * (n_pad - n), n_valid=n)
-        # build_device clears the shadow (device-only path); restore it —
-        # rows are bucket-reordered but save() maps through rowids.
-        self._host_codes, self._host_scales = q, s.astype(np.float32)
+        # build_device clears the shadow (device-only path); restore it,
+        # padded to align with the (padded) ids table — save() maps rows
+        # through rowids, which only ever reference indices < n.
+        self._host_codes = qp
+        self._host_scales = sp
 
     def build_device(self, vecs_q, scales, ids: list,
                      n_valid: int | None = None) -> None:
@@ -307,16 +309,18 @@ class ShardedIVFIndex:
                  for c in over]
             ).astype(np.int32)
             spill_rows = np.asarray(jnp.take(order, jnp.asarray(sel)))
-            live_rows = [int(r) for r in spill_rows
-                         if ids[int(r)] is not None]
-            if live_rows:
+            ids_arr = np.asarray(ids, dtype=object)
+            sids = ids_arr[spill_rows]
+            live = np.asarray([s is not None for s in sids], bool)
+            if live.any():
+                live_rows = spill_rows[live]
                 logger.info("sharded ivf build: %d overflow rows -> spill",
                             len(live_rows))
-                sel_dev = jnp.asarray(np.asarray(live_rows, np.int32))
+                sel_dev = jnp.asarray(live_rows.astype(np.int32))
                 codes = np.asarray(jnp.take(vecs_q, sel_dev, axis=0))
                 sscales = np.asarray(jnp.take(scales, sel_dev))
                 vecs = codes.astype(np.float32) * sscales[:, None]
-                self.spill.add(vecs, [ids[r] for r in live_rows])
+                self.spill.add(vecs, sids[live].tolist())
 
     def _rowids_host(self) -> np.ndarray | None:
         if self.rowids is None and self._rowids_dev is not None:
@@ -353,6 +357,103 @@ class ShardedIVFIndex:
         self._host_codes = self._host_scales = None
         self._base_dirty = True
         self._search_cache = {}
+
+    def fold_spill(self) -> int:
+        """Stream spill rows into the existing cluster shards in place
+        (assign on current centroids, one donated SPMD scatter — GSPMD
+        routes rows to their owning shard): O(spill) maintenance vs
+        rebuild()'s O(corpus). Rows whose bucket is full stay spilled.
+        Mirrors IVFIndex.fold_spill for the mesh tier."""
+        if self.data is None or self.centroids is None or not self.spill.count:
+            return 0
+        C, M, D = self.data.shape
+        rows = sorted(self.spill.ids.items())
+        if self._deleted:
+            rows = [(g, s) for g, s in rows if s not in self._deleted]
+        if not rows:
+            self.spill.delete_all()
+            return 0
+        ssel = np.asarray([g for g, _ in rows])
+        sids_sel = np.asarray([s for _, s in rows], dtype=object)
+        n = len(ssel)
+        PAD = 1 << 12
+        n_pad = max(PAD, -(-n // PAD) * PAD)
+        psel = np.full((n_pad,), self.spill.P * self.spill.cap, np.int64)
+        psel[:n] = ssel
+        psel_d = jnp.asarray(psel)
+        codes = jnp.take(self.spill.buf, psel_d, axis=0, mode="fill",
+                         fill_value=0)
+        scales = jnp.take(self.spill.scales, psel_d, mode="fill",
+                          fill_value=0.0)
+        assign = kmeans_assign(
+            codes.astype(jnp.bfloat16) * scales[:, None].astype(jnp.bfloat16),
+            self.centroids,
+        )
+        a_h = np.asarray(assign)[:n]
+        sizes_h = np.asarray(self.sizes)
+        order = np.argsort(a_h, kind="stable")
+        counts = np.bincount(a_h[order], minlength=C)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(n, dtype=np.int64) - starts[a_h[order]]
+        slot = sizes_h[a_h[order]] + pos
+        ok = slot < M
+        dest = np.full((n_pad,), C * M, np.int64)
+        dest[order[ok]] = a_h[order[ok]] * M + slot[ok]
+        n_fold = int(ok.sum())
+        if n_fold == 0:
+            return 0
+        base = len(self.ids)
+        rid_new = np.full((n_pad,), -1, np.int64)
+        rid_new[:n] = base + np.arange(n)
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2),
+                 out_shardings=(self._c_sh, self._cm_sh, self._cm_sh))
+        def _fold(data, rsc, rid, codes, scales, dest, rid_new):
+            D_ = codes.shape[1]
+            C_, M_, _ = data.shape
+            data = data.reshape(C_ * M_, D_).at[dest].set(
+                codes, mode="drop").reshape(C_, M_, D_)
+            rsc = rsc.reshape(C_ * M_).at[dest].set(
+                scales, mode="drop").reshape(C_, M_)
+            rid = rid.reshape(C_ * M_).at[dest].set(
+                rid_new.astype(jnp.int32), mode="drop").reshape(C_, M_)
+            return data, rsc, rid
+
+        self.data, self.rscales, self._rowids_dev = _fold(
+            self.data, self.rscales, self._rowids_dev, codes, scales,
+            jnp.asarray(dest), jnp.asarray(rid_new))
+        self.rowids = None
+        self.sizes = jax.device_put(jnp.asarray(
+            np.minimum(sizes_h + np.bincount(
+                a_h[order[ok]], minlength=C), M).astype(np.int32)),
+            self._c1_sh)
+        folded_mask = np.zeros((n,), bool)
+        folded_mask[order[ok]] = True
+        new_ids = np.full((n,), None, dtype=object)
+        new_ids[folded_mask] = sids_sel[folded_mask]
+        # Extend the ids-aligned host shadow from the spill's shadow (rows
+        # came through the host), keeping checkpoints zero-device-fetch.
+        if self._host_codes is not None and self.spill._sh_scales is not None:
+            if len(self._host_codes) == base:
+                self._host_codes = np.concatenate(
+                    [self._host_codes, self.spill._sh_rows[ssel]])
+                self._host_scales = np.concatenate(
+                    [self._host_scales, self.spill._sh_scales[ssel]])
+            else:  # alignment lost (shouldn't happen) — degrade gracefully
+                self._host_codes = self._host_scales = None
+        else:
+            self._host_codes = self._host_scales = None
+        self.ids.extend(new_ids.tolist())
+        # Re-add leftovers to a fresh spill via the host shadow (sharded
+        # spill rows always came through the host).
+        left_ids = sids_sel[~folded_mask].tolist()
+        left_rows = (self.spill.rows_f32(ssel[~folded_mask].tolist())
+                     if left_ids else None)
+        self.spill.delete_all()
+        if left_ids:
+            self.spill.add(left_rows, left_ids)
+        self._base_dirty = True
+        return n_fold
 
     def rebuild(self) -> None:
         """Fold spill + drop tombstones, retraining on the mesh. Gathers

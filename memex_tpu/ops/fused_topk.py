@@ -543,11 +543,12 @@ def _fused_kernel_int4q(count_ref, qlo_ref, qhi_ref, db_ref, scale_ref,
         scores = raw * scale_ref[:].reshape(1, block_n)
     else:
         # Exact unpack, two s8xs8->s32 MXU dots (int32 shifts: int8-dtype
-        # shifts crash Mosaic).
-        b32 = b.astype(jnp.int32)
-        hi32 = jnp.right_shift(b32 + 8, 4)
-        lo = (b32 - 16 * hi32).astype(jnp.int8)
-        hi = hi32.astype(jnp.int8)
+        # shifts crash Mosaic). t = b+8 = 16*hi + (lo+8) with lo+8 in
+        # [1,15], so hi = t>>4 and lo = (t&15)-8 — shift/mask only, no
+        # multiply in the VPU-bound unpack.
+        t = b.astype(jnp.int32) + 8
+        hi = jnp.right_shift(t, 4).astype(jnp.int8)
+        lo = (jnp.bitwise_and(t, 15) - 8).astype(jnp.int8)
         raw = jax.lax.dot_general(
             qlo_ref[:], lo,
             dimension_numbers=(((1,), (0,)), ((), ())),

@@ -57,74 +57,86 @@ def route_union(centroids, queries, nprobe: int):
     return order.astype(jnp.int32), jnp.sum(mask, keepdims=True)
 
 
-def _kernel(clist_ref, nact_ref, sizes_ref, q_ref, db_hbm, rs_hbm,
+def _kernel(clist_ref, nact_ref, nchunk_ref, sizes_ref, q_ref, db_hbm, rs_hbm,
             out_v_ref, out_i_ref, buf, rsbuf, acc_v, acc_i,
             db_sems, rs_sems, *, M: int, banks: int, scaled: bool):
-    S = banks * _LANES
-    G = M // S
+    """Chunked variable-length streaming: each active cluster is read in
+    CHUNK(=S)-row pieces, stopping at ceil(size/CHUNK) — scan bytes track
+    LIVE rows, not the padded bucket M, so bucket_factor stops costing
+    bandwidth. The flattened (cluster, chunk) walk is one fori_loop over
+    the total chunk count with hand-rolled double-buffered DMAs."""
+    S = banks * _LANES  # == CHUNK
     Q = q_ref.shape[0]
     n_active = nact_ref[0]
+    n_chunks = nchunk_ref[0]
 
-    def db_dma(slot, p):
-        cid = clist_ref[p]
-        return pltpu.make_async_copy(db_hbm.at[cid], buf.at[slot], db_sems.at[slot])
+    def chunks_of(p):
+        csize = sizes_ref[clist_ref[p]]
+        return jnp.maximum(1, (csize + S - 1) // S)
 
-    def rs_dma(slot, p):
+    def db_dma(slot, p, j):
         cid = clist_ref[p]
-        return pltpu.make_async_copy(rs_hbm.at[cid], rsbuf.at[slot], rs_sems.at[slot])
+        return pltpu.make_async_copy(
+            db_hbm.at[cid, pl.ds(j * S, S)], buf.at[slot], db_sems.at[slot])
+
+    def rs_dma(slot, p, j):
+        cid = clist_ref[p]
+        return pltpu.make_async_copy(
+            rs_hbm.at[cid, :, pl.ds(j * S, S)], rsbuf.at[slot],
+            rs_sems.at[slot])
 
     @pl.when(n_active > 0)
     def _start():
-        db_dma(0, 0).start()
+        db_dma(0, 0, 0).start()
         if scaled:
-            rs_dma(0, 0).start()
+            rs_dma(0, 0, 0).start()
 
     acc_v[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
     acc_i[:] = jnp.zeros((Q, S), jnp.int32)
 
-    def body(p, _):
-        slot = jax.lax.rem(p, 2)
-        nxt = jax.lax.rem(p + 1, 2)
+    def body(t, carry):
+        p, j = carry
+        slot = jax.lax.rem(t, 2)
+        nxt = jax.lax.rem(t + 1, 2)
+        # successor (cluster, chunk) in the flattened walk
+        last_chunk = j + 1 >= chunks_of(p)
+        pn = jnp.where(last_chunk, p + 1, p)
+        jn = jnp.where(last_chunk, 0, j + 1)
 
-        @pl.when(p + 1 < n_active)
+        @pl.when(t + 1 < n_chunks)
         def _prefetch():
-            db_dma(nxt, p + 1).start()
+            db_dma(nxt, pn, jn).start()
             if scaled:
-                rs_dma(nxt, p + 1).start()
+                rs_dma(nxt, pn, jn).start()
 
-        db_dma(slot, p).wait()
+        db_dma(slot, p, j).wait()
         if scaled:
-            rs_dma(slot, p).wait()
+            rs_dma(slot, p, j).wait()
 
         cid = clist_ref[p]
         csize = sizes_ref[cid]
-        # [Q, M] on the MXU: the whole query block vs one cluster.
+        # [Q, S] on the MXU: the whole query block vs one chunk.
         scores = jax.lax.dot_general(
             q_ref[:],                             # [Q, D] bf16
-            buf[slot].astype(jnp.bfloat16),       # [M, D]
+            buf[slot].astype(jnp.bfloat16),       # [S, D]
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if scaled:
             scores = scores * rsbuf[slot]
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
-        scores = jnp.where(col < csize, scores, NEG_INF)
+        base = j * S
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        scores = jnp.where(col + base < csize, scores, NEG_INF)
 
-        # Unrolled chunk fold straight into the accumulator (the [Q, G, S]
-        # reshape alternative relayouts every score lane<->sublane; see
-        # fused_topk.py for the measured 2.8x effect).
-        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-        av, ai = acc_v[:], acc_i[:]
-        for g in range(G):
-            chunk = scores[:, g * S : (g + 1) * S]
-            take = chunk > av
-            av = jnp.where(take, chunk, av)
-            ai = jnp.where(take, cid * M + g * S + slot_iota, ai)
-        acc_v[:] = av
-        acc_i[:] = ai
-        return _
+        # CHUNK == S: exactly one lane-aligned fold per chunk, straight
+        # into the accumulator (no reshape relayout; see fused_topk.py).
+        take = scores > acc_v[:]
+        acc_v[:] = jnp.where(take, scores, acc_v[:])
+        acc_i[:] = jnp.where(take, cid * M + base + col, acc_i[:])
+        return (pn, jn)
 
-    jax.lax.fori_loop(0, n_active, body, None)
+    jax.lax.fori_loop(0, n_chunks, body,
+                      (jnp.int32(0), jnp.int32(0)))
     out_v_ref[:] = acc_v[:]
     out_i_ref[:] = acc_i[:]
 
@@ -137,7 +149,7 @@ def ivf_batch_topk(data, rscales, sizes, cluster_list, n_active, queries,
     [Q,D] f32) -> (vals [Q,k], cluster [Q,k], slot [Q,k])."""
     C, M, D = data.shape
     Q = queries.shape[0]
-    S = banks * _LANES
+    S = banks * _LANES  # chunk rows
     assert M % S == 0, f"cluster bucket M={M} must be a multiple of {S}"
     scaled = data.dtype == jnp.int8
 
@@ -147,24 +159,33 @@ def ivf_batch_topk(data, rscales, sizes, cluster_list, n_active, queries,
     q16 = queries.astype(jnp.bfloat16)
     rscales3 = rscales.reshape(C, 1, M)
 
+    # Flattened chunk walk length: ceil(size/S) per active cluster (empty
+    # active clusters still cost one masked chunk).
+    sizes32 = sizes.astype(jnp.int32)
+    chunks_per = jnp.maximum(1, (sizes32 + S - 1) // S)
+    n_chunks = jnp.sum(
+        jnp.where(jnp.arange(C) < n_active.astype(jnp.int32)[0],
+                  jnp.take(chunks_per, cluster_list.astype(jnp.int32)), 0)
+    ).reshape(1)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # cluster_list, n_active, sizes
+        num_scalar_prefetch=4,  # cluster_list, n_active, n_chunks, sizes
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((q_pad, D), lambda i, cl, na, sz: (0, 0),
+            pl.BlockSpec((q_pad, D), lambda i, cl, na, nc, sz: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # data stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # rscales stay in HBM
         ],
         out_specs=(
-            pl.BlockSpec((q_pad, S), lambda i, cl, na, sz: (0, 0),
+            pl.BlockSpec((q_pad, S), lambda i, cl, na, nc, sz: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_pad, S), lambda i, cl, na, sz: (0, 0),
+            pl.BlockSpec((q_pad, S), lambda i, cl, na, nc, sz: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, M, D), data.dtype),      # double-buffered cluster
-            pltpu.VMEM((2, 1, M), jnp.float32),     # double-buffered scales
+            pltpu.VMEM((2, S, D), data.dtype),      # double-buffered chunk
+            pltpu.VMEM((2, 1, S), jnp.float32),     # double-buffered scales
             pltpu.VMEM((q_pad, S), jnp.float32),
             pltpu.VMEM((q_pad, S), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -187,7 +208,7 @@ def ivf_batch_topk(data, rscales, sizes, cluster_list, n_active, queries,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(cluster_list.astype(jnp.int32), n_active.astype(jnp.int32),
-      sizes.astype(jnp.int32), q16, data, rscales3)
+      n_chunks.astype(jnp.int32), sizes32, q16, data, rscales3)
 
     vals, args = jax.lax.top_k(cand_v[:Q], k)
     idx = jnp.take_along_axis(cand_i[:Q], args, axis=1)

@@ -136,14 +136,25 @@ class TpuIVFStore(TpuFlatStore):
         super().add_vectors(data)
         if getattr(self, "_recovering", False):
             return  # one rebuild at the end of recovery, not per batch
-        # Amortized re-clustering: fold the exact spill tier back into the
-        # IVF partitions once it outgrows 20% of the corpus (or 4096 rows).
+        # Amortized maintenance once the spill outgrows 20% of the corpus
+        # (or 4096 rows): stream spill rows into the existing partitions in
+        # place (fold_spill — O(spill)); retrain from scratch only when the
+        # buckets are too full to absorb them (rebuild — O(corpus)).
         spill = self.index.spill.count
         total = max(self.index.count, 1)
         if spill > 4096 or (total > 1024 and spill * 5 > total):
-            logger.info("ivf %s: auto-rebuild (spill=%d total=%d)",
-                        self.collection, spill, total)
-            self.rebuild()
+            folded = 0
+            if self.index.dtype == "int8" and self.index.data is not None:
+                with self._lock:
+                    folded = self.index.fold_spill()
+            left = self.index.spill.count
+            if left > 4096 or (total > 1024 and left * 5 > total):
+                logger.info("ivf %s: auto-rebuild (folded=%d spill=%d total=%d)",
+                            self.collection, folded, left, total)
+                self.rebuild()
+            elif folded:
+                logger.info("ivf %s: folded %d spill rows in place",
+                            self.collection, folded)
 
     def rebuild(self) -> None:
         with self._lock:
@@ -248,13 +259,23 @@ class TpuMeshIVFStore(TpuFlatStore):
 
     def add_vectors(self, data: list[VectorData]) -> None:
         super().add_vectors(data)
+        if getattr(self, "_recovering", False):
+            return
         spill = self.index.spill.count
         total = max(self.index.count, 1)
         if spill > 16384 or (total > 4096 and spill * 5 > total):
-            logger.info("sharded ivf %s: auto-rebuild (spill=%d total=%d)",
-                        self.collection, spill, total)
             with self._lock:
-                self.index.rebuild()
+                folded = self.index.fold_spill()
+            left = self.index.spill.count
+            if left > 16384 or (total > 4096 and left * 5 > total):
+                logger.info(
+                    "sharded ivf %s: auto-rebuild (folded=%d spill=%d total=%d)",
+                    self.collection, folded, left, total)
+                with self._lock:
+                    self.index.rebuild()
+            elif folded:
+                logger.info("sharded ivf %s: folded %d spill rows in place",
+                            self.collection, folded)
 
     @property
     def count(self) -> int:

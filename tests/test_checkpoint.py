@@ -306,3 +306,101 @@ class TestScaleProof:
         dt = time.perf_counter() - t0
         assert idx.spill.count == 0 and idx.count == n + 5000
         assert dt < 60.0, f"device rebuild took {dt:.1f}s"
+
+
+class TestFoldSpill:
+    """fold_spill: IVF streaming insert — spill rows scatter into existing
+    buckets in place (O(spill), no retrain), full rebuild only when
+    buckets saturate."""
+
+    def _idx(self, rng, n=2048, d=32, C=8):
+        db = unit(rng, n, d)
+        idx = IVFIndex(dim=d, n_clusters=C, nprobe=C, dtype="int8",
+                       use_fused=False, bucket_factor=2.0)
+        idx.build(db, [f"v{i}" for i in range(n)])
+        return idx, db
+
+    def test_fold_moves_rows_and_preserves_search(self, rng):
+        idx, db = self._idx(rng)
+        extra = unit(rng, 300, 32)
+        idx.add(extra, [f"s{i}" for i in range(300)])
+        centroids_before = np.asarray(idx.centroids)
+        sizes_before = np.asarray(idx.sizes).sum()
+        folded = idx.fold_spill()
+        assert folded == 300 and idx.spill.count == 0
+        assert idx.count == 2048 + 300
+        # no retrain: same centroids, sizes grew by the folded rows
+        np.testing.assert_array_equal(np.asarray(idx.centroids),
+                                      centroids_before)
+        assert np.asarray(idx.sizes).sum() == sizes_before + 300
+        # folded rows are findable (nprobe=C: exhaustive probing)
+        hits = idx.search(extra[:4], 3)
+        for i in range(4):
+            assert hits[i][0][0] == f"s{i}", hits[i]
+
+    def test_fold_respects_deletes(self, rng):
+        idx, db = self._idx(rng, n=1024)
+        idx.add(unit(rng, 50, 32), [f"s{i}" for i in range(50)])
+        idx.delete(["s3", "s7"])
+        folded = idx.fold_spill()
+        assert folded == 48
+        assert idx.count == 1024 + 48
+        hits = idx.search(unit(rng, 2, 32), 1024)
+        seen = {h[0] for hh in hits for h in hh}
+        assert not {"s3", "s7"} & seen
+        # physically dropped spill deletes are no longer tracked as dead
+        assert "s3" not in idx._deleted
+
+    def test_fold_leaves_overflow_in_spill(self, rng):
+        # Tiny buckets: M fills fast, overflow must stay spilled and
+        # remain searchable.
+        # M rounds up to the 512 slot alignment, so total capacity is
+        # C*512 = 2048; adding past that must leave rows spilled.
+        n, d = 512, 32
+        db = unit(rng, n, d)
+        idx = IVFIndex(dim=d, n_clusters=4, nprobe=4, dtype="int8",
+                       use_fused=False, bucket_factor=1.0)
+        idx.build(db, [f"v{i}" for i in range(n)])
+        extra = unit(rng, 1700, d)
+        idx.add(extra, [f"s{i}" for i in range(1700)])
+        folded = idx.fold_spill()
+        left = idx.spill.count
+        assert folded + left == 1700 and left > 0  # buckets saturated
+        assert idx.count == n + 1700
+        hits = idx.search(extra[:3], 3)
+        for i in range(3):
+            assert hits[i][0][0] == f"s{i}", hits[i]
+
+    def test_fold_then_save_keeps_host_shadow(self, rng, tmp_path):
+        # host-built index + host-added spill: the fold mirrors into the
+        # host shadow, so save still moves zero device bytes and the
+        # roundtrip restores identical results.
+        idx, db = self._idx(rng, n=1024)
+        idx.add(unit(rng, 100, 32), [f"s{i}" for i in range(100)])
+        assert idx.fold_spill() == 100
+        assert idx._host_data is not None
+        path = str(tmp_path / "f.ivf")
+        idx.save(path)
+        qs = unit(rng, 4, 32)
+        idx2 = IVFIndex.load(path, use_fused=False)
+        assert not idx2.needs_recovery
+        assert idx.search(qs, 10) == idx2.search(qs, 10)
+
+    def test_device_spill_save_skipped_and_recovered(self, rng, tmp_path):
+        # device-built spill rows (add_quantized) are policy-skipped at
+        # save time -> needs_recovery on load.
+        import jax.numpy as jnp
+
+        from memex_tpu.ops.fused_topk import quantize_rows_int8
+
+        idx, db = self._idx(rng, n=1024)
+        codes, scales = quantize_rows_int8(jnp.asarray(unit(rng, 64, 32)))
+        idx.spill.add_quantized(codes, scales, [f"d{i}" for i in range(64)])
+        idx._live.update(f"d{i}" for i in range(64))
+        path = str(tmp_path / "ds.ivf")
+        idx.save(path)
+        idx2 = IVFIndex.load(path, use_fused=False)
+        assert idx2.needs_recovery  # spill rows were skipped
+        assert idx2.spill.count == 0
+        # the cluster base itself WAS restored (host shadow existed)
+        assert idx2.data is not None and len(idx2._live) == 1024

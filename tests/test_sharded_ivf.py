@@ -209,3 +209,50 @@ class TestMeshIVFStore:
         assert store2.count == 513
         hits2 = store2.search(db[0], 3)
         assert {h.id for h in hits2} == {h.id for h in hits}
+
+
+class TestShardedFoldSpill:
+    # bucket_factor=4.0: skewed clustered data must not saturate a bucket
+    # at build time (which would overflow rows into the spill pre-test and
+    # leave post-add folds partial — saturation behavior is covered by
+    # test_fold_leaves_overflow_in_spill on the single-device tier).
+    def test_fold_in_place(self, rng, mesh):
+        idx, db = build_idx(rng, mesh, n=2048, C=8, nprobe=8,
+                            bucket_factor=4.0)
+        assert idx.spill.count == 0  # no build overflow
+        extra = clustered(rng, 300, 32)
+        idx.add(extra, [f"s{i}" for i in range(300)])
+        cent = np.asarray(idx.centroids)
+        folded = idx.fold_spill()
+        assert folded == 300 and idx.spill.count == 0
+        assert idx.count == 2048 + 300
+        np.testing.assert_array_equal(np.asarray(idx.centroids), cent)
+        hits = idx.search(extra[:4], 3)
+        for i in range(4):
+            assert hits[i][0][0] == f"s{i}", hits[i]
+
+    def test_fold_keeps_checkpoint_zero_fetch(self, rng, mesh, tmp_path):
+        idx, db = build_idx(rng, mesh, n=2048, C=8, nprobe=8,
+                            bucket_factor=4.0)
+        idx.add(clustered(rng, 100, 32), [f"s{i}" for i in range(100)])
+        assert idx.fold_spill() == 100
+        assert idx._host_codes is not None  # shadow extended, not dropped
+        path = str(tmp_path / "fm")
+        idx.save(path)
+        qs = clustered(rng, 4, 32)
+        idx2 = ShardedIVFIndex(dim=32, mesh=mesh, n_clusters=8, nprobe=8,
+                               use_fused=False)
+        assert idx2.restore(path) == idx.count
+        a, b = idx.search(qs, 10), idx2.search(qs, 10)
+        for ha, hb in zip(a, b):
+            assert {s for s, _ in ha} == {s for s, _ in hb}
+
+    def test_fold_respects_deletes(self, rng, mesh):
+        idx, db = build_idx(rng, mesh, n=2048, C=8, nprobe=8,
+                            bucket_factor=4.0)
+        idx.add(clustered(rng, 60, 32), [f"s{i}" for i in range(60)])
+        idx.delete(["s5"])
+        assert idx.fold_spill() == 59
+        assert idx.count == 2048 + 59
+        hits = idx.search(clustered(rng, 2, 32), 2048)
+        assert "s5" not in {s for hh in hits for s, _ in hh}
