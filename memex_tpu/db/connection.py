@@ -24,63 +24,113 @@ def utcnow() -> str:
     return _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
 
 
+class _NullCtx:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *exc):
+        return False
+
+
 class Database:
     """A process-wide SQLite handle.
 
-    A single connection guarded by an RLock: the SQL layer is the control
-    plane (enqueue/claim/hydrate), not the data plane, so serialized access
-    is simpler and plenty fast; WAL mode keeps readers cheap.
+    File-backed databases get ONE CONNECTION PER THREAD (round-1 verdict:
+    a single RLock-guarded connection serialized claims, hydration and
+    stats behind one mutex — the host-side ceiling once the device side
+    sustains 100k+ QPS). WAL mode lets each thread's reads proceed
+    concurrently with the single writer; write transactions serialize at
+    the SQLite layer via BEGIN IMMEDIATE + busy_timeout instead of a
+    Python lock. `:memory:` keeps the shared-connection design (every
+    sqlite connection to :memory: is a distinct store).
     """
 
     dialect = "sqlite"
 
     def __init__(self, path: str):
         self.path = path
-        self._lock = threading.RLock()
-        self._conn = sqlite3.connect(path, check_same_thread=False)
-        self._conn.row_factory = sqlite3.Row
+        self._lock = threading.RLock()  # guards :memory: conn + _all list
+        self._tls = threading.local()
+        self._all: list[sqlite3.Connection] = []
+        self._closed = False
+        self._shared = self._open() if path == ":memory:" else None
+
+    def _open(self) -> sqlite3.Connection:
+        # isolation_level=None -> true autocommit: no implicit BEGIN from
+        # the sqlite3 module, so _Txn's explicit BEGIN IMMEDIATE is the
+        # only transaction boundary and never nests.
+        conn = sqlite3.connect(self.path, check_same_thread=False,
+                               isolation_level=None)
+        conn.row_factory = sqlite3.Row
+        if self.path != ":memory:":
+            conn.execute("PRAGMA journal_mode=WAL")
+        conn.execute("PRAGMA busy_timeout=5000")
+        conn.execute("PRAGMA foreign_keys=ON")
         with self._lock:
-            if path != ":memory:":
-                self._conn.execute("PRAGMA journal_mode=WAL")
-            self._conn.execute("PRAGMA busy_timeout=5000")
-            self._conn.execute("PRAGMA foreign_keys=ON")
+            self._all.append(conn)
+        return conn
+
+    @property
+    def _conn(self) -> sqlite3.Connection:
+        if self._shared is not None:
+            return self._shared
+        conn = getattr(self._tls, "conn", None)
+        if conn is None:
+            conn = self._tls.conn = self._open()
+        return conn
+
+    def _guard(self):
+        # :memory: shares one connection across threads -> real lock;
+        # file-backed threads own their connection -> no-op guard.
+        return self._lock if self._shared is not None else _NullCtx()
 
     # -- low-level helpers -------------------------------------------------
     def execute(self, sql: str, params: tuple = ()) -> sqlite3.Cursor:
-        with self._lock:
-            cur = self._conn.execute(sql, params)
-            self._conn.commit()
+        with self._guard():
+            conn = self._conn
+            cur = conn.execute(sql, params)
+            conn.commit()
             return cur
 
     def executemany(self, sql: str, rows: list[tuple]) -> None:
-        with self._lock:
-            self._conn.executemany(sql, rows)
-            self._conn.commit()
+        with self._guard():
+            conn = self._conn
+            conn.executemany(sql, rows)
+            conn.commit()
 
     def query(self, sql: str, params: tuple = ()) -> list[sqlite3.Row]:
-        with self._lock:
+        with self._guard():
             return self._conn.execute(sql, params).fetchall()
 
     def query_one(self, sql: str, params: tuple = ()) -> sqlite3.Row | None:
-        with self._lock:
+        with self._guard():
             return self._conn.execute(sql, params).fetchone()
 
     class _Txn:
         def __init__(self, db: "Database"):
             self.db = db
+            self.conn: sqlite3.Connection | None = None
 
         def __enter__(self):
-            self.db._lock.acquire()
-            return self.db._conn
+            if self.db._shared is not None:
+                self.db._lock.acquire()
+                self.conn = self.db._shared
+                return self.conn
+            self.conn = self.db._conn
+            # Take the DB write lock up front so multi-statement writes
+            # are atomic across threads/processes (WAL single-writer).
+            self.conn.execute("BEGIN IMMEDIATE")
+            return self.conn
 
         def __exit__(self, exc_type, exc, tb):
             try:
                 if exc_type is None:
-                    self.db._conn.commit()
+                    self.conn.commit()
                 else:
-                    self.db._conn.rollback()
+                    self.conn.rollback()
             finally:
-                self.db._lock.release()
+                if self.db._shared is not None:
+                    self.db._lock.release()
             return False
 
     def transaction(self) -> "_Txn":
@@ -91,28 +141,45 @@ class Database:
 
     def close(self) -> None:
         with self._lock:
-            self._conn.close()
+            self._closed = True
+            for conn in self._all:
+                try:
+                    conn.close()
+                except sqlite3.Error:
+                    pass
+            self._all.clear()
+            self._shared = None
+            self._tls = threading.local()
 
     # -- migrations --------------------------------------------------------
     def run_migrations(self) -> None:
-        with self._lock:
-            self._conn.execute(
+        conn = self._conn
+        with self._guard():
+            conn.execute(
                 "CREATE TABLE IF NOT EXISTS schema_migrations ("
                 "  name TEXT PRIMARY KEY, applied_at TEXT NOT NULL)"
             )
             applied = {
-                r["name"] for r in self._conn.execute("SELECT name FROM schema_migrations")
+                r["name"] for r in conn.execute("SELECT name FROM schema_migrations")
             }
             for name, statements in MIGRATIONS:
                 if name in applied:
                     continue
-                for stmt in statements:
-                    self._conn.execute(stmt)
-                self._conn.execute(
-                    "INSERT INTO schema_migrations(name, applied_at) VALUES (?, ?)",
-                    (name, utcnow()),
-                )
-                self._conn.commit()
+                # Each migration is one atomic transaction (reference
+                # migration crate semantics).
+                conn.execute("BEGIN IMMEDIATE")
+                try:
+                    for stmt in statements:
+                        conn.execute(stmt)
+                    conn.execute(
+                        "INSERT INTO schema_migrations(name, applied_at)"
+                        " VALUES (?, ?)",
+                        (name, utcnow()),
+                    )
+                    conn.execute("COMMIT")
+                except BaseException:
+                    conn.execute("ROLLBACK")
+                    raise
 
 
 def create_connection_by_uri(uri: str, run_migrations: bool = True) -> Database:
