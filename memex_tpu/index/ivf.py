@@ -158,6 +158,49 @@ def _ivf_search_fused(centroids, data, rscales, sizes, queries,
                           banks=banks, interpret=interpret)
 
 
+def _topk_clusters(codes, scales, centroids, n, R, blk=1 << 18):
+    """Top-R candidate clusters per (padded) quantized row; [n, R] int32
+    on host. One bf16 matmul block at a time; the fetch is tiny."""
+    cent_t = centroids.astype(jnp.bfloat16).T
+    tops = []
+    for s in range(0, codes.shape[0], blk):
+        x = (codes[s : s + blk].astype(jnp.bfloat16)
+             * scales[s : s + blk, None].astype(jnp.bfloat16))
+        tops.append(jax.lax.top_k(x @ cent_t, R)[1].astype(jnp.int32))
+    return np.asarray(jnp.concatenate(tops) if len(tops) > 1 else tops[0])[:n]
+
+
+def _capacity_fill(choice: np.ndarray, sizes: np.ndarray, M: int):
+    """Greedy capacity-aware placement: round j sends each still-homeless
+    row to its j-th-nearest cluster if that bucket has free slots. Rows
+    whose nearest bucket has space land exactly where plain assignment
+    would put them (round 0). Returns (cluster [n] with -1 for unplaced,
+    slot [n], sizes_after [C])."""
+    n, R = choice.shape
+    C = len(sizes)
+    sizes_fill = sizes.astype(np.int64).copy()
+    a_final = np.full((n,), -1, np.int64)
+    slot_final = np.full((n,), -1, np.int64)
+    for j in range(R):
+        rem = np.nonzero(a_final < 0)[0]
+        if not len(rem):
+            break
+        cand = choice[rem, j].astype(np.int64)
+        ordj = np.argsort(cand, kind="stable")
+        cnt = np.bincount(cand[ordj], minlength=C)
+        startsj = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        posj = np.arange(len(cand), dtype=np.int64) - startsj[cand[ordj]]
+        slotj = sizes_fill[cand[ordj]] + posj
+        okj = slotj < M
+        rows = rem[ordj[okj]]
+        a_final[rows] = cand[ordj[okj]]
+        slot_final[rows] = slotj[okj]
+        sizes_fill = np.minimum(
+            sizes_fill + np.bincount(cand[ordj[okj]], minlength=C), M
+        )
+    return a_final, slot_final, sizes_fill
+
+
 @partial(jax.jit, donate_argnums=(0, 1, 2))
 def _fold_scatter(data, rsc, rid, codes, scales, dest, rid_new):
     """In-place (donated) scatter of spill rows into bucket slots: the
@@ -389,6 +432,15 @@ class IVFIndex:
                 jnp.take(scales, sel_dev),
                 spill_ids,
             )
+            # Overflow rows' FIRST-choice buckets are full by construction;
+            # the capacity-aware fold places them in their next-nearest
+            # cluster with free slots instead of leaving an O(corpus-scale)
+            # spill that every query must exact-scan (10M @ C=4096 spilled
+            # ~5% here, tripling per-query scan bytes).
+            folded = self.fold_spill()
+            logger.info("ivf device build: folded %d/%d overflow rows into "
+                        "alternate buckets (%d remain spilled)",
+                        folded, len(spill_rows), self.spill.count)
 
     def _rowids_host(self) -> np.ndarray | None:
         """Host rowid table; device-built indexes fetch + cache it on first
@@ -423,12 +475,23 @@ class IVFIndex:
         self.spill.add(vectors, ids)
         self._live.update(ids)
 
+    # How many nearest clusters a spill row may fold into. Choice 1 is the
+    # true assignment; when that bucket is full the row takes the nearest
+    # cluster WITH free slots among its top-FOLD_CHOICES — at nprobe >= 8
+    # a query near the row probes those clusters anyway, so recall impact
+    # is marginal, while the alternative (exact-scanning the spill forever)
+    # costs every future query O(spill) bandwidth. Bucket-overflow at
+    # build time is the big case: 10M @ C=4096 spilled ~5% of the corpus
+    # on cluster-size imbalance alone, tripling the per-query scan bytes.
+    FOLD_CHOICES = 8
+
     def fold_spill(self) -> int:
         """Stream spill rows into the EXISTING partitions in place: assign
-        on the current centroids, scatter into free bucket slots (donated
-        update — no second table, no retrain), leave rows whose bucket is
-        full in the spill. The IVF streaming-insert path: O(spill) work vs
-        rebuild()'s O(corpus), so the auto-maintenance cadence can be
+        on the current centroids (nearest cluster with free capacity among
+        each row's top-FOLD_CHOICES), scatter into free bucket slots
+        (donated update — no second table, no retrain), leave rows that fit
+        nowhere in the spill. The IVF streaming-insert path: O(spill) work
+        vs rebuild()'s O(corpus), so the auto-maintenance cadence can be
         aggressive. Returns rows folded. int8 + resident table only."""
         if (self.dtype != "int8" or self.data is None
                 or self.centroids is None or not self.spill.count):
@@ -452,21 +515,16 @@ class IVFIndex:
                          fill_value=0)
         scales = jnp.take(self.spill.scales, psel_d, mode="fill",
                           fill_value=0.0)
-        assign = kmeans_assign(
-            codes.astype(jnp.bfloat16) * scales[:, None].astype(jnp.bfloat16),
-            self.centroids,
-        )
-        a_h = np.asarray(assign)[:n]
-        sizes_h = np.asarray(self.sizes)
-        order = np.argsort(a_h, kind="stable")
-        counts = np.bincount(a_h[order], minlength=C)
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        pos = np.arange(n, dtype=np.int64) - starts[a_h[order]]
-        slot = sizes_h[a_h[order]] + pos
-        ok = slot < M
-        # destination per PADDED gather row (pads + full buckets -> OOB)
+        # Top-R candidate clusters per row (device matmul, tiny fetch),
+        # then the host-side greedy capacity fill.
+        choice = _topk_clusters(codes, scales, self.centroids, n,
+                                min(self.FOLD_CHOICES, C))
+        a_final, slot_final, sizes_fill = _capacity_fill(
+            choice, np.asarray(self.sizes), M)
+        ok = a_final >= 0
+        # destination per PADDED gather row (pads + unplaced rows -> OOB)
         dest = np.full((n_pad,), C * M, np.int64)
-        dest[order[ok]] = a_h[order[ok]] * M + slot[ok]
+        dest[np.nonzero(ok)[0]] = a_final[ok] * M + slot_final[ok]
         n_fold = int(ok.sum())
         if n_fold == 0:
             return 0
@@ -480,13 +538,10 @@ class IVFIndex:
             self.data, self.rscales, rid_dev, codes, scales,
             jnp.asarray(dest), jnp.asarray(rid_new))
         self.rowids = None  # host cache invalid
-        self.sizes = jnp.asarray(
-            np.minimum(sizes_h + np.bincount(
-                a_h[order[ok]], minlength=C), M).astype(np.int32))
+        self.sizes = jnp.asarray(sizes_fill.astype(np.int32))
         # ids: every gathered row gets a table entry; un-folded rows keep
         # id None there (their rowid never landed) and stay in the spill.
-        folded_mask = np.zeros((n,), bool)
-        folded_mask[order[ok]] = True
+        folded_mask = ok
         sids_sel = s_ids[ssel]
         new_ids = np.full((n,), None, dtype=object)
         new_ids[folded_mask] = sids_sel[folded_mask]

@@ -42,7 +42,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..log import get_logger
-from .ivf import kmeans_assign, kmeans_fit
+from .ivf import IVFIndex, _capacity_fill, _topk_clusters, kmeans_assign, kmeans_fit
 from .sharded import ShardedFlatIndex
 
 logger = get_logger(__name__)
@@ -360,9 +360,10 @@ class ShardedIVFIndex:
 
     def fold_spill(self) -> int:
         """Stream spill rows into the existing cluster shards in place
-        (assign on current centroids, one donated SPMD scatter — GSPMD
+        (assign on current centroids — nearest cluster with free capacity
+        among each row's top choices — one donated SPMD scatter; GSPMD
         routes rows to their owning shard): O(spill) maintenance vs
-        rebuild()'s O(corpus). Rows whose bucket is full stay spilled.
+        rebuild()'s O(corpus). Rows that fit nowhere stay spilled.
         Mirrors IVFIndex.fold_spill for the mesh tier."""
         if self.data is None or self.centroids is None or not self.spill.count:
             return 0
@@ -385,20 +386,16 @@ class ShardedIVFIndex:
                          fill_value=0)
         scales = jnp.take(self.spill.scales, psel_d, mode="fill",
                           fill_value=0.0)
-        assign = kmeans_assign(
-            codes.astype(jnp.bfloat16) * scales[:, None].astype(jnp.bfloat16),
-            self.centroids,
-        )
-        a_h = np.asarray(assign)[:n]
-        sizes_h = np.asarray(self.sizes)
-        order = np.argsort(a_h, kind="stable")
-        counts = np.bincount(a_h[order], minlength=C)
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        pos = np.arange(n, dtype=np.int64) - starts[a_h[order]]
-        slot = sizes_h[a_h[order]] + pos
-        ok = slot < M
+        # Capacity-aware assignment (shared with IVFIndex.fold_spill): a
+        # row whose nearest bucket is full takes its next-nearest cluster
+        # with free slots among its top-FOLD_CHOICES.
+        choice = _topk_clusters(codes, scales, self.centroids, n,
+                                min(IVFIndex.FOLD_CHOICES, C))
+        a_final, slot_final, sizes_fill = _capacity_fill(
+            choice, np.asarray(self.sizes), M)
+        ok = a_final >= 0
         dest = np.full((n_pad,), C * M, np.int64)
-        dest[order[ok]] = a_h[order[ok]] * M + slot[ok]
+        dest[np.nonzero(ok)[0]] = a_final[ok] * M + slot_final[ok]
         n_fold = int(ok.sum())
         if n_fold == 0:
             return 0
@@ -423,12 +420,9 @@ class ShardedIVFIndex:
             self.data, self.rscales, self._rowids_dev, codes, scales,
             jnp.asarray(dest), jnp.asarray(rid_new))
         self.rowids = None
-        self.sizes = jax.device_put(jnp.asarray(
-            np.minimum(sizes_h + np.bincount(
-                a_h[order[ok]], minlength=C), M).astype(np.int32)),
-            self._c1_sh)
-        folded_mask = np.zeros((n,), bool)
-        folded_mask[order[ok]] = True
+        self.sizes = jax.device_put(
+            jnp.asarray(sizes_fill.astype(np.int32)), self._c1_sh)
+        folded_mask = ok
         new_ids = np.full((n,), None, dtype=object)
         new_ids[folded_mask] = sids_sel[folded_mask]
         # Extend the ids-aligned host shadow from the spill's shadow (rows

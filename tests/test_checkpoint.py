@@ -371,6 +371,36 @@ class TestFoldSpill:
         for i in range(3):
             assert hits[i][0][0] == f"s{i}", hits[i]
 
+    def test_fold_uses_alternate_bucket_when_nearest_full(self, rng):
+        """Capacity-aware fold: a spill row whose nearest bucket is full
+        folds into its next-nearest cluster with free slots instead of
+        staying in the spill forever (the build-overflow shape: 10M @
+        C=4096 spilled ~5% of the corpus on cluster imbalance alone,
+        tripling per-query scan bytes)."""
+        d = 32
+        c0 = unit(rng, 1, d)[0]
+        c1 = -c0  # antipodal blobs: unambiguous nearest clusters
+
+        def blob(center, m):
+            v = center[None, :] + 0.2 * rng.standard_normal((m, d)).astype(np.float32)
+            return (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(np.float32)
+
+        db = np.concatenate([blob(c0, 512), blob(c1, 200)])
+        idx = IVFIndex(dim=d, n_clusters=2, nprobe=2, dtype="int8",
+                       use_fused=False, bucket_factor=1.0)
+        idx.build(db, [f"v{i}" for i in range(712)])
+        sizes = np.asarray(idx.sizes)
+        M = idx.data.shape[1]
+        assert sizes.max() == M, (sizes, M)  # the big blob's bucket is full
+        extra = blob(c0, 1)  # nearest cluster full -> must take 2nd choice
+        idx.add(extra, ["x0"])
+        assert idx.fold_spill() == 1
+        assert idx.spill.count == 0
+        sizes2 = np.asarray(idx.sizes)
+        assert sizes2[int(np.argmin(sizes))] == sizes.min() + 1
+        hits = idx.search(extra, 3)
+        assert hits[0][0][0] == "x0", hits[0]
+
     def test_fold_then_save_keeps_host_shadow(self, rng, tmp_path):
         # host-built index + host-added spill: the fold mirrors into the
         # host shadow, so save still moves zero device bytes and the
