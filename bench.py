@@ -439,10 +439,40 @@ def bench_e2e() -> dict:
         rt.search_batcher.search("bench", f"how do tpus find meaning {i}", K)
         lat.append(time.perf_counter() - t0)
     lat = np.sort(np.array(lat))
+
+    # -- concurrent front-end throughput: 8 API-like threads issuing
+    #    synchronous searches. They share one microbatched device dispatch
+    #    per window and hydrate over PER-THREAD sqlite connections
+    #    (round-2: the single-mutex control plane was the host-side
+    #    ceiling), so aggregate QPS should approach threads/RTT. ----------
+    import threading
+
+    n_threads, per = 8, 32
+    errs: list[BaseException] = []
+
+    def _client(t: int) -> None:
+        try:
+            for i in range(per):
+                rt.search_batcher.search("bench", f"client {t} query {i}", K)
+        except BaseException as exc:  # noqa: BLE001 — surfaced below
+            errs.append(exc)
+
+    wall = 0.0
+    for _round in range(2):  # round 1 warms the Q>1 batch buckets
+        threads = [threading.Thread(target=_client, args=(t,)) for t in range(n_threads)]
+        t0 = time.perf_counter()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        wall = time.perf_counter() - t0
+        if errs:
+            raise errs[0]
     return {
         "ingest_docs_per_s": n_docs / ingest_s,
         "query_p50_ms": float(lat[49] * 1e3),
         "query_p99_ms": float(lat[98] * 1e3),
+        "query_concurrent_qps": round(n_threads * per / wall, 1),
         "query_store_rows": store.count,
     }
 

@@ -37,24 +37,34 @@ def main(argv=None) -> int:
     parser.add_argument("--geometry", default="tinyllama-1.1b", choices=GEOMETRIES)
     parser.add_argument("--prompt-len", type=int, default=128)
     parser.add_argument("--max-new", type=int, default=128)
-    parser.add_argument("--param-dtype", default="bfloat16")
+    parser.add_argument("--param-dtype", default="bfloat16",
+                        choices=["float32", "bfloat16", "int8"])
     args = parser.parse_args(argv)
 
     import jax
+
+    # Persistent compile cache, TPU only (XLA:CPU AOT reloads can
+    # machine-feature mismatch — see CLAUDE.md): the generate() scan at
+    # 1B-class geometry costs minutes to compile through the tunnel cold.
+    if jax.default_backend() != "cpu":
+        import os
+
+        cache = os.environ.get("JAX_COMPILE_CACHE", "/root/.cache/jaxpc")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     import jax.numpy as jnp
     import numpy as np
 
     from ..llm.local.model import (
-        LlamaConfig, SamplerConfig, decode_chunk, generate, init_params, prefill,
+        LlamaConfig, SamplerConfig, convert_params, decode_chunk, generate,
+        init_params, prefill,
     )
 
     cfg = LlamaConfig(**GEOMETRIES[args.geometry])
-    params = init_params(cfg, seed=0)
-    if args.param_dtype != "float32":
-        dt = jnp.dtype(args.param_dtype)
-        params = jax.tree.map(
-            lambda a: a.astype(dt) if a.ndim >= 2 else a, params
-        )
+    params = convert_params(init_params(cfg, seed=0), args.param_dtype)
     params = jax.device_put(params)
     n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))
     sc = SamplerConfig()

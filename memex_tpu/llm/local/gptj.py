@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .model import _embed_lookup, _mm
+
 
 @dataclass(frozen=True)
 class GptJConfig:
@@ -187,14 +189,14 @@ def forward(cfg: GptJConfig, params: dict, tokens: jnp.ndarray,
     B, T = tokens.shape
     nh, hd, rd = cfg.num_heads, cfg.head_dim, cfg.rotary_dim
     prefill_local = T > 1
-    x = jnp.take(params["embed"], tokens, axis=0).astype(jnp.float32)  # residual stream f32
+    x = _embed_lookup(params["embed"], tokens)  # residual stream f32
 
     def layer(x, per):
         lp, ck_in, cv_in = per
         h = _layer_norm(x, lp["ln_scale"], lp["ln_bias"], cfg.ln_eps).astype(cdt)
-        q = (h @ lp["q"].astype(cdt)).reshape(B, T, nh, hd)
-        k = (h @ lp["k"].astype(cdt)).reshape(B, T, nh, hd)
-        v = (h @ lp["v"].astype(cdt)).reshape(B, T, nh, hd)
+        q = _mm(h, lp["q"], cdt).reshape(B, T, nh, hd)
+        k = _mm(h, lp["k"], cdt).reshape(B, T, nh, hd)
+        v = _mm(h, lp["v"], cdt).reshape(B, T, nh, hd)
         q = _rotary_every_two(q.astype(jnp.float32), positions, rd).astype(cdt)
         k = _rotary_every_two(k.astype(jnp.float32), positions, rd).astype(cdt)
 
@@ -219,13 +221,13 @@ def forward(cfg: GptJConfig, params: dict, tokens: jnp.ndarray,
         probs = jax.nn.softmax(scores, axis=-1).astype(cdt)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, vals_,
                          preferred_element_type=jnp.float32)
-        attn_out = ctx.reshape(B, T, nh * hd).astype(cdt) @ lp["o"].astype(cdt)
+        attn_out = _mm(ctx.reshape(B, T, nh * hd).astype(cdt), lp["o"], cdt)
 
         # parallel residual: mlp runs on the SAME ln output as attention
-        m = jax.nn.gelu((h @ lp["fc_in"].astype(cdt)
+        m = jax.nn.gelu((_mm(h, lp["fc_in"], cdt)
                          + lp["fc_in_b"].astype(cdt)).astype(jnp.float32),
                         approximate=True).astype(cdt)
-        mlp_out = m @ lp["fc_out"].astype(cdt) + lp["fc_out_b"].astype(cdt)
+        mlp_out = _mm(m, lp["fc_out"], cdt) + lp["fc_out_b"].astype(cdt)
         x = x + attn_out.astype(jnp.float32) + mlp_out.astype(jnp.float32)
         return x, (ck, cv)
 
@@ -233,5 +235,5 @@ def forward(cfg: GptJConfig, params: dict, tokens: jnp.ndarray,
         layer, x, (params["layers"], cache["k"], cache["v"])
     )
     x = _layer_norm(x, params["ln_f_scale"], params["ln_f_bias"], cfg.ln_eps)
-    logits = x.astype(cdt) @ params["lm_head"].astype(cdt) + params["lm_head_bias"]
+    logits = _mm(x.astype(cdt), params["lm_head"], cdt) + params["lm_head_bias"]
     return logits.astype(jnp.float32), {"k": new_k, "v": new_v}

@@ -161,6 +161,89 @@ def load_params(model_dir: str, cfg: LlamaConfig | None = None) -> tuple[LlamaCo
 
 
 # ---------------------------------------------------------------------------
+# weight storage dtypes. Single-token decode reads every weight once per
+# token, so tok/s is weight-HBM-bandwidth bound (measured at the f32 ceiling
+# on v5e): bf16 storage halves bytes/token, int8 halves again using
+# per-out-channel symmetric scales folded in AFTER each dot (same math as
+# dequantize-then-matmul, but the bf16 weight matrix is never materialized
+# in HBM — the int8->bf16 convert fuses into the matmul operand stream).
+# ---------------------------------------------------------------------------
+
+# Keys that are matmul weights (either family); everything else — norms,
+# biases — stays f32 (negligible bytes, and norm scales want full precision).
+_MATMUL_KEYS = frozenset(
+    {"q", "k", "v", "o", "gate", "up", "down",       # llama layers
+     "fc_in", "fc_out",                               # gptj layers
+     "lm_head"}
+)
+
+
+def _quant_cols(w):
+    """[..., in, out] weight -> int8 codes + per-out-channel f32 scales."""
+    a = jnp.max(jnp.abs(w), axis=-2)
+    s = jnp.maximum(a, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / s[..., None, :]), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s.astype(jnp.float32)}
+
+
+def convert_params(params: dict, dtype: str = "bfloat16") -> dict:
+    """Convert matmul weights to a serving storage dtype.
+
+    dtype: "float32" (no-op), "bfloat16" (default for serving), or "int8"
+    (per-out-channel symmetric; embed per-row). The forward pass accepts
+    any mix — quantized leaves are dicts {"q","s"} handled by _mm.
+    """
+    if dtype in ("float32", "f32"):
+        return params
+    if dtype in ("bfloat16", "bf16"):
+        def conv(path, a):
+            key = path[-1].key if path else ""
+            if key in _MATMUL_KEYS or key == "embed":
+                return a.astype(jnp.bfloat16)
+            return a
+
+        return jax.tree_util.tree_map_with_path(conv, params)
+    if dtype != "int8":
+        raise ValueError(f"unsupported param dtype {dtype!r}")
+    out = {}
+    for k, v in params.items():
+        if k == "layers":
+            out[k] = {
+                lk: (_quant_cols(lv) if lk in _MATMUL_KEYS else lv)
+                for lk, lv in v.items()
+            }
+        elif k in _MATMUL_KEYS:
+            out[k] = _quant_cols(v)
+        elif k == "embed":
+            a = jnp.max(jnp.abs(v), axis=-1)     # per-row: embed is a gather
+            s = jnp.maximum(a, 1e-8) / 127.0
+            out[k] = {
+                "q": jnp.clip(jnp.round(v / s[:, None]), -127, 127).astype(jnp.int8),
+                "s": s.astype(jnp.float32),
+            }
+        else:
+            out[k] = v
+    return out
+
+
+def _mm(h, w, cdt):
+    """h @ w for a plain array or an int8 dict {"q","s"}; scales applied
+    after the dot (per-out-channel), activations stay in cdt."""
+    if isinstance(w, dict):
+        y = h @ w["q"].astype(cdt)
+        return (y.astype(jnp.float32) * w["s"]).astype(cdt)
+    return h @ w.astype(cdt)
+
+
+def _embed_lookup(embed, tokens):
+    """Token embedding gather -> f32 residual stream, any storage dtype."""
+    if isinstance(embed, dict):
+        x = jnp.take(embed["q"], tokens, axis=0).astype(jnp.float32)
+        return x * jnp.take(embed["s"], tokens, axis=0)[..., None]
+    return jnp.take(embed, tokens, axis=0).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
@@ -204,7 +287,7 @@ def forward(cfg: LlamaConfig, params: dict, tokens: jnp.ndarray,
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     rep = nh // nkv
     prefill_local = T > 1
-    x = jnp.take(params["embed"], tokens, axis=0).astype(jnp.float32)  # residual stream f32
+    x = _embed_lookup(params["embed"], tokens)  # residual stream f32
 
     def layer(x, per):
         # One transformer block; scanned over the stacked layer axis so the
@@ -212,9 +295,9 @@ def forward(cfg: LlamaConfig, params: dict, tokens: jnp.ndarray,
         # version's per-op dispatch overhead dominated 1-token decode).
         lp, ck_in, cv_in = per  # weights for this layer; cache [B, C, nkv, hd]
         h = _rms_norm(x, lp["attn_norm"], cfg.rms_eps).astype(cdt)
-        q = (h @ lp["q"].astype(cdt)).reshape(B, T, nh, hd)
-        k = (h @ lp["k"].astype(cdt)).reshape(B, T, nkv, hd)
-        v = (h @ lp["v"].astype(cdt)).reshape(B, T, nkv, hd)
+        q = _mm(h, lp["q"], cdt).reshape(B, T, nh, hd)
+        k = _mm(h, lp["k"], cdt).reshape(B, T, nkv, hd)
+        v = _mm(h, lp["v"], cdt).reshape(B, T, nkv, hd)
         q = _rope(q.astype(jnp.float32), positions, cfg.rope_theta).astype(cdt)
         k = _rope(k.astype(jnp.float32), positions, cfg.rope_theta).astype(cdt)
 
@@ -250,13 +333,13 @@ def forward(cfg: LlamaConfig, params: dict, tokens: jnp.ndarray,
         probs = jax.nn.softmax(scores, axis=-1).astype(cdt)
         ctx = jnp.einsum("bgrqk,bkgd->bqgrd", probs, vals_,
                          preferred_element_type=jnp.float32)
-        attn_out = ctx.reshape(B, T, nh * hd).astype(cdt) @ lp["o"].astype(cdt)
+        attn_out = _mm(ctx.reshape(B, T, nh * hd).astype(cdt), lp["o"], cdt)
         x = x + attn_out.astype(jnp.float32)
 
         h = _rms_norm(x, lp["ffn_norm"], cfg.rms_eps).astype(cdt)
-        gate = jax.nn.silu((h @ lp["gate"].astype(cdt)).astype(jnp.float32)).astype(cdt)
-        up = h @ lp["up"].astype(cdt)
-        ffn = (gate * up) @ lp["down"].astype(cdt)
+        gate = jax.nn.silu(_mm(h, lp["gate"], cdt).astype(jnp.float32)).astype(cdt)
+        up = _mm(h, lp["up"], cdt)
+        ffn = _mm(gate * up, lp["down"], cdt)
         x = x + ffn.astype(jnp.float32)
         return x, (ck, cv)
 
@@ -264,7 +347,7 @@ def forward(cfg: LlamaConfig, params: dict, tokens: jnp.ndarray,
         layer, x, (params["layers"], cache["k"], cache["v"])
     )
     x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
-    logits = x.astype(cdt) @ params["lm_head"].astype(cdt)
+    logits = _mm(x.astype(cdt), params["lm_head"], cdt)
     return logits.astype(jnp.float32), {"k": new_k, "v": new_v}
 
 
@@ -299,11 +382,20 @@ def sample_token(logits: jnp.ndarray, recent: jnp.ndarray, key, sc: SamplerConfi
     if sc.temperature <= 0:
         return jnp.argmax(logits).astype(jnp.int32)
     logits = logits / sc.temperature
-    # top-k
-    if sc.top_k > 0 and sc.top_k < v:
-        kth = jax.lax.top_k(logits, sc.top_k)[0][-1]
-        logits = jnp.where(logits < kth, -1e30, logits)
-    # top-p (nucleus)
+    if 0 < sc.top_k < v:
+        # One top_k over the vocab; top-p then runs WITHIN the k candidates
+        # (exact chain parity — the reference applies top_k before top_p,
+        # schema.rs:36-82 — and the sort/cumsum shrinks from V to k, which
+        # was the decode step's hidden cost: a 32k-wide sort per token).
+        vals, idxs = jax.lax.top_k(logits, sc.top_k)   # vals sorted desc
+        if sc.top_p < 1.0:
+            probs = jax.nn.softmax(vals)
+            cum = jnp.cumsum(probs)
+            keep = (cum - probs) < sc.top_p            # first token always kept
+            vals = jnp.where(keep, vals, -1e30)
+        choice = jax.random.categorical(key, vals)
+        return idxs[choice].astype(jnp.int32)
+    # top_k disabled: full-vocab nucleus fallback
     if sc.top_p < 1.0:
         sorted_logits = jnp.sort(logits)[::-1]
         probs = jax.nn.softmax(sorted_logits)

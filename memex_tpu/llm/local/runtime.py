@@ -27,6 +27,7 @@ from ...text.segment import count_tokens
 from .model import (
     LlamaConfig,
     SamplerConfig,
+    convert_params,
     decode_chunk,
     generate,
     init_params,
@@ -112,7 +113,13 @@ class LocalLLM:
     def from_config(cls, toml_path: str) -> "LocalLLM":
         """TOML config (reference schema.rs:20-34 shape):
             [model]   path = "<hf dir>" | "tiny"   name = "..."
+                      param_dtype = "bfloat16" (default) | "float32" | "int8"
             [sampler] temperature / top_k / top_p / repetition_penalty
+
+        param_dtype is the WEIGHT STORAGE dtype: decode is weight-HBM-
+        bandwidth bound, so bf16 doubles tok/s over f32 and int8 doubles
+        it again (per-out-channel scales; ~GGML-q8 quality, the reference's
+        own local path runs 4-bit GGML, local/mod.rs).
         """
         with open(toml_path, "rb") as fh:
             cfg_data = tomllib.load(fh)
@@ -147,6 +154,7 @@ class LocalLLM:
             cfg, params = gptj_load(path)
         else:
             cfg, params = load_params(path)
+        params = convert_params(params, str(model.get("param_dtype", "bfloat16")))
         tokenizer = (
             HFTokenizer(path)
             if os.path.exists(os.path.join(path, "tokenizer.json"))
@@ -216,6 +224,7 @@ class LocalLLM:
             key, self.sampler,
         )
         out: list[int] = []
+        emitted = ""  # prefix of decode(out) already surfaced via on_token
         done = False
         while not done and len(out) < max_new:
             carry, toks, was_done = decode_chunk(
@@ -228,10 +237,23 @@ class LocalLLM:
                     done = True
                     break
                 out.append(int(t))
-                on_token(self.tokenizer.decode([int(t)]))
+                # Incremental detokenization: emit the DELTA of the full
+                # decode rather than decoding ids one at a time (per-id
+                # decode garbles multi-byte UTF-8 split across tokens and
+                # SentencePiece leading-space marks). A trailing
+                # replacement char means an incomplete byte sequence —
+                # hold it back until the next token completes it.
+                text = self.tokenizer.decode(out)
+                safe = text.rstrip("\ufffd")
+                if len(safe) > len(emitted):
+                    on_token(safe[len(emitted):])
+                    emitted = safe
                 if int(t) == eos:
                     done = True
                     break
+        final = self.tokenizer.decode(out)
+        if len(final) > len(emitted):  # flush a held-back invalid tail
+            on_token(final[len(emitted):])
         return out
 
     def segment_text(self, text: str) -> tuple[list[str], str]:
