@@ -253,6 +253,43 @@ def bench_scale_10m(rpc: float) -> dict:
         for i in range(Q)
     ]))
 
+    # --- int4 scan tier (ops/ivf_batch4.py): the probed-union read is the
+    # whole batch cost at Q=32 (HBM-bound), so packed-int4 buckets halve it;
+    # an int8 rerank of the candidate bank restores recall. Mirror = half
+    # the table (+2.8GB next to the 5.6GB table — fits; freed before the
+    # rebuild stage below, which needs the headroom).
+    from memex_tpu.ops.ivf_batch4 import ivf_batch_search4
+
+    t0 = time.perf_counter()
+    data4, rsc4 = ivf._int4_mirror()
+    jax.block_until_ready(data4)
+    pack4_s = time.perf_counter() - t0
+
+    def ivf_dev4(q):
+        return ivf_batch_search4(ivf.centroids, data4, rsc4, ivf.data,
+                                 ivf.rscales, ivf.sizes, jnp.asarray(q),
+                                 ivf.nprobe, K)
+
+    ivf4_rows = {}
+    for name, qset, qb in (("q32", qs32, Q), ("q128", qs128, 128)):
+        float(ivf_dev4(qset[0])[0][0, 0])  # compile
+        best = 1e9
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            outs = [ivf_dev4(q) for q in qset]
+            float(outs[-1][0][0, 0])
+            best = min(best, (time.perf_counter() - t0 - rpc) / len(qset))
+        ivf4_rows[name] = round(qb / best, 1)
+    ivf.scan_int4 = True
+    hits4 = ivf.search(np.asarray(qs32[0]), K)
+    rec4 = float(np.mean([
+        len({int(s) for s, _ in hits4[i]} & set(ei[i].tolist())) / K
+        for i in range(Q)
+    ]))
+    ivf.scan_int4 = False
+    del ivf_dev4, data4, rsc4
+    ivf._invalidate_int4()  # free 2.8GB before the rebuild stage
+
     # Maintenance at scale (round-1 VERDICT weak #1): streaming ingest then
     # an incremental checkpoint (spill segment only — the device-built base
     # is policy-skipped, SQL is the source of truth) and a full ON-DEVICE
@@ -282,6 +319,10 @@ def bench_scale_10m(rpc: float) -> dict:
         "ivf_p50_batch_ms": round(best32 * 1e3, 3),
         "ivf_p50_batch_ms_q128": ivf_rows["q128"]["p50_batch_ms"],
         "ivf_recall_at_10_vs_int8_exact": round(rec, 4),
+        "ivf_int4_pack_s": round(pack4_s, 2),
+        "ivf_int4_qps_q32": ivf4_rows["q32"],
+        "ivf_int4_qps_q128": ivf4_rows["q128"],
+        "ivf_int4_recall_at_10": round(rec4, 4),
         "ckpt_incremental_s": round(ckpt_s, 2),
         "rebuild_device_s": round(rebuild_s, 2),
         "spill_after_rebuild": spill_after,

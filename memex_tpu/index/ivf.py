@@ -230,8 +230,10 @@ class IVFIndex:
         seed: int = 0,
         dtype: str = "float32",
         use_fused: bool | None = None,
+        scan_int4: bool = False,
     ):
         assert dtype in ("float32", "bfloat16", "int8"), dtype
+        assert not (scan_int4 and dtype != "int8"), "int4 scan needs int8 storage"
         if use_fused is None:
             use_fused = jax.default_backend() == "tpu"
         self.use_fused = use_fused
@@ -260,10 +262,32 @@ class IVFIndex:
         self._host_data: np.ndarray | None = None  # packed-table shadow
         self._host_scales: np.ndarray | None = None
         self.needs_recovery = False  # set by load() when the base was skipped
+        # int4 scan tier (ops/ivf_batch4.py): a packed [C, D/2, M] mirror of
+        # the AUTHORITATIVE int8 table, rebuilt lazily after any table
+        # mutation. Costs half the table in extra HBM; halves scan bytes.
+        self.scan_int4 = scan_int4
+        self._data4 = None
+        self._rscales4 = None
+        self._interpret = False  # tests: run fused kernels in interpret mode
 
     @property
     def count(self) -> int:
         return len(self._live)
+
+    def _int4_mirror(self):
+        """Packed int4 mirror of the int8 cluster table, built lazily on
+        device (one donated buffer, blockwise — see pack_int4_buckets) and
+        invalidated by every table mutation. Never persisted: save/load
+        round-trips the int8 base and this re-packs on first search."""
+        if self._data4 is None:
+            from ..ops.ivf_batch4 import pack_int4_buckets
+
+            self._data4, self._rscales4 = pack_int4_buckets(
+                self.data, self.rscales)
+        return self._data4, self._rscales4
+
+    def _invalidate_int4(self) -> None:
+        self._data4 = self._rscales4 = None
 
     # -- build ---------------------------------------------------------------
 
@@ -397,6 +421,7 @@ class IVFIndex:
             return data, rsc, rid
 
         self.data, self.rscales, rid_cm = _pack_scatter(vecs_q, scales, dest, C, M)
+        self._invalidate_int4()
         self.sizes = jnp.minimum(counts, M).astype(jnp.int32)
         # The rowid table stays ON DEVICE: the tunnel's device->host fetch
         # path runs ~2 MB/s (measured: this 84MB int32 fetch alone was 44s
@@ -469,6 +494,7 @@ class IVFIndex:
             self.rscales = jnp.ones((C, M), jnp.float32)
             self._host_data = data.astype(np.float32)
             self._host_scales = None
+        self._invalidate_int4()
 
     def add(self, vectors: np.ndarray, ids: list[str]) -> None:
         """Streaming ingest: spill index, folded in at next rebuild()."""
@@ -538,6 +564,7 @@ class IVFIndex:
             self.data, self.rscales, rid_dev, codes, scales,
             jnp.asarray(dest), jnp.asarray(rid_new))
         self.rowids = None  # host cache invalid
+        self._invalidate_int4()
         self.sizes = jnp.asarray(sizes_fill.astype(np.int32))
         # ids: every gathered row gets a table entry; un-folded rows keep
         # id None there (their rowid never landed) and stay in the spill.
@@ -675,6 +702,7 @@ class IVFIndex:
         # the queued gather completes.)
         del flat_rows
         self.data = self.rscales = self.sizes = None
+        self._invalidate_int4()  # free the mirror's HBM before regathering
         self.rowids = None
         self._rowids_dev = None
         sids: list = []
@@ -739,12 +767,25 @@ class IVFIndex:
                             and vmem_need <= 12 * 2**20)
                 if batch_ok:
                     try:
-                        from ..ops.ivf_batch import ivf_batch_search
+                        if self.scan_int4:
+                            from ..ops.ivf_batch4 import ivf_batch_search4
 
-                        vals, cl, sl = ivf_batch_search(
-                            self.centroids, self.data, self.rscales, self.sizes,
-                            jnp.asarray(queries), self.nprobe, kk,
-                        )
+                            data4, rsc4 = self._int4_mirror()
+                            vals, cl, sl = ivf_batch_search4(
+                                self.centroids, data4, rsc4, self.data,
+                                self.rscales, self.sizes,
+                                jnp.asarray(queries), self.nprobe, kk,
+                                interpret=self._interpret,
+                            )
+                        else:
+                            from ..ops.ivf_batch import ivf_batch_search
+
+                            vals, cl, sl = ivf_batch_search(
+                                self.centroids, self.data, self.rscales,
+                                self.sizes, jnp.asarray(queries),
+                                self.nprobe, kk,
+                                interpret=self._interpret,
+                            )
                         fused_ok = True
                     except Exception:
                         logger.exception("batch IVF kernel failed; fallback")
@@ -754,6 +795,7 @@ class IVFIndex:
                         vals, cl, sl = _ivf_search_fused(
                             self.centroids, self.data, self.rscales, self.sizes,
                             jnp.asarray(queries), self.nprobe, kk,
+                            interpret=self._interpret,
                         )
                     except Exception:
                         logger.exception("fused IVF kernel failed; XLA fallback")
@@ -1048,3 +1090,4 @@ class IVFIndex:
         self.spill.delete_all()
         self._base_dirty = True
         self._host_data = self._host_scales = None
+        self._invalidate_int4()

@@ -1,0 +1,275 @@
+"""int4 scan tier for the batch-union IVF kernel (ops/ivf_batch.py).
+
+The 10M IVF scan is HBM-bound on the probed-cluster union read (~2 GB at
+nprobe=64); int8 bucket bytes are the entire batch cost. This tier keeps
+the index AUTHORITATIVE in int8 (all maintenance — fold, rebuild, save —
+stays on the int8 table) and mirrors a packed int4 copy used only by the
+scan: half the bytes, so the bandwidth-bound batch time roughly halves.
+Recall is restored by an int8 rerank of each query's candidate bank — the
+kernel already keeps S=512 per-lane maxima per query, and re-scoring the
+top candidates against the int8 table is a [Q, r, D] gather, microscopic
+next to the scan.
+
+Layout: data4 is [C, D/2, M] int8 — one byte holds dims (d, d+D/2) as
+(hi<<4)|(lo&0xF), transposed so chunk DMAs slice the LANE axis (M) exactly
+like rscales, and the in-kernel unpack feeds two [Q, D/2] x [D/2, S] bf16
+dots with NO query-side permute (q[:, :D/2] scores the hi nibbles,
+q[:, D/2:] the lo). Nibble sign-extension uses int32 shifts only — int8
+shifts crash Mosaic (see ops/fused_topk.py).
+
+Replaces hnsw_rs ef_search traversal (reference
+lib/libmemex/src/storage/local.rs:71-91) at the 10M+ tier, same as
+ops/ivf_batch.py; the int4 trick itself has no reference counterpart
+(hnsw_rs stores f32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ivf_batch import route_union
+
+NEG_INF = -1e30
+_LANES = 128
+
+
+# -- packing ----------------------------------------------------------------
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("c_blk",))
+def _pack_into(out4, codes_i8, c0, *, c_blk: int):
+    """Pack clusters [c0, c0+c_blk) of the int8 table into the DONATED
+    [C, D/2, M] mirror in place. int4 code = round(int8/16) via (x+8)>>4
+    (round-half-up; arithmetic shift floors negatives), clipped to [-8, 7].
+    c0 is a traced scalar — ONE compile for the whole sweep (static slice
+    offsets would recompile per block; dynamic_slice clamps the ragged
+    tail identically on read and write, so a short tail just re-packs a
+    few clusters)."""
+    C, M, D = codes_i8.shape
+    blk = jax.lax.dynamic_slice(codes_i8, (c0, 0, 0), (c_blk, M, D))
+    q4 = jnp.clip((blk.astype(jnp.int32) + 8) >> 4, -8, 7)
+    hi, lo = q4[..., : D // 2], q4[..., D // 2 :]
+    packed = ((hi << 4) | (lo & 0xF)).astype(jnp.int8)  # [c_blk, M, D/2]
+    return jax.lax.dynamic_update_slice(
+        out4, jnp.transpose(packed, (0, 2, 1)), (c0, 0, 0))
+
+
+def pack_int4_buckets(data_i8, rscales, c_blk: int = 64):
+    """Device-side int8 -> packed-int4 bucket mirror.
+
+    Returns (data4 [C, D/2, M] int8, rscales4 [C, M] f32 = rscales*16).
+    The mirror is written block-by-block into one donated buffer: peak
+    extra HBM is the mirror (half the table) + ~c_blk*M*D*8 bytes of int32
+    intermediates, never a second full copy (a jnp.concatenate of blocks
+    would hold blocks + result simultaneously — OOM next to a 10M table)."""
+    C, M, D = data_i8.shape
+    assert D % 2 == 0
+    c_blk = min(c_blk, C)
+    out4 = jnp.zeros((C, D // 2, M), jnp.int8)
+    for c0 in range(0, C, c_blk):
+        out4 = _pack_into(out4, data_i8, jnp.int32(min(c0, C - c_blk)),
+                          c_blk=c_blk)
+    return out4, rscales * 16.0
+
+
+# -- kernel -------------------------------------------------------------------
+
+
+def _kernel4(clist_ref, nact_ref, nchunk_ref, sizes_ref, q_ref, db_hbm,
+             rs_hbm, out_v_ref, out_i_ref, buf, rsbuf, acc_v, acc_i,
+             db_sems, rs_sems, *, M: int, banks: int):
+    """ops/ivf_batch.py::_kernel with int4-packed [D/2, S] chunks: DMA half
+    the bytes, unpack nibbles with int32 shifts, score as two bf16 dots."""
+    S = banks * _LANES
+    Q = q_ref.shape[0]
+    D2 = db_hbm.shape[1]
+    n_active = nact_ref[0]
+    n_chunks = nchunk_ref[0]
+
+    def chunks_of(p):
+        csize = sizes_ref[clist_ref[p]]
+        return jnp.maximum(1, (csize + S - 1) // S)
+
+    def db_dma(slot, p, j):
+        cid = clist_ref[p]
+        return pltpu.make_async_copy(
+            db_hbm.at[cid, :, pl.ds(j * S, S)], buf.at[slot], db_sems.at[slot])
+
+    def rs_dma(slot, p, j):
+        cid = clist_ref[p]
+        return pltpu.make_async_copy(
+            rs_hbm.at[cid, :, pl.ds(j * S, S)], rsbuf.at[slot],
+            rs_sems.at[slot])
+
+    @pl.when(n_active > 0)
+    def _start():
+        db_dma(0, 0, 0).start()
+        rs_dma(0, 0, 0).start()
+
+    acc_v[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
+    acc_i[:] = jnp.zeros((Q, S), jnp.int32)
+
+    def body(t, carry):
+        p, j = carry
+        slot = jax.lax.rem(t, 2)
+        nxt = jax.lax.rem(t + 1, 2)
+        last_chunk = j + 1 >= chunks_of(p)
+        pn = jnp.where(last_chunk, p + 1, p)
+        jn = jnp.where(last_chunk, 0, j + 1)
+
+        @pl.when(t + 1 < n_chunks)
+        def _prefetch():
+            db_dma(nxt, pn, jn).start()
+            rs_dma(nxt, pn, jn).start()
+
+        db_dma(slot, p, j).wait()
+        rs_dma(slot, p, j).wait()
+
+        cid = clist_ref[p]
+        csize = sizes_ref[cid]
+        b = buf[slot].astype(jnp.int32)             # [D2, S]
+        hi = (b >> 4).astype(jnp.bfloat16)
+        lo = ((b << 28) >> 28).astype(jnp.bfloat16)
+        dn = (((1,), (0,)), ((), ()))
+        scores = (
+            jax.lax.dot_general(q_ref[:, :D2], hi, dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(q_ref[:, D2:], lo, dimension_numbers=dn,
+                                  preferred_element_type=jnp.float32)
+        ) * rsbuf[slot]
+        base = j * S
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        scores = jnp.where(col + base < csize, scores, NEG_INF)
+
+        take = scores > acc_v[:]
+        acc_v[:] = jnp.where(take, scores, acc_v[:])
+        acc_i[:] = jnp.where(take, cid * M + base + col, acc_i[:])
+        return (pn, jn)
+
+    jax.lax.fori_loop(0, n_chunks, body, (jnp.int32(0), jnp.int32(0)))
+    out_v_ref[:] = acc_v[:]
+    out_i_ref[:] = acc_i[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "banks", "interpret"))
+def ivf_batch_topk4(data4, rscales4, sizes, cluster_list, n_active, queries,
+                    k: int, *, banks: int = 4, interpret: bool = False):
+    """(data4 [C, D/2, M] packed int4, rscales4 [C, M] f32 (int8 scale x16),
+    sizes [C] int32, cluster_list [C] int32 actives-first, n_active [1],
+    queries [Q, D] f32) -> (vals [Q, k], cluster [Q, k], slot [Q, k])."""
+    C, D2, M = data4.shape
+    Q = queries.shape[0]
+    S = banks * _LANES
+    assert M % S == 0, f"cluster bucket M={M} must be a multiple of {S}"
+
+    q_pad = max(8, -(-Q // 8) * 8)
+    if q_pad != Q:
+        queries = jnp.pad(queries, ((0, q_pad - Q), (0, 0)))
+    q16 = queries.astype(jnp.bfloat16)
+    rscales3 = rscales4.reshape(C, 1, M)
+
+    sizes32 = sizes.astype(jnp.int32)
+    chunks_per = jnp.maximum(1, (sizes32 + S - 1) // S)
+    n_chunks = jnp.sum(
+        jnp.where(jnp.arange(C) < n_active.astype(jnp.int32)[0],
+                  jnp.take(chunks_per, cluster_list.astype(jnp.int32)), 0)
+    ).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # cluster_list, n_active, n_chunks, sizes
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((q_pad, 2 * D2), lambda i, cl, na, nc, sz: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # data4 stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # rscales stay in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((q_pad, S), lambda i, cl, na, nc, sz: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, S), lambda i, cl, na, nc, sz: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, D2, S), jnp.int8),       # double-buffered chunk
+            pltpu.VMEM((2, 1, S), jnp.float32),     # double-buffered scales
+            pltpu.VMEM((q_pad, S), jnp.float32),
+            pltpu.VMEM((q_pad, S), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_kernel4, M=M, banks=banks)
+    cand_v, cand_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((q_pad, S), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, S), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * q_pad * C * M * D2,
+            bytes_accessed=C * M * (D2 + 4),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(cluster_list.astype(jnp.int32), n_active.astype(jnp.int32),
+      n_chunks.astype(jnp.int32), sizes32, q16, data4, rscales3)
+
+    vals, args = jax.lax.top_k(cand_v[:Q], k)
+    idx = jnp.take_along_axis(cand_i[:Q], args, axis=1)
+    return vals, idx // M, idx % M
+
+
+# -- int8 rerank of the int4 candidate bank -----------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def rerank_int8(data, rscales, queries, vals4, cl, sl, k: int):
+    """Re-score int4-scan candidates against the AUTHORITATIVE int8 table
+    and take the exact top-k of the re-scored set. (data [C, M, D] int8,
+    rscales [C, M] f32, queries [Q, D] f32, vals4/cl/sl [Q, r]) ->
+    (vals [Q, k], cluster [Q, k], slot [Q, k]). Candidates the int4 pass
+    masked out (NEG_INF) stay masked."""
+    C, M, D = data.shape
+    flat = (cl * M + sl).astype(jnp.int32)          # [Q, r]
+    rows = jnp.take(data.reshape(C * M, D), flat.reshape(-1), axis=0)
+    rows = rows.reshape(*flat.shape, D)             # [Q, r, D] int8
+    sc = jnp.einsum(
+        "qrd,qd->qr",
+        rows.astype(jnp.bfloat16),
+        queries.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) * jnp.take(rscales.reshape(-1), flat)
+    sc = jnp.where(vals4 <= NEG_INF / 2, NEG_INF, sc)
+    vals, args = jax.lax.top_k(sc, k)
+    return (vals, jnp.take_along_axis(cl, args, axis=1),
+            jnp.take_along_axis(sl, args, axis=1))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nprobe", "k", "rerank", "banks",
+                                    "interpret"))
+def ivf_batch_search4(centroids, data4, rscales4, data, rscales, sizes,
+                      queries, nprobe: int, k: int, rerank: int | None = None,
+                      banks: int = 4, interpret: bool = False):
+    """Routing + dedupe + int4 batch-union scan + int8 rerank in one jit.
+
+    By default the ENTIRE candidate bank (S = banks*128 per-lane maxima) is
+    re-scored against the int8 table — a [Q, S, D] int8 gather + batched
+    matvec, microscopic next to the scan — so the int4 pass only has to get
+    bank MEMBERSHIP right, not ranking (measured on near-tie corpora:
+    top-10 overlap vs the int8 kernel 0.95 full-bank vs 0.77 at r=64).
+    Pass `rerank` to narrow the re-scored set to min(max(rerank*k, 64), S)."""
+    S = banks * _LANES
+    clist, nact = route_union(centroids, queries, nprobe)
+    r = S if rerank is None else min(max(rerank * k, 64), S)
+    v4, cl, sl = ivf_batch_topk4(data4, rscales4, sizes, clist, nact,
+                                 queries, r, banks=banks, interpret=interpret)
+    return rerank_int8(data, rscales, queries, v4, cl, sl, k)
