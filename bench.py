@@ -206,15 +206,17 @@ def bench_scale_10m(rpc: float) -> dict:
 
     # --- IVF: device build + probe scan ------------------------------------
     t0 = time.perf_counter()
-    # bucket_factor 1.4 -> M=3584: the chunked batch kernel reads only
-    # ceil(live/512) chunks per bucket, so padding no longer costs scan
-    # bandwidth — the factor is sized for (a) small spill (1.2 spilled 1M
-    # rows) and (b) rebuild HBM headroom (table 5.6GB + compacted corpus
-    # 4GB; the 6.4GB table at factor 1.6 OOMed ~10.5GB working sets on
-    # this chip). Overflow rows go to the spill flat index
-    # DEVICE-TO-DEVICE (add_quantized) and are scanned exactly.
+    # bucket_factor 1.2 -> M=3072 (1024-aligned: the batch kernel runs
+    # S=1024 chunks, banks=8 — halved chunk count measured +15%/+28% QPS
+    # at Q=32/Q=128 vs S=512). The chunked kernel reads only
+    # ceil(live/1024) chunks per bucket, so padding costs no scan
+    # bandwidth; the factor is sized for (a) small spill (capacity-aware
+    # fold absorbed all but 186 of 10M rows at this M) and (b) rebuild HBM
+    # headroom (table 4.8GB + compacted corpus 4GB; a 6.4GB table OOMed
+    # ~10.5GB working sets on this chip). Overflow rows go to the spill
+    # flat index DEVICE-TO-DEVICE (add_quantized) and are scanned exactly.
     ivf = IVFIndex(dim=D, n_clusters=4096, nprobe=64, dtype="int8",
-                   bucket_factor=1.4)
+                   bucket_factor=1.2)
     ivf.build_device(vecs, scales, list(range(N10)))
     build_s = time.perf_counter() - t0
     del vecs, scales
@@ -229,7 +231,8 @@ def bench_scale_10m(rpc: float) -> dict:
 
     def ivf_dev(q):
         return ivf_batch_search(ivf.centroids, ivf.data, ivf.rscales,
-                                ivf.sizes, jnp.asarray(q), ivf.nprobe, K)
+                                ivf.sizes, jnp.asarray(q), ivf.nprobe, K,
+                                banks=ivf._batch_banks())
 
     ivf_rows = {}
     best32 = 1e9
@@ -268,7 +271,7 @@ def bench_scale_10m(rpc: float) -> dict:
     def ivf_dev4(q):
         return ivf_batch_search4(ivf.centroids, data4, rsc4, ivf.data,
                                  ivf.rscales, ivf.sizes, jnp.asarray(q),
-                                 ivf.nprobe, K)
+                                 ivf.nprobe, K, banks=ivf._batch_banks())
 
     ivf4_rows = {}
     for name, qset, qb in (("q32", qs32, Q), ("q128", qs128, 128)):

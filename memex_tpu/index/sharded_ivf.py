@@ -79,7 +79,7 @@ def make_ivf_search_fn(mesh: Mesh, axis: str, Cp: int, M: int, nprobe: int,
             nact = jnp.sum(mask).reshape(1)
             vals, cl, sl = ivf_batch_topk(
                 data, rscales, sizes, order, nact, queries, kk,
-                interpret=interpret)
+                banks=8 if M % 1024 == 0 else 4, interpret=interpret)
         else:
             # Dense masked union scan (CPU/test path): same batch-union
             # semantics, O(shard) compute.
@@ -263,7 +263,7 @@ class ShardedIVFIndex:
         counts = jnp.zeros((self.C,), jnp.int32).at[assign].add(1, mode="drop")
         counts_h = np.asarray(counts)
         M = int(max(8, self.bucket_factor * max(1, counts_h.mean())))
-        M = -(-M // 512) * 512  # fused-kernel slot alignment
+        M = -(-M // 1024) * 1024  # 1024: batch kernel runs S=1024 chunks
         C = self.C
 
         order = jnp.argsort(assign)
@@ -694,7 +694,7 @@ class ShardedIVFIndex:
         counts_h = np.asarray(counts)
         M = int(max(8, self.bucket_factor * max(1, counts_h.mean())))
         M = max(M, int(counts_h.max()))
-        M = -(-M // 512) * 512
+        M = -(-M // 1024) * 1024
         C = self.C
         order = jnp.argsort(assign)
         sorted_assign = jnp.take(assign, order)

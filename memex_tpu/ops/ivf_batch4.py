@@ -4,18 +4,32 @@ The 10M IVF scan is HBM-bound on the probed-cluster union read (~2 GB at
 nprobe=64); int8 bucket bytes are the entire batch cost. This tier keeps
 the index AUTHORITATIVE in int8 (all maintenance — fold, rebuild, save —
 stays on the int8 table) and mirrors a packed int4 copy used only by the
-scan: half the bytes, so the bandwidth-bound batch time roughly halves.
-Recall is restored by an int8 rerank of each query's candidate bank — the
-kernel already keeps S=512 per-lane maxima per query, and re-scoring the
-top candidates against the int8 table is a [Q, r, D] gather, microscopic
-next to the scan.
+scan: half the bytes. Recall is restored by an int8 rerank of each query's
+candidate bank — the kernel keeps S=512 per-lane maxima per query, and
+re-scoring the whole bank against the int8 table is a [Q, S, D] gather,
+microscopic next to the scan.
 
-Layout: data4 is [C, D/2, M] int8 — one byte holds dims (d, d+D/2) as
-(hi<<4)|(lo&0xF), transposed so chunk DMAs slice the LANE axis (M) exactly
-like rscales, and the in-kernel unpack feeds two [Q, D/2] x [D/2, S] bf16
-dots with NO query-side permute (q[:, :D/2] scores the hi nibbles,
-q[:, D/2:] the lo). Nibble sign-extension uses int32 shifts only — int8
-shifts crash Mosaic (see ops/fused_topk.py).
+Layout — ROW-PAIR packing, chunk-folded: data4 is [C, M/2, D] int8 where
+byte (c, j*S2 + off, d) holds dim d of bucket rows j*S + off (hi nibble)
+and j*S + S2 + off (lo nibble), S = chunk rows (banks*128), S2 = S/2 —
+i.e. each S-row scan chunk is folded in half onto itself. Properties:
+
+- chunk DMAs are CONTIGUOUS [S2, D] slices (a dim-pair layout [C, D/2, M]
+  was tried first: its [D/2, S] slices are 512-byte strided runs that
+  halve effective HBM bandwidth, and the 10M scan timed NO faster than
+  int8 despite half the bytes);
+- the byte is LINEAR, b = 16*hi + lo with both nibbles clipped to [-7, 7]
+  (|b| <= 119 fits int8), so b is a valid MXU operand as-is and scoring
+  needs ONE nibble extraction (the naive two-nibble unpack costs ~8 VPU
+  ops/byte — more VPU than the chip has at HBM rate):
+      even half  se = q . hi,        hi = (b+8)>>4
+      odd half   so = q . b - 16*se
+- score column ordering matches the int8 kernel exactly: column col of the
+  [Q, S] chunk scores IS bucket row j*S + col (cols < S2 from se, the rest
+  from so), so rscales slices and slot indices are unchanged.
+
+Nibble extraction uses int32 shifts only — int8-dtype shifts crash Mosaic
+(see ops/fused_topk.py).
 
 Replaces hnsw_rs ef_search traversal (reference
 lib/libmemex/src/storage/local.rs:71-91) at the 10M+ tier, same as
@@ -41,39 +55,45 @@ _LANES = 128
 # -- packing ----------------------------------------------------------------
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("c_blk",))
-def _pack_into(out4, codes_i8, c0, *, c_blk: int):
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("c_blk", "s_chunk"))
+def _pack_into(out4, codes_i8, c0, *, c_blk: int, s_chunk: int):
     """Pack clusters [c0, c0+c_blk) of the int8 table into the DONATED
-    [C, D/2, M] mirror in place. int4 code = round(int8/16) via (x+8)>>4
-    (round-half-up; arithmetic shift floors negatives), clipped to [-8, 7].
-    c0 is a traced scalar — ONE compile for the whole sweep (static slice
+    [C, M/2, D] mirror in place. int4 code = round(int8/16) via (x+8)>>4
+    (round-half-up; arithmetic shift floors negatives), clipped to [-7, 7]
+    so the linear byte 16*hi + lo stays in int8 range. Each s_chunk-row
+    chunk is folded in half: rows [0, S2) are hi nibbles, [S2, S) lo. c0
+    is a traced scalar — ONE compile for the whole sweep (static slice
     offsets would recompile per block; dynamic_slice clamps the ragged
     tail identically on read and write, so a short tail just re-packs a
     few clusters)."""
     C, M, D = codes_i8.shape
+    S, S2 = s_chunk, s_chunk // 2
     blk = jax.lax.dynamic_slice(codes_i8, (c0, 0, 0), (c_blk, M, D))
-    q4 = jnp.clip((blk.astype(jnp.int32) + 8) >> 4, -8, 7)
-    hi, lo = q4[..., : D // 2], q4[..., D // 2 :]
-    packed = ((hi << 4) | (lo & 0xF)).astype(jnp.int8)  # [c_blk, M, D/2]
+    q4 = jnp.clip((blk.astype(jnp.int32) + 8) >> 4, -7, 7)
+    q4 = q4.reshape(c_blk, M // S, S, D)
+    packed = (16 * q4[:, :, :S2] + q4[:, :, S2:]).astype(jnp.int8)
     return jax.lax.dynamic_update_slice(
-        out4, jnp.transpose(packed, (0, 2, 1)), (c0, 0, 0))
+        out4, packed.reshape(c_blk, M // 2, D), (c0, 0, 0))
 
 
-def pack_int4_buckets(data_i8, rscales, c_blk: int = 64):
+def pack_int4_buckets(data_i8, rscales, c_blk: int = 64, banks: int = 4):
     """Device-side int8 -> packed-int4 bucket mirror.
 
-    Returns (data4 [C, D/2, M] int8, rscales4 [C, M] f32 = rscales*16).
-    The mirror is written block-by-block into one donated buffer: peak
-    extra HBM is the mirror (half the table) + ~c_blk*M*D*8 bytes of int32
-    intermediates, never a second full copy (a jnp.concatenate of blocks
-    would hold blocks + result simultaneously — OOM next to a 10M table)."""
+    Returns (data4 [C, M/2, D] int8 row-pair packed, rscales4 [C, M] f32 =
+    rscales*16). The mirror is written block-by-block into one donated
+    buffer: peak extra HBM is the mirror (half the table) + ~c_blk*M*D*4
+    bytes of int32 intermediates, never a second full copy (a
+    jnp.concatenate of blocks would hold blocks + result simultaneously —
+    OOM next to a 10M table)."""
     C, M, D = data_i8.shape
-    assert D % 2 == 0
+    S = banks * _LANES
+    assert M % S == 0, f"bucket M={M} must be a multiple of chunk {S}"
     c_blk = min(c_blk, C)
-    out4 = jnp.zeros((C, D // 2, M), jnp.int8)
+    out4 = jnp.zeros((C, M // 2, D), jnp.int8)
     for c0 in range(0, C, c_blk):
         out4 = _pack_into(out4, data_i8, jnp.int32(min(c0, C - c_blk)),
-                          c_blk=c_blk)
+                          c_blk=c_blk, s_chunk=S)
     return out4, rscales * 16.0
 
 
@@ -83,11 +103,13 @@ def pack_int4_buckets(data_i8, rscales, c_blk: int = 64):
 def _kernel4(clist_ref, nact_ref, nchunk_ref, sizes_ref, q_ref, db_hbm,
              rs_hbm, out_v_ref, out_i_ref, buf, rsbuf, acc_v, acc_i,
              db_sems, rs_sems, *, M: int, banks: int):
-    """ops/ivf_batch.py::_kernel with int4-packed [D/2, S] chunks: DMA half
-    the bytes, unpack nibbles with int32 shifts, score as two bf16 dots."""
+    """ops/ivf_batch.py::_kernel with row-pair-packed int4 chunks: DMA a
+    contiguous [S/2, D] slice (half the int8 bytes), extract ONE nibble,
+    score both row halves via the deferred identity. Column ordering and
+    rscales handling are identical to the int8 kernel."""
     S = banks * _LANES
+    S2 = S // 2
     Q = q_ref.shape[0]
-    D2 = db_hbm.shape[1]
     n_active = nact_ref[0]
     n_chunks = nchunk_ref[0]
 
@@ -98,7 +120,7 @@ def _kernel4(clist_ref, nact_ref, nchunk_ref, sizes_ref, q_ref, db_hbm,
     def db_dma(slot, p, j):
         cid = clist_ref[p]
         return pltpu.make_async_copy(
-            db_hbm.at[cid, :, pl.ds(j * S, S)], buf.at[slot], db_sems.at[slot])
+            db_hbm.at[cid, pl.ds(j * S2, S2)], buf.at[slot], db_sems.at[slot])
 
     def rs_dma(slot, p, j):
         cid = clist_ref[p]
@@ -132,16 +154,18 @@ def _kernel4(clist_ref, nact_ref, nchunk_ref, sizes_ref, q_ref, db_hbm,
 
         cid = clist_ref[p]
         csize = sizes_ref[cid]
-        b = buf[slot].astype(jnp.int32)             # [D2, S]
-        hi = (b >> 4).astype(jnp.bfloat16)
-        lo = ((b << 28) >> 28).astype(jnp.bfloat16)
-        dn = (((1,), (0,)), ((), ()))
-        scores = (
-            jax.lax.dot_general(q_ref[:, :D2], hi, dimension_numbers=dn,
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(q_ref[:, D2:], lo, dimension_numbers=dn,
-                                  preferred_element_type=jnp.float32)
-        ) * rsbuf[slot]
+        braw = buf[slot]                            # [S2, D] int8, linear
+        hi = ((braw.astype(jnp.int32) + 8) >> 4).astype(jnp.bfloat16)
+        dn = (((1,), (1,)), ((), ()))
+        se = jax.lax.dot_general(q_ref[:], hi, dimension_numbers=dn,
+                                 preferred_element_type=jnp.float32)
+        sraw = jax.lax.dot_general(q_ref[:], braw.astype(jnp.bfloat16),
+                                   dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32)
+        # [Q, S]: cols [0, S2) score rows j*S+col, cols [S2, S) rows
+        # j*S+col — same ordering as the int8 kernel's chunk.
+        scores = jnp.concatenate([se, sraw - 16.0 * se], axis=1)
+        scores = scores * rsbuf[slot]
         base = j * S
         col = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
         scores = jnp.where(col + base < csize, scores, NEG_INF)
@@ -159,10 +183,12 @@ def _kernel4(clist_ref, nact_ref, nchunk_ref, sizes_ref, q_ref, db_hbm,
 @functools.partial(jax.jit, static_argnames=("k", "banks", "interpret"))
 def ivf_batch_topk4(data4, rscales4, sizes, cluster_list, n_active, queries,
                     k: int, *, banks: int = 4, interpret: bool = False):
-    """(data4 [C, D/2, M] packed int4, rscales4 [C, M] f32 (int8 scale x16),
-    sizes [C] int32, cluster_list [C] int32 actives-first, n_active [1],
-    queries [Q, D] f32) -> (vals [Q, k], cluster [Q, k], slot [Q, k])."""
-    C, D2, M = data4.shape
+    """(data4 [C, M/2, D] row-pair packed int4, rscales4 [C, M] f32 (int8
+    scale x16), sizes [C] int32, cluster_list [C] int32 actives-first,
+    n_active [1], queries [Q, D] f32) -> (vals [Q, k], cluster [Q, k],
+    slot [Q, k])."""
+    C, M2, D = data4.shape
+    M = 2 * M2
     Q = queries.shape[0]
     S = banks * _LANES
     assert M % S == 0, f"cluster bucket M={M} must be a multiple of {S}"
@@ -184,7 +210,7 @@ def ivf_batch_topk4(data4, rscales4, sizes, cluster_list, n_active, queries,
         num_scalar_prefetch=4,  # cluster_list, n_active, n_chunks, sizes
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((q_pad, 2 * D2), lambda i, cl, na, nc, sz: (0, 0),
+            pl.BlockSpec((q_pad, D), lambda i, cl, na, nc, sz: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # data4 stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # rscales stay in HBM
@@ -196,7 +222,7 @@ def ivf_batch_topk4(data4, rscales4, sizes, cluster_list, n_active, queries,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, D2, S), jnp.int8),       # double-buffered chunk
+            pltpu.VMEM((2, S // 2, D), jnp.int8),   # double-buffered chunk
             pltpu.VMEM((2, 1, S), jnp.float32),     # double-buffered scales
             pltpu.VMEM((q_pad, S), jnp.float32),
             pltpu.VMEM((q_pad, S), jnp.int32),
@@ -213,8 +239,8 @@ def ivf_batch_topk4(data4, rscales4, sizes, cluster_list, n_active, queries,
             jax.ShapeDtypeStruct((q_pad, S), jnp.int32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * q_pad * C * M * D2,
-            bytes_accessed=C * M * (D2 + 4),
+            flops=2 * q_pad * C * M * D,
+            bytes_accessed=C * M * (D // 2 + 4),
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),

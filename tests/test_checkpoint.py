@@ -354,19 +354,19 @@ class TestFoldSpill:
     def test_fold_leaves_overflow_in_spill(self, rng):
         # Tiny buckets: M fills fast, overflow must stay spilled and
         # remain searchable.
-        # M rounds up to the 512 slot alignment, so total capacity is
-        # C*512 = 2048; adding past that must leave rows spilled.
+        # M rounds up to the 1024 chunk alignment, so total capacity is
+        # C*1024 = 4096; adding past that must leave rows spilled.
         n, d = 512, 32
         db = unit(rng, n, d)
         idx = IVFIndex(dim=d, n_clusters=4, nprobe=4, dtype="int8",
                        use_fused=False, bucket_factor=1.0)
         idx.build(db, [f"v{i}" for i in range(n)])
-        extra = unit(rng, 1700, d)
-        idx.add(extra, [f"s{i}" for i in range(1700)])
+        extra = unit(rng, 3700, d)
+        idx.add(extra, [f"s{i}" for i in range(3700)])
         folded = idx.fold_spill()
         left = idx.spill.count
-        assert folded + left == 1700 and left > 0  # buckets saturated
-        assert idx.count == n + 1700
+        assert folded + left == 3700 and left > 0  # buckets saturated
+        assert idx.count == n + 3700
         hits = idx.search(extra[:3], 3)
         for i in range(3):
             assert hits[i][0][0] == f"s{i}", hits[i]
@@ -385,10 +385,10 @@ class TestFoldSpill:
             v = center[None, :] + 0.2 * rng.standard_normal((m, d)).astype(np.float32)
             return (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(np.float32)
 
-        db = np.concatenate([blob(c0, 512), blob(c1, 200)])
+        db = np.concatenate([blob(c0, 1024), blob(c1, 300)])
         idx = IVFIndex(dim=d, n_clusters=2, nprobe=2, dtype="int8",
                        use_fused=False, bucket_factor=1.0)
-        idx.build(db, [f"v{i}" for i in range(712)])
+        idx.build(db, [f"v{i}" for i in range(1324)])
         sizes = np.asarray(idx.sizes)
         M = idx.data.shape[1]
         assert sizes.max() == M, (sizes, M)  # the big blob's bucket is full

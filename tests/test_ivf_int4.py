@@ -24,7 +24,13 @@ def rng():
 
 
 def _np_int4(codes_i8):
-    return np.clip((codes_i8.astype(np.int64) + 8) >> 4, -8, 7)
+    return np.clip((codes_i8.astype(np.int64) + 8) >> 4, -7, 7)
+
+
+def _np_unpack(b):
+    """Decode the linear byte b = 16*hi + lo (both nibbles in [-7, 7])."""
+    t = b.astype(np.int64) + 8
+    return t >> 4, (t & 15) - 8
 
 
 def _ivf_index(rng, n=4096, d=64, C=16):
@@ -43,34 +49,40 @@ def _ivf_index(rng, n=4096, d=64, C=16):
 
 class TestPack:
     def test_pack_roundtrip(self, rng):
+        """Row-pair chunk-fold layout: byte (c, j*S2+off, d) packs rows
+        j*S+off (hi) and j*S+S2+off (lo) of the bucket."""
         from memex_tpu.ops.ivf_batch4 import pack_int4_buckets
 
-        C, M, D = 4, 16, 32
+        C, M, D, S = 3, 1024, 8, 512
+        S2 = S // 2
         codes = rng.integers(-127, 128, (C, M, D)).astype(np.int8)
         rsc = rng.random((C, M), dtype=np.float32)
         data4, rsc4 = pack_int4_buckets(jnp.asarray(codes), jnp.asarray(rsc),
-                                        c_blk=3)  # force the multi-block path
+                                        c_blk=2)  # force the multi-block path
         data4, rsc4 = np.asarray(data4), np.asarray(rsc4)
-        assert data4.shape == (C, D // 2, M) and data4.dtype == np.int8
+        assert data4.shape == (C, M // 2, D) and data4.dtype == np.int8
         np.testing.assert_allclose(rsc4, rsc * 16.0, rtol=1e-6)
-        b = data4.astype(np.int32)
-        hi = b >> 4
-        lo = (b << 28) >> 28
+        hi, lo = _np_unpack(data4)
         want = _np_int4(codes)
-        np.testing.assert_array_equal(hi.transpose(0, 2, 1), want[..., : D // 2])
-        np.testing.assert_array_equal(lo.transpose(0, 2, 1), want[..., D // 2 :])
+        for j in range(M // S):
+            np.testing.assert_array_equal(
+                hi[:, j * S2 : (j + 1) * S2], want[:, j * S : j * S + S2])
+            np.testing.assert_array_equal(
+                lo[:, j * S2 : (j + 1) * S2], want[:, j * S + S2 : (j + 1) * S])
 
     def test_pack_edge_values(self):
         from memex_tpu.ops.ivf_batch4 import pack_int4_buckets
 
-        codes = np.array([[[-127, -8, -1, 0, 1, 8, 16, 127]]], np.int8)
+        vals = np.array([-127, -8, -1, 0, 1, 8, 16, 127], np.int8)
+        codes = np.zeros((1, 512, 1), np.int8)
+        codes[0, :8, 0] = vals        # land in hi nibbles
+        codes[0, 256:264, 0] = vals   # land in lo nibbles
         data4, _ = pack_int4_buckets(
-            jnp.asarray(codes), jnp.ones((1, 1), jnp.float32))
-        b = np.asarray(data4).astype(np.int32)
-        hi = (b >> 4).reshape(-1)
-        lo = ((b << 28) >> 28).reshape(-1)
-        got = np.concatenate([hi, lo])
-        np.testing.assert_array_equal(got, _np_int4(codes).reshape(-1))
+            jnp.asarray(codes), jnp.ones((1, 512), jnp.float32))
+        hi, lo = _np_unpack(np.asarray(data4))
+        want = _np_int4(vals)
+        np.testing.assert_array_equal(hi[0, :8, 0], want)
+        np.testing.assert_array_equal(lo[0, :8, 0], want)
 
 
 class TestInt4Kernel:
