@@ -57,63 +57,82 @@ def route_union(centroids, queries, nprobe: int):
     return order.astype(jnp.int32), jnp.sum(mask, keepdims=True)
 
 
-def _kernel(clist_ref, nact_ref, nchunk_ref, sizes_ref, q_ref, db_hbm, rs_hbm,
+def _chunk_walk(sizes32, cluster_list, n_active, M: int, S: int):
+    """Flattened (cluster, chunk) DMA walk, precomputed so the kernel's
+    scalar core does two SMEM loads per chunk instead of successor
+    arithmetic. Returns (walk [C*(M//S)] int32 packed cid*256+chunk,
+    n_chunks [1] int32). Entries past n_chunks are clamped garbage the
+    loop never reads. M/S <= 255 (M <= 261k rows/bucket) by construction."""
+    C = sizes32.shape[0]
+    T = C * (M // S)
+    chunks_per = jnp.maximum(1, (sizes32 + S - 1) // S)
+    chunks_act = jnp.where(jnp.arange(C) < n_active[0],
+                           jnp.take(chunks_per, cluster_list), 0)
+    cum = jnp.cumsum(chunks_act)                       # [C]
+    n_chunks = cum[-1:]
+    t_iota = jnp.arange(T, dtype=jnp.int32)
+    p = jnp.minimum(jnp.searchsorted(cum, t_iota, side="right"),
+                    C - 1).astype(jnp.int32)           # walk pos -> list pos
+    start = cum - chunks_act                           # first t of cluster p
+    cid = jnp.take(cluster_list, p)
+    j = t_iota - jnp.take(start, p)
+    return (cid * 256 + jnp.clip(j, 0, 255)).astype(jnp.int32), \
+        n_chunks.astype(jnp.int32)
+
+
+def _kernel(walk_ref, nchunk_ref, sizes_ref, q_ref, db_hbm, rs_hbm,
             out_v_ref, out_i_ref, buf, rsbuf, acc_v, acc_i,
             db_sems, rs_sems, *, M: int, banks: int, scaled: bool):
     """Chunked variable-length streaming: each active cluster is read in
     CHUNK(=S)-row pieces, stopping at ceil(size/CHUNK) — scan bytes track
     LIVE rows, not the padded bucket M, so bucket_factor stops costing
-    bandwidth. The flattened (cluster, chunk) walk is one fori_loop over
-    the total chunk count with hand-rolled double-buffered DMAs."""
+    bandwidth. The flattened (cluster, chunk) walk is PRECOMPUTED on
+    device (walk_ref[t] = cid*256 + chunk, scalar-prefetched): the loop
+    body does two SMEM loads instead of the successor arithmetic a carried
+    (cluster, chunk) pair needs — the scan is partly scalar-core-bound on
+    per-chunk work, so every op in the body is paid n_chunks times."""
     S = banks * _LANES  # == CHUNK
     Q = q_ref.shape[0]
-    n_active = nact_ref[0]
     n_chunks = nchunk_ref[0]
 
-    def chunks_of(p):
-        csize = sizes_ref[clist_ref[p]]
-        return jnp.maximum(1, (csize + S - 1) // S)
-
-    def db_dma(slot, p, j):
-        cid = clist_ref[p]
+    def db_dma(slot, t):
+        w = walk_ref[t]
         return pltpu.make_async_copy(
-            db_hbm.at[cid, pl.ds(j * S, S)], buf.at[slot], db_sems.at[slot])
+            db_hbm.at[w >> 8, pl.ds((w & 255) * S, S)], buf.at[slot],
+            db_sems.at[slot])
 
-    def rs_dma(slot, p, j):
-        cid = clist_ref[p]
+    def rs_dma(slot, t):
+        w = walk_ref[t]
         return pltpu.make_async_copy(
-            rs_hbm.at[cid, :, pl.ds(j * S, S)], rsbuf.at[slot],
+            rs_hbm.at[w >> 8, :, pl.ds((w & 255) * S, S)], rsbuf.at[slot],
             rs_sems.at[slot])
 
-    @pl.when(n_active > 0)
+    @pl.when(n_chunks > 0)
     def _start():
-        db_dma(0, 0, 0).start()
+        db_dma(0, 0).start()
         if scaled:
-            rs_dma(0, 0, 0).start()
+            rs_dma(0, 0).start()
 
     acc_v[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
     acc_i[:] = jnp.zeros((Q, S), jnp.int32)
 
     def body(t, carry):
-        p, j = carry
         slot = jax.lax.rem(t, 2)
         nxt = jax.lax.rem(t + 1, 2)
-        # successor (cluster, chunk) in the flattened walk
-        last_chunk = j + 1 >= chunks_of(p)
-        pn = jnp.where(last_chunk, p + 1, p)
-        jn = jnp.where(last_chunk, 0, j + 1)
 
         @pl.when(t + 1 < n_chunks)
         def _prefetch():
-            db_dma(nxt, pn, jn).start()
+            db_dma(nxt, t + 1).start()
             if scaled:
-                rs_dma(nxt, pn, jn).start()
+                rs_dma(nxt, t + 1).start()
 
-        db_dma(slot, p, j).wait()
+        db_dma(slot, t).wait()
         if scaled:
-            rs_dma(slot, p, j).wait()
+            rs_dma(slot, t).wait()
 
-        cid = clist_ref[p]
+        w = walk_ref[t]
+        cid = w >> 8
+        j = w & 255
         csize = sizes_ref[cid]
         # [Q, S] on the MXU: the whole query block vs one chunk.
         scores = jax.lax.dot_general(
@@ -133,10 +152,9 @@ def _kernel(clist_ref, nact_ref, nchunk_ref, sizes_ref, q_ref, db_hbm, rs_hbm,
         take = scores > acc_v[:]
         acc_v[:] = jnp.where(take, scores, acc_v[:])
         acc_i[:] = jnp.where(take, cid * M + base + col, acc_i[:])
-        return (pn, jn)
+        return carry
 
-    jax.lax.fori_loop(0, n_chunks, body,
-                      (jnp.int32(0), jnp.int32(0)))
+    jax.lax.fori_loop(0, n_chunks, body, jnp.int32(0))
     out_v_ref[:] = acc_v[:]
     out_i_ref[:] = acc_i[:]
 
@@ -159,28 +177,26 @@ def ivf_batch_topk(data, rscales, sizes, cluster_list, n_active, queries,
     q16 = queries.astype(jnp.bfloat16)
     rscales3 = rscales.reshape(C, 1, M)
 
-    # Flattened chunk walk length: ceil(size/S) per active cluster (empty
-    # active clusters still cost one masked chunk).
+    # Flattened chunk walk, precomputed: ceil(size/S) chunks per active
+    # cluster (empty active clusters still cost one masked chunk), packed
+    # as walk[t] = cid*256 + chunk_index (M/S <= 255 by construction).
     sizes32 = sizes.astype(jnp.int32)
-    chunks_per = jnp.maximum(1, (sizes32 + S - 1) // S)
-    n_chunks = jnp.sum(
-        jnp.where(jnp.arange(C) < n_active.astype(jnp.int32)[0],
-                  jnp.take(chunks_per, cluster_list.astype(jnp.int32)), 0)
-    ).reshape(1)
+    walk, n_chunks = _chunk_walk(sizes32, cluster_list.astype(jnp.int32),
+                                 n_active.astype(jnp.int32), M, S)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # cluster_list, n_active, n_chunks, sizes
+        num_scalar_prefetch=3,  # walk, n_chunks, sizes
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((q_pad, D), lambda i, cl, na, nc, sz: (0, 0),
+            pl.BlockSpec((q_pad, D), lambda i, w, nc, sz: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # data stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # rscales stay in HBM
         ],
         out_specs=(
-            pl.BlockSpec((q_pad, S), lambda i, cl, na, nc, sz: (0, 0),
+            pl.BlockSpec((q_pad, S), lambda i, w, nc, sz: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_pad, S), lambda i, cl, na, nc, sz: (0, 0),
+            pl.BlockSpec((q_pad, S), lambda i, w, nc, sz: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -207,8 +223,7 @@ def ivf_batch_topk(data, rscales, sizes, cluster_list, n_active, queries,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(cluster_list.astype(jnp.int32), n_active.astype(jnp.int32),
-      n_chunks.astype(jnp.int32), sizes32, q16, data, rscales3)
+    )(walk, n_chunks, sizes32, q16, data, rscales3)
 
     vals, args = jax.lax.top_k(cand_v[:Q], k)
     idx = jnp.take_along_axis(cand_i[:Q], args, axis=1)

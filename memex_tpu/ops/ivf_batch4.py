@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ivf_batch import route_union
+from .ivf_batch import _chunk_walk, route_union
 
 NEG_INF = -1e30
 _LANES = 128
@@ -100,59 +100,54 @@ def pack_int4_buckets(data_i8, rscales, c_blk: int = 64, banks: int = 4):
 # -- kernel -------------------------------------------------------------------
 
 
-def _kernel4(clist_ref, nact_ref, nchunk_ref, sizes_ref, q_ref, db_hbm,
+def _kernel4(walk_ref, nchunk_ref, sizes_ref, q_ref, db_hbm,
              rs_hbm, out_v_ref, out_i_ref, buf, rsbuf, acc_v, acc_i,
              db_sems, rs_sems, *, M: int, banks: int):
     """ops/ivf_batch.py::_kernel with row-pair-packed int4 chunks: DMA a
     contiguous [S/2, D] slice (half the int8 bytes), extract ONE nibble,
-    score both row halves via the deferred identity. Column ordering and
-    rscales handling are identical to the int8 kernel."""
+    score both row halves via the deferred identity. Column ordering,
+    rscales handling, and the precomputed walk (walk_ref[t] = cid*256 +
+    chunk) are identical to the int8 kernel."""
     S = banks * _LANES
     S2 = S // 2
     Q = q_ref.shape[0]
-    n_active = nact_ref[0]
     n_chunks = nchunk_ref[0]
 
-    def chunks_of(p):
-        csize = sizes_ref[clist_ref[p]]
-        return jnp.maximum(1, (csize + S - 1) // S)
-
-    def db_dma(slot, p, j):
-        cid = clist_ref[p]
+    def db_dma(slot, t):
+        w = walk_ref[t]
         return pltpu.make_async_copy(
-            db_hbm.at[cid, pl.ds(j * S2, S2)], buf.at[slot], db_sems.at[slot])
+            db_hbm.at[w >> 8, pl.ds((w & 255) * S2, S2)], buf.at[slot],
+            db_sems.at[slot])
 
-    def rs_dma(slot, p, j):
-        cid = clist_ref[p]
+    def rs_dma(slot, t):
+        w = walk_ref[t]
         return pltpu.make_async_copy(
-            rs_hbm.at[cid, :, pl.ds(j * S, S)], rsbuf.at[slot],
+            rs_hbm.at[w >> 8, :, pl.ds((w & 255) * S, S)], rsbuf.at[slot],
             rs_sems.at[slot])
 
-    @pl.when(n_active > 0)
+    @pl.when(n_chunks > 0)
     def _start():
-        db_dma(0, 0, 0).start()
-        rs_dma(0, 0, 0).start()
+        db_dma(0, 0).start()
+        rs_dma(0, 0).start()
 
     acc_v[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
     acc_i[:] = jnp.zeros((Q, S), jnp.int32)
 
     def body(t, carry):
-        p, j = carry
         slot = jax.lax.rem(t, 2)
         nxt = jax.lax.rem(t + 1, 2)
-        last_chunk = j + 1 >= chunks_of(p)
-        pn = jnp.where(last_chunk, p + 1, p)
-        jn = jnp.where(last_chunk, 0, j + 1)
 
         @pl.when(t + 1 < n_chunks)
         def _prefetch():
-            db_dma(nxt, pn, jn).start()
-            rs_dma(nxt, pn, jn).start()
+            db_dma(nxt, t + 1).start()
+            rs_dma(nxt, t + 1).start()
 
-        db_dma(slot, p, j).wait()
-        rs_dma(slot, p, j).wait()
+        db_dma(slot, t).wait()
+        rs_dma(slot, t).wait()
 
-        cid = clist_ref[p]
+        w = walk_ref[t]
+        cid = w >> 8
+        j = w & 255
         csize = sizes_ref[cid]
         braw = buf[slot]                            # [S2, D] int8, linear
         hi = ((braw.astype(jnp.int32) + 8) >> 4).astype(jnp.bfloat16)
@@ -173,9 +168,9 @@ def _kernel4(clist_ref, nact_ref, nchunk_ref, sizes_ref, q_ref, db_hbm,
         take = scores > acc_v[:]
         acc_v[:] = jnp.where(take, scores, acc_v[:])
         acc_i[:] = jnp.where(take, cid * M + base + col, acc_i[:])
-        return (pn, jn)
+        return carry
 
-    jax.lax.fori_loop(0, n_chunks, body, (jnp.int32(0), jnp.int32(0)))
+    jax.lax.fori_loop(0, n_chunks, body, jnp.int32(0))
     out_v_ref[:] = acc_v[:]
     out_i_ref[:] = acc_i[:]
 
@@ -200,25 +195,22 @@ def ivf_batch_topk4(data4, rscales4, sizes, cluster_list, n_active, queries,
     rscales3 = rscales4.reshape(C, 1, M)
 
     sizes32 = sizes.astype(jnp.int32)
-    chunks_per = jnp.maximum(1, (sizes32 + S - 1) // S)
-    n_chunks = jnp.sum(
-        jnp.where(jnp.arange(C) < n_active.astype(jnp.int32)[0],
-                  jnp.take(chunks_per, cluster_list.astype(jnp.int32)), 0)
-    ).reshape(1)
+    walk, n_chunks = _chunk_walk(sizes32, cluster_list.astype(jnp.int32),
+                                 n_active.astype(jnp.int32), M, S)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # cluster_list, n_active, n_chunks, sizes
+        num_scalar_prefetch=3,  # walk, n_chunks, sizes
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((q_pad, D), lambda i, cl, na, nc, sz: (0, 0),
+            pl.BlockSpec((q_pad, D), lambda i, w, nc, sz: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # data4 stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # rscales stay in HBM
         ],
         out_specs=(
-            pl.BlockSpec((q_pad, S), lambda i, cl, na, nc, sz: (0, 0),
+            pl.BlockSpec((q_pad, S), lambda i, w, nc, sz: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_pad, S), lambda i, cl, na, nc, sz: (0, 0),
+            pl.BlockSpec((q_pad, S), lambda i, w, nc, sz: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -245,8 +237,7 @@ def ivf_batch_topk4(data4, rscales4, sizes, cluster_list, n_active, queries,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(cluster_list.astype(jnp.int32), n_active.astype(jnp.int32),
-      n_chunks.astype(jnp.int32), sizes32, q16, data4, rscales3)
+    )(walk, n_chunks, sizes32, q16, data4, rscales3)
 
     vals, args = jax.lax.top_k(cand_v[:Q], k)
     idx = jnp.take_along_axis(cand_i[:Q], args, axis=1)
