@@ -330,6 +330,38 @@ class TestIvfBatchKernel:
         # full permutation of cluster ids (inactives follow)
         assert sorted(clist.tolist()) == list(range(idx.C))
 
+    def test_chunk_walk_matches_python(self, rng):
+        """walk[t] = cid*256 + chunk for exactly the flattened
+        (active cluster, chunk) sequence, incl. size-0 actives (one masked
+        chunk), exact-multiple sizes, and n_active == 0."""
+        from memex_tpu.ops.ivf_batch import _chunk_walk
+
+        C, M, S = 8, 2048, 512
+        sizes = np.array([0, 512, 513, 1024, 1, 2047, 2048, 100], np.int32)
+
+        def py_walk(clist, n_act):
+            out = []
+            for p in range(n_act):
+                cid = int(clist[p])
+                for j in range(max(1, -(-int(sizes[cid]) // S))):
+                    out.append(cid * 256 + j)
+            return out
+
+        for clist, n_act in [
+            (np.arange(C, dtype=np.int32), 8),        # all active
+            (np.array([2, 5, 6, 0, 1, 3, 4, 7], np.int32), 3),
+            (np.arange(C, dtype=np.int32), 0),        # nothing active
+            (np.array([0, 4, 1, 2, 3, 5, 6, 7], np.int32), 2),  # size-0 first
+        ]:
+            walk, n_chunks = _chunk_walk(
+                jnp.asarray(sizes), jnp.asarray(clist),
+                jnp.asarray([n_act], jnp.int32), M, S)
+            want = py_walk(clist, n_act)
+            n = int(np.asarray(n_chunks)[0])
+            assert n == len(want)
+            assert np.asarray(walk)[:n].tolist() == want
+            assert walk.shape == (C * (M // S),)
+
     @pytest.mark.parametrize("dtype", ["float32", "int8"])
     def test_matches_strict_xla(self, rng, dtype):
         from memex_tpu.index.ivf import IVFIndex, _ivf_search  # noqa: F401
