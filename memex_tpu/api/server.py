@@ -221,30 +221,7 @@ def create_app(runtime: Runtime | None = None) -> web.Application:
     FETCH_MAX_BYTES = 8 * 1024 * 1024
     FETCH_MAX_REDIRECTS = 5
 
-    def _fetch_target_blocked(url: str) -> str | None:
-        import ipaddress
-        import socket
-        from urllib.parse import urlparse
-
-        parsed = urlparse(url)
-        if parsed.scheme not in ("http", "https"):
-            return f"scheme {parsed.scheme!r} not allowed (http/https only)"
-        host = parsed.hostname
-        if not host:
-            return "missing host"
-        if os.environ.get("MEMEX_FETCH_ALLOW_PRIVATE", "") in ("1", "true"):
-            return None
-        try:
-            infos = socket.getaddrinfo(host, parsed.port or 80,
-                                       proto=socket.IPPROTO_TCP)
-        except OSError as exc:
-            return f"cannot resolve {host!r}: {exc}"
-        for info in infos:
-            ip = ipaddress.ip_address(info[4][0])
-            if (ip.is_loopback or ip.is_private or ip.is_link_local
-                    or ip.is_reserved or ip.is_multicast or ip.is_unspecified):
-                return f"target {ip} is not a public address"
-        return None
+    from .fetch_guard import guarded_fetch
 
     async def fetch_url(request: web.Request) -> web.Response:
         t0 = time.perf_counter()
@@ -253,31 +230,8 @@ def create_app(runtime: Runtime | None = None) -> web.Application:
             return _error(400, "'url' query parameter is required")
 
         def work():
-            import requests
-
-            target = url
-            for _ in range(FETCH_MAX_REDIRECTS + 1):
-                blocked = _fetch_target_blocked(target)
-                if blocked:
-                    raise ValueError(blocked)
-                resp = requests.get(target, timeout=30, stream=True,
-                                    allow_redirects=False)
-                if resp.is_redirect or resp.is_permanent_redirect:
-                    target = resp.headers.get("Location", "")
-                    resp.close()
-                    continue
-                resp.raise_for_status()
-                chunks, total = [], 0
-                for chunk in resp.iter_content(chunk_size=65536):
-                    total += len(chunk)
-                    if total > FETCH_MAX_BYTES:
-                        resp.close()
-                        raise ValueError(
-                            f"response exceeds {FETCH_MAX_BYTES} bytes")
-                    chunks.append(chunk)
-                enc = resp.encoding or "utf-8"
-                return b"".join(chunks).decode(enc, errors="replace")
-            raise ValueError("too many redirects")
+            return guarded_fetch(url, max_bytes=FETCH_MAX_BYTES,
+                                 max_redirects=FETCH_MAX_REDIRECTS)
 
         try:
             content = await asyncio.get_running_loop().run_in_executor(None, work)

@@ -211,10 +211,13 @@ class FlatIndex:
             if dtype in ("int8", "int4") else None
         )
         self._sh_valid = True
-        # Incremental-checkpoint state (see save()).
+        # Incremental-checkpoint state (see save()). Dead rows are tracked
+        # by ROW INDEX (stable within a generation), not by id: an id-based
+        # tombstone would also kill a later re-added live row with the same
+        # id at load time.
         self.needs_recovery = False  # set by load() when rows were skipped
         self._generation = 0
-        self._dead_ids: set[str] = set()
+        self._dead_rows: set[int] = set()
         self._ckpt_path: str | None = None
         self._ckpt_gen = -1
         self._saved_count = 0
@@ -312,20 +315,32 @@ class FlatIndex:
         self.count += m
 
     def add_quantized(self, codes_dev, scales_dev, ids: list[str],
-                      n_valid: int | None = None) -> None:
+                      n_valid: int | None = None,
+                      host_codes: np.ndarray | None = None,
+                      host_scales: np.ndarray | None = None) -> None:
         """Device-to-device bulk insert of already-quantized int8 rows —
         no host transit (the tunnel's device->host path is ~2 MB/s, so
         fetch-then-re-add costs seconds per 100k rows). Builder-internal:
         assumes fresh ids (no duplicate screening). Rows at index >=
-        n_valid are padding from shape-bucketed callers and never land."""
+        n_valid are padding from shape-bucketed callers and never land.
+        When the caller also holds the codes on host (e.g. fold_spill
+        re-inserting rows whose shadow was intact), pass host_codes/
+        host_scales [>= n_valid rows] to keep the write-through shadow
+        valid — otherwise the shadow is invalidated and future checkpoints
+        degrade to rows_skipped + SQL recovery."""
         assert self.dtype == "int8", "device insert is int8-only"
-        self._sh_valid = False  # rows exist only on device now
         m = int(codes_dev.shape[0])
         if n_valid is None:
             n_valid = m
         assert m == len(ids) and codes_dev.shape[1] == self.dim
         rows = _bucket_rows(m)
         self._grow_to(self.count + rows + 1)
+        if host_codes is not None and host_scales is not None:
+            self._sh_rows[self.count : self.count + n_valid] = host_codes[:n_valid]
+            self._sh_scales[self.count : self.count + n_valid] = (
+                host_scales[:n_valid])
+        else:
+            self._sh_valid = False  # rows exist only on device now
         pad = rows - m
         qblock = jnp.pad(codes_dev, ((0, pad), (0, 0)))
         sblock = jnp.pad(scales_dev.astype(jnp.float32), ((0, pad),))
@@ -351,7 +366,7 @@ class FlatIndex:
             row = self._id_to_row.pop(sid, None)
             if row is not None and alive[row] > 0:
                 alive[row] = 0.0
-                self._dead_ids.add(sid)
+                self._dead_rows.add(row)
                 removed += 1
         if removed:
             self.alive = jnp.asarray(alive)
@@ -378,7 +393,7 @@ class FlatIndex:
         if self._sh_scales is not None:
             self._sh_scales = np.zeros((self.capacity,), np.float32)
         self._sh_valid = True
-        self._dead_ids = set()
+        self._dead_rows = set()
         # Row numbering restarts: any incremental checkpoint prefix is
         # invalid, force the next save() to rewrite from scratch.
         self._generation += 1
@@ -573,7 +588,7 @@ class FlatIndex:
             "dim": self.dim,
             "dtype": self.dtype,
             "segments": self._segments,
-            "dead_ids": sorted(self._dead_ids),
+            "dead_rows": sorted(self._dead_rows),
         }
         tmp = path + ".meta.json.tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -634,7 +649,8 @@ class FlatIndex:
             if len(meta["ids"]):
                 idx.add(vectors, meta["ids"])
             return idx
-        dead = set(meta.get("dead_ids", []))
+        dead_rows = set(meta.get("dead_rows", []))
+        dead_ids = set(meta.get("dead_ids", []))  # pre-round-2 checkpoints
         ids_l, rows_l, scales_l = [], [], []
         base = os.path.dirname(path) or "."
         if meta.get("rows_skipped"):
@@ -654,7 +670,17 @@ class FlatIndex:
         if n_total:
             ids_arr = np.concatenate(ids_l)
             rows = np.concatenate(rows_l)
-            keep = ~np.isin(ids_arr, sorted(dead)) if dead else slice(None)
+            if dead_rows:
+                # Positional filter: segments are contiguous row runs, so
+                # the concatenation index IS the row index. Kills exactly
+                # the tombstoned copies; a re-added id's live row (a later
+                # position) survives.
+                keep = np.ones((n_total,), bool)
+                keep[[r for r in dead_rows if 0 <= r < n_total]] = False
+            elif dead_ids:
+                keep = ~np.isin(ids_arr, sorted(dead_ids))
+            else:
+                keep = slice(None)
             kept_ids = [str(s) for s in ids_arr[keep]]
             if scales_l:
                 idx._install_prequantized(
@@ -662,7 +688,7 @@ class FlatIndex:
                 )
             elif kept_ids:
                 idx.add(rows[keep], kept_ids)
-        if not dead:
+        if not dead_rows and not dead_ids:
             # Resume the segment log in place: the next save() appends
             # instead of rewriting (row numbering matches the segments
             # exactly when nothing was dropped).

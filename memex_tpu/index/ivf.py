@@ -253,6 +253,9 @@ class IVFIndex:
         self.spill = FlatIndex(dim, dtype=dtype)
         self._deleted: set[str] = set()
         self._live: set[str] = set()
+        # True once add() nulled stale table id entries on a delete->re-add;
+        # gates the (ids-gather) null-row exclusion in mask/save paths.
+        self._ids_nulled = False
         # Checkpoint state: the cluster base is immutable between
         # (re)builds, so save() rewrites it only when dirty; streaming
         # ingest checkpoints move only the spill delta (FlatIndex segment
@@ -341,6 +344,7 @@ class IVFIndex:
         data[sorted_c[in_bucket], pos[in_bucket]] = vectors[rows_sel]
         rowids[sorted_c[in_bucket], pos[in_bucket]] = rows_sel
         self.ids = list(ids)
+        self._ids_nulled = False
         self._pack(data)
         self.sizes = jnp.asarray(np.minimum(counts, M).astype(np.int32))
         self.rowids = rowids
@@ -440,6 +444,7 @@ class IVFIndex:
         self.rowids = None
         self._rowids_dev = rid_cm
         self.ids = list(ids)
+        self._ids_nulled = False
         self._base_dirty = True
         self._host_data = self._host_scales = None  # device-resident only
 
@@ -506,7 +511,29 @@ class IVFIndex:
         self._invalidate_int4()
 
     def add(self, vectors: np.ndarray, ids: list[str]) -> None:
-        """Streaming ingest: spill index, folded in at next rebuild()."""
+        """Streaming ingest: spill index, folded in at next rebuild().
+
+        Re-adding a deleted id un-deletes it: any stale cluster-table copy
+        has its id entry nulled (so it can never resurrect once the id
+        leaves `_deleted`) and the fresh row becomes the live one. Ids
+        already live are idempotent no-ops (mirrors FlatIndex.add) — this
+        is what makes SQL recovery's force re-stream safe to run over a
+        partially-restored index."""
+        vectors = np.asarray(vectors, np.float32)
+        readd = self._deleted.intersection(ids)
+        if readd:
+            for i, sid in enumerate(self.ids):
+                if sid in readd:
+                    self.ids[i] = None
+                    self._ids_nulled = True
+            self._deleted -= readd
+            self._base_dirty = True
+        if any(sid in self._live for sid in ids):
+            fresh = [i for i, sid in enumerate(ids) if sid not in self._live]
+            if not fresh:
+                return
+            vectors = vectors[fresh]
+            ids = [ids[i] for i in fresh]
         self.spill.add(vectors, ids)
         self._live.update(ids)
 
@@ -572,7 +599,12 @@ class IVFIndex:
         self.data, self.rscales, self._rowids_dev = _fold_scatter(
             self.data, self.rscales, rid_dev, codes, scales,
             jnp.asarray(dest), jnp.asarray(rid_new))
-        self.rowids = None  # host cache invalid
+        if self.rowids is not None:
+            # Host-built index: dest/rid_new are host values — mirror the
+            # scatter instead of discarding the cache (a discarded cache
+            # forces a full [C,M] device rowid fetch at the next save,
+            # ~2 MB/s through the tunnel).
+            self.rowids.reshape(-1)[dest[:n][ok]] = rid_new[:n][ok]
         self._invalidate_int4()
         self.sizes = jnp.asarray(sizes_fill.astype(np.int32))
         # ids: every gathered row gets a table entry; un-folded rows keep
@@ -582,11 +614,14 @@ class IVFIndex:
         new_ids = np.full((n,), None, dtype=object)
         new_ids[folded_mask] = sids_sel[folded_mask]
         self.ids.extend(new_ids.tolist())
-        # Host shadow (host-built indexes): mirror the scatter when both
-        # shadows are intact, else degrade to device-built semantics.
-        if self._host_data is not None and self.spill._sh_valid:
+        # Host shadows: capture the spill's shadow rows BEFORE delete_all
+        # replaces its arrays; mirror the scatter into the table shadow when
+        # both sides are intact, else degrade to device-built semantics.
+        sh_codes = sh_scales = None
+        if self.spill._sh_valid:
             sh_codes = self.spill._sh_rows[: self.spill.count][ssel]
             sh_scales = self.spill._sh_scales[: self.spill.count][ssel]
+        if self._host_data is not None and sh_codes is not None:
             flat = self._host_data.reshape(C * M, D)
             fsc = self._host_scales.reshape(C * M)
             d_ok = dest[:n][folded_mask]
@@ -595,13 +630,13 @@ class IVFIndex:
         elif self._host_data is not None:
             self._host_data = self._host_scales = None
         # Rebuild the spill with only the leftover rows (device-to-device).
+        # NOTE: ids whose spill copies were dropped here stay in `_deleted`:
+        # the same id can also hold a (deleted) cluster-table row, and
+        # un-marking it would resurrect that copy. rebuild() clears the set.
         left = ssel[~folded_mask]
         left_ids = sids_sel[~folded_mask].tolist()
-        # Rows filtered by the alive/deleted mask are physically gone now.
-        dropped = set(s_ids[~alive].tolist()) - {None}
         old_buf, old_scales = self.spill.buf, self.spill.scales
         self.spill.delete_all()
-        self._deleted -= dropped  # deleted spill rows are physically gone
         if len(left):
             lp = np.full((max(PAD, -(-len(left) // PAD) * PAD),),
                          old_buf.shape[0], np.int64)
@@ -612,6 +647,14 @@ class IVFIndex:
                 jnp.take(old_scales, lp_d, mode="fill", fill_value=0.0),
                 left_ids + [None] * (len(lp) - len(left)),
                 n_valid=len(left),
+                # Leftover codes were sitting on the host whenever the old
+                # shadow was valid — keep the new spill's shadow intact so
+                # future checkpoints stay zero-device-fetch instead of
+                # degrading to rows_skipped + SQL recovery.
+                host_codes=(sh_codes[~folded_mask]
+                            if sh_codes is not None else None),
+                host_scales=(sh_scales[~folded_mask]
+                             if sh_scales is not None else None),
             )
         self._base_dirty = True
         return n_fold
@@ -634,16 +677,19 @@ class IVFIndex:
     # -- vectorized live-row extraction (no per-row Python) -------------------
 
     def _live_cluster_mask(self) -> np.ndarray:
-        """[C, M] bool: slot holds a live (in-size, rowid-valid, undeleted)
-        row. Pure numpy over the host rowid table."""
+        """[C, M] bool: slot holds a live (in-size, rowid-valid, undeleted,
+        non-nulled-id) row. Pure numpy over the host rowid table."""
         rowids = self._rowids_host()
         sizes = np.asarray(self.sizes)
         M = rowids.shape[1]
         valid = (np.arange(M)[None, :] < sizes[:, None]) & (rowids >= 0)
-        if self._deleted:
+        if self._deleted or self._ids_nulled:
             ids_arr = np.asarray(self.ids, dtype=object)
             sids = ids_arr[np.clip(rowids, 0, len(self.ids) - 1)]
-            valid &= ~np.isin(sids.astype(str), sorted(self._deleted))
+            if self._ids_nulled:
+                valid &= np.not_equal(sids, None)
+            if self._deleted:
+                valid &= ~np.isin(sids.astype(str), sorted(self._deleted))
         return valid
 
     def _cluster_live_ids(self, valid: np.ndarray) -> list:
@@ -772,8 +818,10 @@ class IVFIndex:
                 # picked from the bucket alignment (_batch_banks).
                 banks = self._batch_banks()
                 S = banks * 128
+                # M//S <= 256: the batch kernels' precomputed chunk walk
+                # packs the chunk index into 8 bits (ops/ivf_batch.py).
                 batch_ok = (self.use_fused and kk <= S and M % S == 0
-                            and vmem_need <= 12 * 2**20)
+                            and M // S <= 256 and vmem_need <= 12 * 2**20)
                 # Per-query kernel fallback for legacy 256-aligned buckets.
                 fused_ok = (self.use_fused and kk <= 256 and M % 256 == 0
                             and vmem_need <= 12 * 2**20)
@@ -895,7 +943,13 @@ class IVFIndex:
                 M = rowids.shape[1]
                 # Base keeps every rowid-valid row; deletes live in meta
                 # and are dropped at load (saves stay cheap under churn).
+                # Nulled-id rows (stale copies killed by a delete->re-add)
+                # must be dropped HERE: they are no longer in `_deleted`.
                 valid = (np.arange(M)[None, :] < sizes[:, None]) & (rowids >= 0)
+                if self._ids_nulled:
+                    ids_arr = np.asarray(self.ids, dtype=object)
+                    sids = ids_arr[np.clip(rowids, 0, len(self.ids) - 1)]
+                    valid &= np.not_equal(sids, None)
                 arrs["cluster_assign"] = np.nonzero(valid)[0].astype(np.int32)
                 arrs["cluster_ids"] = np.asarray(
                     np.asarray(self.ids, dtype=object)[rowids[valid]].tolist()
@@ -977,6 +1031,12 @@ class IVFIndex:
             if deleted:
                 keep = ~np.isin(cids_arr.astype(str), sorted(deleted))
                 cids_arr, assign = cids_arr[keep], assign[keep]
+                # The on-disk base still CONTAINS the deleted rows; the
+                # in-memory index no longer tracks them (filtered here, and
+                # _deleted stays empty). Force the next save() to rewrite a
+                # compacted base — otherwise it would pair the stale .npz
+                # with meta deleted=[] and resurrect the rows on reload.
+                idx._base_dirty = True
             else:
                 keep = slice(None)
             idx.centroids = jnp.asarray(centroids)
@@ -1097,6 +1157,7 @@ class IVFIndex:
         self.rowids = None
         self._rowids_dev = None
         self.ids = []
+        self._ids_nulled = False
         self._deleted.clear()
         self._live.clear()
         self.spill.delete_all()

@@ -268,7 +268,10 @@ class ShardedFlatIndex:
         # Incremental-checkpoint state (same segment-log scheme as
         # FlatIndex.save): `_unsaved` = (global row, id) in insertion order.
         self._unsaved: list[tuple[int, str]] = []
-        self._dead_ids: set[str] = set()
+        # Dead rows tracked by GLOBAL ROW (stable key within a generation),
+        # not id: id tombstones would also kill re-added live rows at
+        # restore (mirrors FlatIndex._dead_rows).
+        self._dead_rows: set[int] = set()
         self._generation = 0
         self._ckpt_path: str | None = None
         self._ckpt_gen = -1
@@ -456,7 +459,7 @@ class ShardedFlatIndex:
             row = self._id_to_row.pop(sid, None)
             if row is not None:
                 self.ids.pop(row, None)
-                self._dead_ids.add(sid)
+                self._dead_rows.add(row)
                 grows.append(row)
         if grows:
             # Device-side tombstone scatter (no host copy of the full mask).
@@ -504,7 +507,7 @@ class ShardedFlatIndex:
         if self._sh_scales is not None:
             self._sh_scales = np.ones((total,), np.float32)
         self._unsaved = []
-        self._dead_ids = set()
+        self._dead_rows = set()
         self._generation += 1  # row numbering restarted
 
     # -- persistence (FlatIndex-style segment log; see index/flat.py) --------
@@ -527,14 +530,18 @@ class ShardedFlatIndex:
             self._ckpt_path = path
             self._ckpt_gen = self._generation
             self._unsaved = sorted(self.ids.items())  # all live rows
-            self._dead_ids = set()
+            self._dead_rows = set()  # full rewrites persist live rows only
         pending = [(g, s) for g, s in self._unsaved if self.ids.get(g) == s]
         if pending:
             name = (f"{_os.path.basename(path)}.seg{self._ckpt_gen % 10000:04d}"
                     f".{len(self._segments):04d}.npz")
             grows = np.asarray([g for g, _ in pending])
             arrs: dict[str, np.ndarray] = {
-                "ids": np.asarray([s for _, s in pending])
+                "ids": np.asarray([s for _, s in pending]),
+                # Global rows: the stable per-row key dead_rows refers to
+                # (restore filters tombstones positionally, so a re-added
+                # id's live row is never collateral damage).
+                "grows": grows.astype(np.int64),
             }
             if self._sh_scales is not None:
                 arrs["codes"] = self._sh_rows[grows]
@@ -549,7 +556,7 @@ class ShardedFlatIndex:
             "dim": self.dim,
             "dtype": self.dtype,
             "segments": self._segments,
-            "dead_ids": sorted(self._dead_ids),
+            "dead_rows": sorted(int(g) for g in self._dead_rows),
         }
         tmp = path + ".meta.json.tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -572,7 +579,8 @@ class ShardedFlatIndex:
             if ids:
                 self.add(vectors, ids)
             return len(ids)
-        dead = set(meta.get("dead_ids", []))
+        dead_rows = set(meta.get("dead_rows", []))
+        dead_ids = set(meta.get("dead_ids", []))  # pre-round-2 checkpoints
         base = _os.path.dirname(path) or "."
         restored = 0
         for name in meta["segments"]:
@@ -582,18 +590,22 @@ class ShardedFlatIndex:
                 vecs = arrs["codes"].astype(np.float32) * arrs["scales"][:, None]
             else:
                 vecs = arrs["vectors"]
-            if dead:
-                keep = ~np.isin(ids_arr.astype(str), sorted(dead))
+            if dead_rows and "grows" in arrs:
+                # Positional tombstones: filter by the saved global row,
+                # so a re-added id's live row (a different grow) survives.
+                keep = ~np.isin(arrs["grows"], sorted(dead_rows))
+                ids_arr, vecs = ids_arr[keep], vecs[keep]
+            elif dead_ids:
+                keep = ~np.isin(ids_arr.astype(str), sorted(dead_ids))
                 ids_arr, vecs = ids_arr[keep], vecs[keep]
             if len(ids_arr):
                 self.add(vecs, [str(s) for s in ids_arr])
                 restored += len(ids_arr)
-        # Resume the log so the next save appends.
-        self._ckpt_path = path
-        self._ckpt_gen = self._generation
-        self._segments = list(meta["segments"])
-        self._dead_ids = set(dead)
-        self._unsaved = []
+        # Do NOT resume the segment log: the water-fill re-add renumbers
+        # global rows, so the saved grows no longer match — a later delete
+        # would record a row the old segments cannot name. The next save()
+        # sees _ckpt_gen == -1 and rewrites from the host shadow (host-only
+        # cost; restores are rare).
         return restored
 
     @classmethod

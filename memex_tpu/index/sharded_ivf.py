@@ -178,6 +178,9 @@ class ShardedIVFIndex:
             dim, mesh, axis=axis, dtype="int8", use_fused=use_fused)
         self._deleted: set = set()
         self._live: set = set()
+        # True once add() nulled stale table id entries on a delete->re-add;
+        # gates the null-row exclusion in rebuild/save masks.
+        self._ids_nulled = False
         self._search_cache: dict = {}
         self._host_codes: np.ndarray | None = None  # [N] order as self.ids
         self._host_scales: np.ndarray | None = None
@@ -295,6 +298,7 @@ class ShardedIVFIndex:
             jnp.minimum(counts, M).astype(jnp.int32), self._c1_sh)
         self.rowids = None
         self.ids = list(ids)
+        self._ids_nulled = False
         self._base_dirty = True
         self._search_cache = {}
 
@@ -330,7 +334,26 @@ class ShardedIVFIndex:
     # -- mutation -------------------------------------------------------------
 
     def add(self, vectors: np.ndarray, ids: list) -> None:
-        """Streaming ingest -> sharded spill; rebuild() folds it in."""
+        """Streaming ingest -> sharded spill; rebuild() folds it in.
+
+        Re-adding a deleted id un-deletes it (stale cluster-table copies
+        get their id entry nulled so they cannot resurrect); ids already
+        live are idempotent no-ops (mirrors IVFIndex.add)."""
+        vectors = np.asarray(vectors, np.float32)
+        readd = self._deleted.intersection(ids)
+        if readd:
+            for i, sid in enumerate(self.ids):
+                if sid in readd:
+                    self.ids[i] = None
+                    self._ids_nulled = True
+            self._deleted -= readd
+            self._base_dirty = True
+        if any(sid in self._live for sid in ids):
+            fresh = [i for i, sid in enumerate(ids) if sid not in self._live]
+            if not fresh:
+                return
+            vectors = vectors[fresh]
+            ids = [ids[i] for i in fresh]
         self.spill.add(vectors, ids)
         self._live.update(ids)
 
@@ -351,6 +374,7 @@ class ShardedIVFIndex:
         self._rowids_dev = None
         self.rowids = None
         self.ids = []
+        self._ids_nulled = False
         self._deleted.clear()
         self._live.clear()
         self.spill.delete_all()
@@ -471,9 +495,12 @@ class ShardedIVFIndex:
             M = rowids.shape[1]
             valid = (np.arange(M)[None, :] < sizes[:, None]) & (rowids >= 0)
             ids_arr = np.asarray(self.ids, dtype=object)
-            if self._deleted:
+            if self._deleted or self._ids_nulled:
                 sids = ids_arr[np.clip(rowids, 0, len(self.ids) - 1)]
-                valid &= ~np.isin(sids.astype(str), sorted(self._deleted))
+                if self._ids_nulled:
+                    valid &= np.not_equal(sids, None)
+                if self._deleted:
+                    valid &= ~np.isin(sids.astype(str), sorted(self._deleted))
             sel = np.nonzero(valid.reshape(-1))[0]
             cl_ids = ids_arr[rowids[valid]].tolist()
             flat = self.data.reshape(-1, self.dim)
@@ -595,6 +622,10 @@ class ShardedIVFIndex:
                 sizes = np.asarray(self.sizes)
                 M = rowids.shape[1]
                 valid = (np.arange(M)[None, :] < sizes[:, None]) & (rowids >= 0)
+                if self._ids_nulled:
+                    ids_arr = np.asarray(self.ids, dtype=object)
+                    sids = ids_arr[np.clip(rowids, 0, len(self.ids) - 1)]
+                    valid &= np.not_equal(sids, None)
                 rid_sel = rowids[valid]
                 arrs["cluster_assign"] = np.nonzero(valid)[0].astype(np.int32)
                 arrs["cluster_ids"] = np.asarray(
@@ -665,7 +696,10 @@ class ShardedIVFIndex:
             self._live.update(self.spill._id_to_row)
             restored += n
         self._ckpt_path = path
-        self._base_dirty = False
+        # When deletes were filtered, the on-disk base still contains the
+        # dead rows while _deleted is left empty — rewrite the compacted
+        # base at the next save or the rows resurrect on the reload after.
+        self._base_dirty = bool(deleted)
         return restored
 
     def _pack_with_centroids(self, codes: np.ndarray, scales: np.ndarray,
@@ -724,6 +758,7 @@ class ShardedIVFIndex:
             jnp.minimum(counts, M).astype(jnp.int32), self._c1_sh)
         self.rowids = None
         self.ids = list(ids)
+        self._ids_nulled = False
         self._live.update(ids)
         self._search_cache = {}
 

@@ -224,7 +224,20 @@ class LocalLLM:
             key, self.sampler,
         )
         out: list[int] = []
-        emitted = ""  # prefix of decode(out) already surfaced via on_token
+        # Incremental detokenization over a BOUNDED tail window (the
+        # HF/vLLM detokenize_incrementally scheme): decoding the full
+        # sequence per token is O(n^2) tokenizer work — ~2M cumulative
+        # token decodes for a 2k generation on the single-core host.
+        # `prefix_off` anchors the window at the last emitted token (its
+        # presence gives SentencePiece the space/byte context the next
+        # tokens need); `read_off` marks how many tokens have surfaced.
+        # Both decodes below start at prefix_off, so any boundary artifact
+        # cancels in the delta subtraction. A trailing replacement char
+        # means a multi-byte sequence is still incomplete — hold it back
+        # (per-id decode would garble split UTF-8 and SentencePiece
+        # leading-space marks).
+        prefix_off = 0
+        read_off = 0
         done = False
         while not done and len(out) < max_new:
             carry, toks, was_done = decode_chunk(
@@ -237,23 +250,21 @@ class LocalLLM:
                     done = True
                     break
                 out.append(int(t))
-                # Incremental detokenization: emit the DELTA of the full
-                # decode rather than decoding ids one at a time (per-id
-                # decode garbles multi-byte UTF-8 split across tokens and
-                # SentencePiece leading-space marks). A trailing
-                # replacement char means an incomplete byte sequence —
-                # hold it back until the next token completes it.
-                text = self.tokenizer.decode(out)
-                safe = text.rstrip("\ufffd")
-                if len(safe) > len(emitted):
-                    on_token(safe[len(emitted):])
-                    emitted = safe
+                prefix_text = self.tokenizer.decode(out[prefix_off:read_off])
+                new_text = self.tokenizer.decode(out[prefix_off:])
+                if (not new_text.endswith("\ufffd")
+                        and len(new_text) > len(prefix_text)):
+                    on_token(new_text[len(prefix_text):])
+                    prefix_off = read_off
+                    read_off = len(out)
                 if int(t) == eos:
                     done = True
                     break
-        final = self.tokenizer.decode(out)
-        if len(final) > len(emitted):  # flush a held-back invalid tail
-            on_token(final[len(emitted):])
+        # Flush any held-back tail (incomplete byte sequences included).
+        prefix_text = self.tokenizer.decode(out[prefix_off:read_off])
+        tail = self.tokenizer.decode(out[prefix_off:])
+        if len(tail) > len(prefix_text):
+            on_token(tail[len(prefix_text):])
         return out
 
     def segment_text(self, text: str) -> tuple[list[str], str]:

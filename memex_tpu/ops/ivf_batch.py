@@ -62,7 +62,13 @@ def _chunk_walk(sizes32, cluster_list, n_active, M: int, S: int):
     scalar core does two SMEM loads per chunk instead of successor
     arithmetic. Returns (walk [C*(M//S)] int32 packed cid*256+chunk,
     n_chunks [1] int32). Entries past n_chunks are clamped garbage the
-    loop never reads. M/S <= 255 (M <= 261k rows/bucket) by construction."""
+    loop never reads. The chunk index is packed into 8 bits, so M/S must
+    be <= 256 — enforced here (the builders round M to S multiples but a
+    load-time `M = max(M, counts.max())` with one hot cluster could exceed
+    it; a silent clip would re-scan chunk 255 and lose recall)."""
+    assert M // S <= 256, (
+        f"bucket M={M} has {M // S} chunks of {S}; the packed walk carries "
+        f"at most 256 — raise n_clusters or chunk width")
     C = sizes32.shape[0]
     T = C * (M // S)
     chunks_per = jnp.maximum(1, (sizes32 + S - 1) // S)

@@ -70,8 +70,9 @@ class TestFlatSegmentLog:
         idx.delete(["r3", "r10"])
         idx.save(path)  # no new rows; meta dead list updates
         meta = json.load(open(path + ".meta.json"))
-        assert sorted(meta["dead_ids"]) == ["r10", "r3"] or \
-            meta["dead_ids"] == ["r10", "r3"]
+        # dead rows are tracked positionally (row index), not by id — an
+        # id tombstone would also kill a re-added live row at load.
+        assert sorted(meta["dead_rows"]) == [3, 10]
         idx2 = FlatIndex.load(path, use_fused=False)
         assert idx2.count == 62
         assert "r3" not in idx2._id_to_row and "r10" not in idx2._id_to_row
@@ -87,7 +88,7 @@ class TestFlatSegmentLog:
         idx.compact()  # generation bump
         idx.save(path)
         meta = json.load(open(path + ".meta.json"))
-        assert len(meta["segments"]) == 1 and meta["dead_ids"] == []
+        assert len(meta["segments"]) == 1 and meta["dead_rows"] == []
         # stale segment files were removed
         segs_on_disk = [f for f in os.listdir(tmp_path) if ".seg" in f]
         assert sorted(segs_on_disk) == sorted(meta["segments"])
@@ -238,10 +239,12 @@ class TestMeshSegmentLog:
         path = str(tmp_path / "m")
         idx.save(path)
         idx.add(unit(rng, 40, 32), [f"s{i}" for i in range(40)])
+        grow_r7 = idx._id_to_row["r7"]
         idx.delete(["r7"])
         idx.save(path)
         meta = json.load(open(path + ".meta.json"))
-        assert len(meta["segments"]) == 2 and meta["dead_ids"] == ["r7"]
+        # positional tombstone: the global row, not the id
+        assert len(meta["segments"]) == 2 and meta["dead_rows"] == [grow_r7]
         seg2 = np.load(os.path.join(str(tmp_path), meta["segments"][1]))
         assert len(seg2["ids"]) == 40  # only the delta moved
         idx2 = ShardedFlatIndex(dim=32, mesh=mesh, capacity_per_shard=1024,
@@ -348,8 +351,14 @@ class TestFoldSpill:
         hits = idx.search(unit(rng, 2, 32), 1024)
         seen = {h[0] for hh in hits for h in hh}
         assert not {"s3", "s7"} & seen
-        # physically dropped spill deletes are no longer tracked as dead
-        assert "s3" not in idx._deleted
+        # Tombstones STAY in _deleted even though the spill copies are
+        # physically gone: the same id could also hold a (deleted)
+        # cluster-table row, and un-marking it would resurrect that copy
+        # (round-2 review finding). rebuild() clears the set; a re-add
+        # un-deletes explicitly.
+        assert "s3" in idx._deleted
+        idx.add(unit(rng, 1, 32), ["s3"])
+        assert "s3" not in idx._deleted and "s3" in idx._live
 
     def test_fold_leaves_overflow_in_spill(self, rng):
         # Tiny buckets: M fills fast, overflow must stay spilled and
