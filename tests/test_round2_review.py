@@ -426,3 +426,26 @@ def test_stream_detokenize_bounded_and_lossless():
     assert windows and sum(windows) < 8 * n
     # And at most one call (the final return) sees the whole sequence.
     assert sum(1 for w in windows if w > n // 2) <= 2
+
+
+# -- legacy checkpoint compatibility ------------------------------------------
+
+
+def test_flat_legacy_dead_ids_meta_still_loads(rng, tmp_path):
+    """Pre-round-2 v2 checkpoints carried dead_ids (id-keyed tombstones);
+    load must still honor them."""
+    import json
+
+    d, n = 16, 40
+    idx = FlatIndex(dim=d, use_fused=False)
+    idx.add(unit(rng, n, d), [f"L{i}" for i in range(n)])
+    path = str(tmp_path / "legacy")
+    idx.save(path)
+    meta = json.load(open(path + ".meta.json"))
+    assert meta["dead_rows"] == []
+    del meta["dead_rows"]
+    meta["dead_ids"] = ["L4", "L9"]  # rewrite as an old checkpoint
+    json.dump(meta, open(path + ".meta.json", "w"))
+    loaded = FlatIndex.load(path, use_fused=False)
+    assert loaded.count == n - 2
+    assert "L4" not in loaded._id_to_row and "L9" not in loaded._id_to_row
