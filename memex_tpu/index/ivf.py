@@ -1137,13 +1137,12 @@ class IVFIndex:
                 pass
 
     def delete(self, ids: list[str]) -> int:
-        known = set()
-        if self.rowids is not None or self._rowids_dev is not None:
-            known.update(i for i in self.ids if i is not None)
-        known.update(self.spill.ids)
+        # `_live` is exactly (table ids ∪ spill ids) − deleted, maintained
+        # by build/add/delete — an O(batch) membership test instead of the
+        # old O(corpus) scan over self.ids per delete call.
         removed = 0
         for sid in ids:
-            if sid in known and sid not in self._deleted:
+            if sid in self._live:
                 self._deleted.add(sid)
                 self._live.discard(sid)
                 removed += 1

@@ -358,11 +358,11 @@ class ShardedIVFIndex:
         self._live.update(ids)
 
     def delete(self, ids: list) -> int:
-        known = set(i for i in self.ids if i is not None) if self.ids else set()
+        # `_live` is exactly (table ids ∪ spill ids) − deleted (see
+        # IVFIndex.delete) — O(batch), no O(corpus) scan over self.ids.
         removed = 0
         for sid in ids:
-            if sid in self._live and (sid in known
-                                      or sid in self.spill._id_to_row):
+            if sid in self._live:
                 self._deleted.add(sid)
                 self._live.discard(sid)
                 removed += 1

@@ -160,6 +160,22 @@ class TpuIVFStore(TpuFlatStore):
         with self._lock:
             self.index.rebuild()
 
+    def delete(self, ids: list[str]) -> int:
+        n = super().delete(ids)
+        # Delete churn bounds: tombstones stay in `_deleted` until a
+        # rebuild (a fold must not un-mark them — dup table copies), and
+        # every tombstone widens the search over-fetch (kk = k + dead).
+        # Past 25% dead the over-fetch also starts to outgrow the fused
+        # kernels' candidate banks, so rebuild — which drops tombstoned
+        # rows and clears the set — mirroring FlatIndex's compact cadence.
+        if n and not getattr(self, "_recovering", False):
+            dead = len(self.index._deleted)
+            if dead > 256 and dead * 4 > max(self.index.count, 1):
+                logger.info("ivf %s: delete-churn rebuild (%d tombstones)",
+                            self.collection, dead)
+                self.rebuild()
+        return n
+
     @property
     def count(self) -> int:
         return self.index.count
@@ -276,6 +292,20 @@ class TpuMeshIVFStore(TpuFlatStore):
             elif folded:
                 logger.info("sharded ivf %s: folded %d spill rows in place",
                             self.collection, folded)
+
+    def delete(self, ids: list[str]) -> int:
+        n = super().delete(ids)
+        # Same delete-churn bound as TpuIVFStore (tombstones persist until
+        # rebuild and widen the over-fetch).
+        if n and not getattr(self, "_recovering", False):
+            dead = len(self.index._deleted)
+            if dead > 256 and dead * 4 > max(self.index.count, 1):
+                logger.info(
+                    "sharded ivf %s: delete-churn rebuild (%d tombstones)",
+                    self.collection, dead)
+                with self._lock:
+                    self.index.rebuild()
+        return n
 
     @property
     def count(self) -> int:

@@ -449,3 +449,29 @@ def test_flat_legacy_dead_ids_meta_still_loads(rng, tmp_path):
     loaded = FlatIndex.load(path, use_fused=False)
     assert loaded.count == n - 2
     assert "L4" not in loaded._id_to_row and "L9" not in loaded._id_to_row
+
+
+# -- delete-churn maintenance -------------------------------------------------
+
+
+def test_ivf_store_delete_churn_triggers_rebuild(rng, tmp_path):
+    """Tombstones persist until rebuild (they must — fold cannot un-mark
+    them) and widen every search's over-fetch; the store must bound that
+    by rebuilding once >25% of rows are dead."""
+    from memex_tpu.store.base import VectorData
+    from memex_tpu.store.tpu_store import TpuIVFStore
+
+    d, n = 16, 2048
+    store = TpuIVFStore(str(tmp_path), "churn", dim=d, n_clusters=4,
+                        nprobe=4, use_fused=False)
+    vecs = unit(rng, n, d)
+    store.build([VectorData(id=f"c{i}", document_id="doc", text="",
+                            vector=vecs[i], segment_id=i) for i in range(n)])
+    # Delete 30% — crosses the 25% churn threshold (and the 256 floor).
+    store.delete([f"c{i}" for i in range(614)])
+    assert len(store.index._deleted) == 0, "rebuild should clear tombstones"
+    assert store.count == n - 614
+    hits = store.search(vecs[0], 3)
+    assert all(h.id != "c0" for h in hits)
+    live_hit = store.search(vecs[700], 1)[0]
+    assert live_hit.id == "c700"
