@@ -105,9 +105,11 @@ def create_app(runtime: Runtime | None = None) -> web.Application:
 
     async def delete_collection(request: web.Request) -> web.Response:
         collection = request.match_info["collection"]
-        store = rt.store(collection)
 
         def work():
+            # rt.store() can run a minutes-long first-touch recovery —
+            # blocking work stays off the event loop.
+            store = rt.store(collection)
             store.delete_all()
             models.delete_collection_embeddings(rt.db, collection)
             rt.drop_store(collection)
@@ -133,16 +135,19 @@ def create_app(runtime: Runtime | None = None) -> web.Application:
             return _error(400, f"'limit' must be in 1..{schema.MAX_SEARCH_LIMIT}")
         if not query:
             return _error(400, "'query' is required")
-        rt.store(collection)  # ensure rebuilt/registered before batching
 
         def work():
-            # Concurrent searches microbatch into one encoder call + one
-            # fused scan per collection (serve/batcher.py).
-            return rt.search_batcher.search(collection, query, limit)
+            # rt.store() first (possible first-touch recovery — minutes of
+            # blocking work that must stay off the event loop), then the
+            # microbatched search (one encoder call + one fused scan per
+            # collection, serve/batcher.py) and the SQL hydration.
+            rt.store(collection)
+            found = rt.search_batcher.search(collection, query, limit)
+            # Batched hydration (vs reference's N+1 loop, handlers.rs:87-102).
+            return found, models.get_embeddings_by_uuids(
+                rt.db, [h.id for h in found])
 
-        hits = await asyncio.get_running_loop().run_in_executor(None, work)
-        # Batched hydration (vs reference's N+1 loop, handlers.rs:87-102).
-        rows = models.get_embeddings_by_uuids(rt.db, [h.id for h in hits])
+        hits, rows = await asyncio.get_running_loop().run_in_executor(None, work)
         results = []
         for h in hits:
             row = rows.get(h.id)
@@ -239,29 +244,42 @@ def create_app(runtime: Runtime | None = None) -> web.Application:
             return _error(400, f"fetch failed: {exc}")
         return web.json_response(schema.api_response(t0, {"content": content}))
 
+    def _pdf_to_text(pdftotext: str, data: bytes) -> str:
+        """Blocking pdftotext conversion — runs on the executor, never the
+        event loop (a 120s subprocess would freeze every request)."""
+        with tempfile.TemporaryDirectory(
+                dir=rt.settings.upload_dir
+                if os.path.isdir(rt.settings.upload_dir) else None) as td:
+            pdf_path = os.path.join(td, "in.pdf")
+            txt_path = os.path.join(td, "out.txt")
+            with open(pdf_path, "wb") as fh:
+                fh.write(data)
+            proc = subprocess.run(
+                [pdftotext, pdf_path, txt_path], capture_output=True, timeout=120
+            )
+            if proc.returncode != 0:
+                raise ValueError(
+                    f"pdftotext failed: {proc.stderr.decode()[:200]}")
+            with open(txt_path, "r", encoding="utf-8", errors="replace") as fh:
+                return fh.read()
+
     async def fetch_parse(request: web.Request) -> web.Response:
         t0 = time.perf_counter()
         reader = await request.multipart()
         parsed: list[str] = []
         pdftotext = shutil.which("pdftotext")
+        loop = asyncio.get_running_loop()
         async for field in reader:
             data = await field.read(decode=False)
             name = field.filename or field.name or "upload"
             if name.lower().endswith(".pdf") or (field.headers.get("Content-Type") == "application/pdf"):
                 if not pdftotext:
                     return _error(400, "pdftotext not available on this host")
-                with tempfile.TemporaryDirectory(dir=rt.settings.upload_dir if os.path.isdir(rt.settings.upload_dir) else None) as td:
-                    pdf_path = os.path.join(td, "in.pdf")
-                    txt_path = os.path.join(td, "out.txt")
-                    with open(pdf_path, "wb") as fh:
-                        fh.write(data)
-                    proc = subprocess.run(
-                        [pdftotext, pdf_path, txt_path], capture_output=True, timeout=120
-                    )
-                    if proc.returncode != 0:
-                        return _error(400, f"pdftotext failed: {proc.stderr.decode()[:200]}")
-                    with open(txt_path, "r", encoding="utf-8", errors="replace") as fh:
-                        parsed.append(fh.read())
+                try:
+                    parsed.append(await loop.run_in_executor(
+                        None, _pdf_to_text, pdftotext, data))
+                except ValueError as exc:
+                    return _error(400, str(exc))
             else:
                 parsed.append(data.decode("utf-8", errors="replace"))
         return web.json_response(schema.api_response(t0, {"parsed": parsed}))
@@ -332,8 +350,14 @@ def create_app(runtime: Runtime | None = None) -> web.Application:
 
             n = await asyncio.get_running_loop().run_in_executor(None, work_all)
         else:
+            if not isinstance(ids, list) or not all(
+                    isinstance(i, str) for i in ids):
+                # A bare string would be exploded per character by list();
+                # sibling handlers validate their payload shapes too.
+                return _error(400, "'ids' must be a list of strings")
+
             def work():
-                return rt.store(collection).delete(list(ids))
+                return rt.store(collection).delete(ids)
 
             n = await asyncio.get_running_loop().run_in_executor(None, work)
         return web.json_response(schema.api_response(t0, {"removed": n}))

@@ -57,16 +57,28 @@ def segment_uuid(doc_uuid: str, idx: int) -> str:
 
 
 def insert_document_from_task(db: Database, task: Task) -> Document:
-    """document::ActiveModel::from_task (document.rs:72-85)."""
+    """document::ActiveModel::from_task (document.rs:72-85).
+
+    Idempotent on task RETRY: the document uuid is uuid5(task.id), so a
+    re-run after a partial failure (e.g. the store write raised after this
+    insert committed) must return the existing row instead of tripping the
+    documents.uuid UNIQUE constraint forever and parking the task Failed."""
     now = utcnow()
     doc_uuid = document_uuid_for_task(task.id)
+    # One atomic upsert (sqlite >= 3.24 and postgres share the syntax):
+    # a SELECT-then-INSERT would re-open the UNIQUE race under a
+    # double-claim (lease expiry + a still-running worker).
     cur = db.execute(
         "INSERT INTO documents (uuid, task_id, content, created_at, updated_at)"
-        " VALUES (?, ?, ?, ?, ?)",
+        " VALUES (?, ?, ?, ?, ?)"
+        " ON CONFLICT(uuid) DO UPDATE SET content=excluded.content,"
+        " updated_at=excluded.updated_at"
+        " RETURNING id",
         (doc_uuid, task.id, task.content, now, now),
     )
+    row = cur.fetchone()
     return Document(
-        id=cur.lastrowid,
+        id=row["id"] if row is not None else cur.lastrowid,
         uuid=doc_uuid,
         task_id=task.id,
         content=task.content,
@@ -84,12 +96,18 @@ def insert_embeddings(
     vectors: np.ndarray,
 ) -> list[str]:
     """Insert one row per segment in a single transaction
-    (lib/worker/src/tasks.rs:31-57). Returns the segment uuids."""
+    (lib/worker/src/tasks.rs:31-57). Returns the segment uuids.
+
+    Idempotent on task retry: segment uuids are deterministic
+    (uuid5(doc_uuid-idx)), so a replay first clears the document's prior
+    rows in the same transaction — otherwise every retry would duplicate
+    the embeddings in SQL and bloat recovery."""
     assert len(segments) == vectors.shape[0], "# embeddings must match # segments"
     vectors = np.ascontiguousarray(vectors, dtype=np.float32)
     now = utcnow()
     uuids = [segment_uuid(doc_uuid, idx) for idx in range(len(segments))]
     with db.transaction() as conn:
+        conn.execute("DELETE FROM embeddings WHERE document_id = ?", (doc_uuid,))
         conn.executemany(
             "INSERT INTO embeddings (document_id, uuid, segment, content, vector, dim,"
             " collection, created_at, updated_at) VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)",

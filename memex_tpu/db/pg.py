@@ -191,6 +191,12 @@ class PgDatabase:
         def execute(self, sql: str, params: tuple = ()) -> _PgCursorResult:
             return self.db._run(self._cur, sql, params)
 
+        def executemany(self, sql: str, rows: list[tuple]) -> None:
+            # insert_embeddings batches its per-segment rows through the
+            # txn handle; the sqlite txn yields a raw connection that has
+            # this natively.
+            self._cur.executemany(_to_format_style(sql), rows)
+
         def __exit__(self, exc_type, exc, tb):
             try:
                 self._cur.close()

@@ -159,6 +159,17 @@ def reap_expired(db: Database) -> int:
     return cur.rowcount
 
 
+def requeue(db: Database, task_id: int) -> None:
+    """Return a claimed task to Queued WITHOUT burning a retry — for cases
+    where the worker never attempted it (e.g. the pool closed between the
+    claim and the submit during shutdown)."""
+    db.execute(
+        "UPDATE queue SET status='Queued', updated_at=?, lease_expires_at=NULL"
+        " WHERE id=? AND status='Processing'",
+        (utcnow(), task_id),
+    )
+
+
 def mark_done(db: Database, task_id: int, task_output=None) -> None:
     """Flip to Completed (queue.rs:103-112); optionally store task_output
     (worker lib.rs:224-230 stores summarize output)."""

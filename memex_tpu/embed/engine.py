@@ -48,6 +48,20 @@ def _bucket(n: int, buckets) -> int:
     return buckets[-1]
 
 
+def seq_bucket(n: int, max_seq_length: int) -> int:
+    """Padded sequence length for n tokens: the smallest _SEQ_BUCKET that
+    fits, with max_seq_length ALWAYS the terminal bucket — a non-bucket
+    value like 384 must still yield a buffer the (truncated-to-max) ids
+    fit in. Shared by encode_single and the fused query path so compiled
+    shapes can never disagree."""
+    for b in _SEQ_BUCKETS:
+        if b >= max_seq_length:
+            break
+        if n <= b:
+            return b
+    return max_seq_length
+
+
 def _batch_bucket(n: int, max_batch: int) -> int:
     b = 8
     while b < n and b < max_batch:
@@ -200,7 +214,7 @@ class EmbeddingEngine:
         embedding.rs:144-151). Uses the smallest seq bucket that fits, so
         short queries compile/execute on tiny shapes."""
         ids_list = self.tokenizer.encode(text, add_special_tokens=True)[: self.max_seq_length]
-        L = _bucket(len(ids_list), [b for b in _SEQ_BUCKETS if b <= self.max_seq_length] or [self.max_seq_length])
+        L = seq_bucket(len(ids_list), self.max_seq_length)
         ids = np.full((1, L), self.tokenizer.pad_id, dtype=np.int32)
         mask = np.zeros((1, L), dtype=np.int32)
         ids[0, : len(ids_list)] = ids_list

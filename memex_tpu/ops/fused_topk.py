@@ -417,9 +417,12 @@ def fused_score_topk_int8q_rerank(
     # Coarse candidates: reuse the int8q kernel via a wide k then re-rank.
     # The kernel's candidate bank is S = banks*128 wide; fetch top-R of it.
     r = min(rerank, banks * _LANES)
+    # alive rides INTO the coarse scan: dead rows must not claim candidate
+    # bank slots (a post-filter cannot recover live rows they shadowed —
+    # same reasoning as the int4 rerank path below).
     cvals, cand = fused_score_topk_int8q(
-        db_q, scales, queries, r, count=count, block_n=block_n, banks=banks,
-        interpret=interpret,
+        db_q, scales, queries, r, count=count, alive=alive,
+        block_n=block_n, banks=banks, interpret=interpret,
     )
     rows = jnp.take(db_q, cand, axis=0)                      # [Q, R, D]
     rsc = jnp.take(scales, cand)                             # [Q, R]

@@ -29,6 +29,11 @@ class Runtime:
         self._encode_batcher = None
         self._add_batcher = None
         self._rebuilt: set[str] = set()
+        # Per-collection recovery locks: a first-touch rebuild can stream
+        # millions of rows (minutes through the tunnel); holding the global
+        # RLock for that long would stall every unrelated runtime operation
+        # (db/engine/llm properties, other collections' batched writes).
+        self._recovery_locks: dict[str, threading.RLock] = {}
         self._last_ckpt: dict[str, float] = {}
 
     @property
@@ -131,10 +136,14 @@ class Runtime:
         # First touch per process: if the device index is empty but SQL has
         # rows (restart without a checkpoint), rebuild from the source of
         # truth (SURVEY.md §5 checkpoint/resume). Check-and-rebuild happens
-        # under the lock: API threads, the batcher, and worker threads can
-        # first-touch concurrently, and two rebuilds would double every row.
+        # under a PER-COLLECTION lock: API threads, the batcher, and worker
+        # threads can first-touch concurrently (two rebuilds would double
+        # every row), but one collection's minutes-long rebuild must not
+        # stall the rest of the runtime behind the global lock.
         if collection not in self._rebuilt:
             with self._lock:
+                rl = self._recovery_locks.setdefault(collection, threading.RLock())
+            with rl:
                 if collection not in self._rebuilt:
                     # Mark BEFORE rebuilding: rebuild_collection re-enters
                     # store() on this thread (RLock) and must not recurse.
@@ -143,7 +152,15 @@ class Runtime:
                     if store.count == 0 or needs:
                         from .recovery import rebuild_collection
 
-                        rebuild_collection(self, collection, force=needs)
+                        try:
+                            rebuild_collection(self, collection, force=needs)
+                        except BaseException:
+                            # Roll back the mark: a failed rebuild must be
+                            # retried on the next touch, not remembered as
+                            # done for the process lifetime (silently empty
+                            # search results until restart).
+                            self._rebuilt.discard(collection)
+                            raise
         return store
 
     def maybe_checkpoint(self, collection: str, store, interval_s: float | None = None) -> bool:

@@ -65,15 +65,26 @@ class Microbatcher:
         self._thread.join(timeout=5)
 
     def _loop(self) -> None:
+        import time as _time
+
         while True:
             with self._lock:
                 while not self._pending and not self._shutdown:
                     self._wake.wait()
                 if self._shutdown and not self._pending:
                     return
-                # Collect until window closes or the batch fills.
-                deadline_hit = self._wake.wait(self.max_wait) is not None
-                del deadline_hit
+                # Collect until the window closes or the batch fills. A
+                # single wait() would end on the FIRST notify (one more
+                # submit), degenerating steady-load batches to ~2 items;
+                # and when a backlog is already >= max_batch there is
+                # nothing to wait for at all.
+                deadline = _time.monotonic() + self.max_wait
+                while (len(self._pending) < self.max_batch
+                       and not self._shutdown):
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._wake.wait(remaining)
                 batch = self._pending[: self.max_batch]
                 self._pending = self._pending[self.max_batch :]
             METRICS.inc(f"batcher.{self.name}.batches")

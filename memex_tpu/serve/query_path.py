@@ -28,13 +28,13 @@ from ..index.flat import (
     _search_masked_fused_int8,
     _search_xla,
 )
+from ..embed.engine import seq_bucket
 from ..log import get_logger
 from ..models.minilm import MiniLMEncoder
 
 logger = get_logger(__name__)
 
 _Q_BUCKETS = (1, 8, 32, 128, 256)
-_L_BUCKETS = (32, 64, 128, 256)
 
 
 def _bucket(n, buckets):
@@ -78,13 +78,21 @@ class FusedQueryPath:
 
     def search_texts(self, store, texts: list[str], k: int):
         """texts -> per-text [(id, score)] through one device dispatch."""
+        # The fixed query buckets top out at _Q_BUCKETS[-1]; larger
+        # microbatches (config allows any search_max_batch) run in slices.
+        cap = _Q_BUCKETS[-1]
+        if len(texts) > cap:
+            out = []
+            for s in range(0, len(texts), cap):
+                out.extend(self.search_texts(store, texts[s : s + cap], k))
+            return out
         index: FlatIndex = store.index
         tok = self.engine.tokenizer
         encoded = [tok.encode(t, add_special_tokens=True)[: self.engine.max_seq_length]
                    for t in texts]
-        L = _bucket(max(len(e) for e in encoded),
-                    [b for b in _L_BUCKETS if b <= self.engine.max_seq_length]
-                    or [self.engine.max_seq_length])
+        # Shared bucketing with encode_single (embed/engine.seq_bucket):
+        # the two paths must never disagree on compiled shapes.
+        L = seq_bucket(max(len(e) for e in encoded), self.engine.max_seq_length)
         B = _bucket(len(texts), _Q_BUCKETS)
         ids = np.full((B, L), tok.pad_id, np.int32)
         mask = np.zeros((B, L), np.int32)
@@ -93,8 +101,16 @@ class FusedQueryPath:
             mask[i, : len(e)] = 1
         mask[len(texts):, 0] = 1  # pad rows: avoid 0/0 pooling
 
-        with getattr(store, "_lock", _NullLock()):  # consistent buffer snapshot
+        # The lock is held THROUGH the dispatch, not just the argument
+        # snapshot: a concurrent add() donates index.buf (jax marks the
+        # old buffer deleted at the donor's call site), so dispatching
+        # against a snapshot taken outside the lock can raise
+        # "buffer donated" — and a compact() would renumber rows under
+        # the id mapping. Once dispatched, in-order device execution
+        # protects the computation; the blocking fetch happens unlocked.
+        with getattr(store, "_lock", _NullLock()):
             count = index.count
+            ids_snapshot = index.ids  # replaced (not mutated) by compaction
             k_eff = min(k, count)
             use_fused = index.use_fused and k_eff <= 128
             if index.dtype == "int4":
@@ -103,12 +119,12 @@ class FusedQueryPath:
                 bn = min(32768, index.capacity)
             else:
                 bn = min(index.block_n, index.capacity)
-            args = (self.engine.params, jnp.asarray(ids), jnp.asarray(mask),
-                    index.buf, index.scales, index.alive, count, index.buf8)
-        vals, rows = _encode_and_search(
-            *args, enc_cfg=self.engine.cfg, k=k_eff, dtype=index.dtype,
-            use_fused=use_fused, qquant=index.query_quantize, block_n=bn,
-        )
+            vals, rows = _encode_and_search(
+                self.engine.params, jnp.asarray(ids), jnp.asarray(mask),
+                index.buf, index.scales, index.alive, count, index.buf8,
+                enc_cfg=self.engine.cfg, k=k_eff, dtype=index.dtype,
+                use_fused=use_fused, qquant=index.query_quantize, block_n=bn,
+            )
         from ..ops.host import fetch
 
         vals, rows = fetch(vals, rows)  # overlapped transfers: ONE round-trip
@@ -118,7 +134,7 @@ class FusedQueryPath:
             for v, r in zip(vals[qi], rows[qi]):
                 if v <= -1e29 or r >= count:
                     continue
-                hits.append((index.ids[r], float(v)))
+                hits.append((ids_snapshot[r], float(v)))
             out.append(hits)
         return out
 

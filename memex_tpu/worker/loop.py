@@ -88,7 +88,18 @@ class Worker:
         with self._lock:
             self._active += 1
         logger.info("claimed task %d (%s)", task.id, task.task_type.value)
-        self._pool.submit(self._run_task, task)
+        try:
+            self._pool.submit(self._run_task, task)
+        except RuntimeError:
+            # shutdown() closed the pool between the claim and the submit:
+            # return the task to the queue (no retry burned — it was never
+            # attempted) instead of letting it ride out its lease as
+            # Processing and killing the scheduler thread.
+            with self._lock:
+                self._active -= 1
+            queue.requeue(self.rt.db, task.id)
+            logger.info("requeued task %d: pool closed during claim", task.id)
+            return False
         return True
 
     def run(self) -> None:

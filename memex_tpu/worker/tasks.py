@@ -52,7 +52,13 @@ def process_ingest(rt: Runtime, task: queue.Task) -> None:
     # Periodic, not per-task: SQL is the durable source of truth and
     # recovery.py rebuilds; a per-task checkpoint would re-introduce the
     # reference's save-everything-per-insert cost (local.rs:62-69).
-    rt.maybe_checkpoint(task.collection, store)
+    # Best-effort: the ingest is already durable (SQL committed, store
+    # written) — a checkpoint failure (disk full, transient FS error) must
+    # not fail the task and burn retries on committed work.
+    try:
+        rt.maybe_checkpoint(task.collection, store)
+    except Exception:
+        logger.exception("task %d: checkpoint failed (ingest unaffected)", task.id)
 
 
 def process_summarize(rt: Runtime, task: queue.Task):
@@ -85,6 +91,11 @@ def process_extract(rt: Runtime, task: queue.Task):
     try:
         payload = json.loads(task.content)
     except json.JSONDecodeError:
+        payload = None
+    if not isinstance(payload, dict):
+        # Valid non-object JSON (bare number/string/array) is plain text
+        # too — only a JSON OBJECT carries the {text, query, jsonSchema}
+        # payload shape.
         payload = {"text": task.content, "query": "Extract the key facts."}
     text = payload.get("text", "")
     user_query = payload.get("query", "")
