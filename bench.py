@@ -40,22 +40,11 @@ RECALL_BAR = 0.95
 
 
 def _enable_compile_cache() -> None:
-    """Persistent XLA compile cache: pallas compiles through the tunnel cost
-    3-5 min each; cached reruns load in seconds (verified on axon). TPU-only:
-    XLA:CPU AOT entries can reload with machine-feature mismatches that
-    degrade every op ~20x (see CLAUDE.md), so never enable it on CPU."""
-    import jax
+    """Shared persistent-cache policy (memex_tpu/compile_cache.py):
+    TPU-only, no-op on the CPU backend — see that module for why."""
+    from memex_tpu.compile_cache import enable_compile_cache
 
-    if jax.default_backend() == "cpu":
-        return
-    cache = os.environ.get("JAX_COMPILE_CACHE", "/root/.cache/jaxpc")
-    try:
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    except Exception:
-        pass
+    enable_compile_cache()
 
 
 def bench_kernels(rpc: float) -> dict:
@@ -534,6 +523,10 @@ def main() -> None:
 
     results = bench_kernels(rpc)
     eligible = {k: v for k, v in results.items() if v["recall_at_10"] >= RECALL_BAR}
+    if not eligible:
+        # A recall regression is exactly what this bench exists to surface:
+        # still emit the JSON line (flagged) instead of dying on max({}).
+        eligible = results
     best = max(eligible, key=lambda k: eligible[k]["qps"])
 
     extras = {}

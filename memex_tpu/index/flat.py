@@ -260,6 +260,15 @@ class FlatIndex:
         must be unit-normalized [M, dim]."""
         vectors = np.asarray(vectors, dtype=np.float32)
         assert vectors.shape[0] == len(ids) and vectors.shape[1] == self.dim
+        if len(set(ids)) < len(ids):
+            # Intra-batch duplicates: keep the LAST occurrence per id —
+            # two live rows under one id would make the first an
+            # undeletable ghost (delete() can only tombstone the row
+            # _id_to_row points at).
+            last = {sid: i for i, sid in enumerate(ids)}
+            pick = sorted(last.values())
+            vectors = vectors[pick]
+            ids = [ids[i] for i in pick]
         if any(sid in self._id_to_row for sid in ids):
             # Idempotent re-add (e.g. a rebuild raced an ingest): keep the
             # existing row, insert only genuinely new ids.

@@ -670,9 +670,14 @@ class IVFIndex:
             self.rebuild_device()
             return
         vecs, ids = self._all_vectors()
-        self.spill.delete_all()
-        self._deleted.clear()
-        self.build(vecs, ids)
+        # Full reset BEFORE build: when the live set has shrunk below the
+        # C*4 clustering floor, build() takes its spill-only early return —
+        # clearing only spill+tombstones here would leave the OLD cluster
+        # table installed with an emptied deleted set, resurrecting every
+        # tombstoned row (and duplicating live ones into the spill).
+        self.delete_all()
+        if len(ids):
+            self.build(vecs, ids)
 
     # -- vectorized live-row extraction (no per-row Python) -------------------
 

@@ -298,6 +298,14 @@ class ShardedFlatIndex:
     def add(self, vectors: np.ndarray, ids: list[str]) -> None:
         vectors = np.asarray(vectors, dtype=np.float32)
         assert vectors.shape[0] == len(ids)
+        if len(set(ids)) < len(ids):
+            # Intra-batch duplicates: keep the LAST occurrence per id
+            # (mirrors FlatIndex.add — the first copy would be an
+            # undeletable ghost).
+            last = {sid: i for i, sid in enumerate(ids)}
+            pick = sorted(last.values())
+            vectors = vectors[pick]
+            ids = [ids[i] for i in pick]
         if any(sid in self._id_to_row for sid in ids):
             # Idempotent re-add (mirrors FlatIndex.add).
             fresh = [i for i, sid in enumerate(ids) if sid not in self._id_to_row]
@@ -308,10 +316,10 @@ class ShardedFlatIndex:
         m = vectors.shape[0]
         free_total = self.P * self.cap - sum(self.counts)
         if m > free_total:
-            raise RuntimeError(
-                f"sharded index full ({self.P}x{self.cap}, need {m} have "
-                f"{free_total}); grow capacity_per_shard or use IVF"
-            )
+            # Grow instead of the old hard RuntimeError — which could fire
+            # mid-build on the sharded-IVF spill (overflow rows land AFTER
+            # the new cluster table is installed) and kill ingest.
+            self._grow_for(m)
         # Water-fill allocation: level shard fills, respecting capacity.
         alloc = self._waterfill(m)
         rows = 1 << max(3, (max(alloc) - 1).bit_length())  # pow2 block >= 8
@@ -369,6 +377,25 @@ class ShardedFlatIndex:
             )
         for s in range(self.P):
             self.counts[s] += alloc[s]
+
+    def _grow_for(self, m: int) -> None:
+        """Double capacity_per_shard until `m` more rows fit: collect live
+        rows from the host shadow (zero device fetch), reinitialize the
+        sharded buffers at the new capacity, re-add (which also compacts
+        tombstones). Global rows are renumbered, so this goes through
+        delete_all's generation bump — the next checkpoint rewrites."""
+        rows = sorted(self.ids.items())
+        sids = [s for _, s in rows]
+        vecs = self.rows_f32([g for g, _ in rows])
+        new_cap = self.cap
+        while self.P * new_cap - len(rows) < m:
+            new_cap *= 2
+        logger.info("sharded index grow %d -> %d rows/shard (%d live rows)",
+                    self.cap, new_cap, len(rows))
+        self.cap = new_cap
+        self.delete_all()  # reinitializes every buffer at self.cap
+        if sids:
+            self.add(vecs, sids)
 
     def _waterfill(self, m: int) -> list[int]:
         """Distribute m rows to level out shard fills (capacity-bounded)."""

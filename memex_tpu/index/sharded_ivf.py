@@ -325,6 +325,16 @@ class ShardedIVFIndex:
                 sscales = np.asarray(jnp.take(scales, sel_dev))
                 vecs = codes.astype(np.float32) * sscales[:, None]
                 self.spill.add(vecs, sids[live].tolist())
+                # Capacity-aware fold (parity with IVFIndex.build_device):
+                # overflow rows' first-choice buckets are full by
+                # construction; place them in their next-nearest cluster
+                # with free slots instead of leaving an exact-scanned
+                # spill every query must pay for.
+                folded = self.fold_spill()
+                logger.info(
+                    "sharded ivf build: folded %d/%d overflow rows into "
+                    "alternate buckets (%d remain spilled)",
+                    folded, len(live_rows), self.spill.count)
 
     def _rowids_host(self) -> np.ndarray | None:
         if self.rowids is None and self._rowids_dev is not None:
@@ -558,6 +568,26 @@ class ShardedIVFIndex:
     # -- search ---------------------------------------------------------------
 
     def search(self, queries: np.ndarray, k: int) -> list[list[tuple]]:
+        out = self._search_once(queries, k)
+        # The over-fetch is hard-capped at the kernel bank width (kk<=512),
+        # so deletes adversarially concentrated in one topic can crowd out
+        # every live candidate below the store's 25% churn-rebuild trigger.
+        # Shortfall => rebuild (drops tombstones) and retry ONCE; the guard
+        # on the tombstone count prevents a loop when rebuild no-ops in the
+        # spill-only regime.
+        if self._deleted:
+            expect = min(k, self.count)
+            if any(len(r) < expect for r in out):
+                before = len(self._deleted)
+                logger.warning(
+                    "sharded ivf shortfall under %d tombstones; rebuilding",
+                    before)
+                self.rebuild()
+                if len(self._deleted) < before:
+                    out = self._search_once(queries, k)
+        return out
+
+    def _search_once(self, queries: np.ndarray, k: int) -> list[list[tuple]]:
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         Q = queries.shape[0]
         merged: list[dict] = [dict() for _ in range(Q)]

@@ -103,6 +103,16 @@ def train_encoder(
     dp = NamedSharding(mesh, P("data", None))
     n_dev = len(jax.devices())
     batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
+    # Small collections: shrink the batch to the largest device multiple
+    # that fits — otherwise the epoch loop runs ZERO steps and the
+    # unmodified encoder would be exported as if fine-tuned.
+    if len(pairs) < batch_size:
+        batch_size = max(n_dev, (len(pairs) // n_dev) * n_dev)
+        if len(pairs) < batch_size:
+            raise ValueError(
+                f"collection {collection!r} has only {len(pairs)} pairs — "
+                f"fewer than the {n_dev}-device minimum batch")
+        logger.info("batch_size reduced to %d (%d pairs)", batch_size, len(pairs))
 
     # f32 master params for training (engine params may be bf16-cast)
     f32_params = jax.tree.map(lambda a: a.astype(np.float32), engine.params)

@@ -34,6 +34,7 @@ struct Hnsw {
   std::vector<int> levels;                 // level of each node
   std::vector<std::vector<std::vector<uint32_t>>> links;  // node -> layer -> neighbors
   std::vector<uint8_t> dead;               // tombstones
+  size_t n_dead = 0;
   int entry = -1;
   int max_level = -1;
   std::mutex mu;
@@ -171,15 +172,25 @@ struct Hnsw {
         }
       }
     }
-    auto nearest = search_layer(q, {ep}, 0, std::max(ef, k));
-    int n = 0;
-    for (auto& [d, id] : nearest) {
-      if (dead[id]) continue;
-      out_ids[n] = id;
-      out_scores[n] = -d;  // back to cosine similarity
-      if (++n >= k) break;
+    // Tombstones are filtered AFTER the beam, so a fixed ef lets deletes
+    // concentrated near the query crowd out every live candidate (k live
+    // neighbors exist but the beam holds only dead ones). Widen and retry
+    // until enough live hits surface or the beam covers the graph.
+    size_t live_total = size() - n_dead;
+    int want = (int)std::min<size_t>((size_t)k, live_total);
+    size_t ef_eff = (size_t)std::max(ef, k);
+    for (;;) {
+      auto nearest = search_layer(q, {ep}, 0, (int)ef_eff);
+      int n = 0;
+      for (auto& [d, id] : nearest) {
+        if (dead[id]) continue;
+        out_ids[n] = id;
+        out_scores[n] = -d;  // back to cosine similarity
+        if (++n >= k) break;
+      }
+      if (n >= want || ef_eff >= size()) return n;
+      ef_eff = std::min(ef_eff * 2 + n_dead, size());
     }
-    return n;
   }
 
   bool save(const char* path) const {
@@ -208,34 +219,49 @@ struct Hnsw {
     return true;
   }
 
+  // Checked load: every fread is verified and every header/graph field is
+  // range-validated, so a truncated or corrupt checkpoint (crash mid-save)
+  // returns nullptr instead of garbage graph state, huge allocations, or
+  // out-of-bounds vec() reads in a later search.
   static Hnsw* load(const char* path) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return nullptr;
+    auto fail = [&](Hnsw* h) { std::fclose(f); delete h; return (Hnsw*)nullptr; };
     uint32_t magic; int dim, M, efc, entry, max_level; uint64_t n;
-    if (std::fread(&magic, 4, 1, f) != 1 || magic != 0x4d583148) { std::fclose(f); return nullptr; }
-    std::fread(&dim, 4, 1, f);
-    std::fread(&M, 4, 1, f);
-    std::fread(&efc, 4, 1, f);
-    std::fread(&n, 8, 1, f);
-    std::fread(&entry, 4, 1, f);
-    std::fread(&max_level, 4, 1, f);
+    if (std::fread(&magic, 4, 1, f) != 1 || magic != 0x4d583148) return fail(nullptr);
+    if (std::fread(&dim, 4, 1, f) != 1 || std::fread(&M, 4, 1, f) != 1 ||
+        std::fread(&efc, 4, 1, f) != 1 || std::fread(&n, 8, 1, f) != 1 ||
+        std::fread(&entry, 4, 1, f) != 1 || std::fread(&max_level, 4, 1, f) != 1)
+      return fail(nullptr);
+    if (dim < 1 || dim > (1 << 16) || M < 1 || M > 4096 ||
+        n > (uint64_t)1 << 33 || max_level < -1 || max_level > 24 ||
+        entry < -1 || (n > 0 && entry >= (int64_t)n) || (n == 0 && entry != -1))
+      return fail(nullptr);
     auto* h = new Hnsw(dim, M, efc);
     h->entry = entry;
     h->max_level = max_level;
     h->data.resize(n * dim);
     h->levels.resize(n);
     h->dead.resize(n);
-    std::fread(h->data.data(), 4, n * dim, f);
-    std::fread(h->levels.data(), 4, n, f);
-    std::fread(h->dead.data(), 1, n, f);
+    if (n > 0 && (std::fread(h->data.data(), 4, n * dim, f) != n * dim ||
+                  std::fread(h->levels.data(), 4, n, f) != n ||
+                  std::fread(h->dead.data(), 1, n, f) != n))
+      return fail(h);
+    h->n_dead = 0;
+    for (uint64_t i = 0; i < n; ++i)
+      if (h->dead[i]) h->n_dead++;
     h->links.resize(n);
     for (uint64_t i = 0; i < n; ++i) {
+      if (h->levels[i] < 0 || h->levels[i] > 24) return fail(h);
       h->links[i].resize(h->levels[i] + 1);
       for (int l = 0; l <= h->levels[i]; ++l) {
         uint32_t cnt;
-        std::fread(&cnt, 4, 1, f);
+        if (std::fread(&cnt, 4, 1, f) != 1 || cnt > n) return fail(h);
         h->links[i][l].resize(cnt);
-        std::fread(h->links[i][l].data(), 4, cnt, f);
+        if (cnt && std::fread(h->links[i][l].data(), 4, cnt, f) != cnt)
+          return fail(h);
+        for (uint32_t nb : h->links[i][l])
+          if (nb >= n) return fail(h);
       }
     }
     std::fclose(f);
@@ -267,7 +293,10 @@ int hnsw_search(void* h, const float* q, int k, int ef,
 
 void hnsw_mark_deleted(void* h, uint32_t id) {
   auto* idx = (Hnsw*)h;
-  if (id < idx->size()) idx->dead[id] = 1;
+  if (id < idx->size() && !idx->dead[id]) {
+    idx->dead[id] = 1;
+    idx->n_dead++;
+  }
 }
 
 uint64_t hnsw_count(void* h) { return ((Hnsw*)h)->size(); }
