@@ -94,7 +94,6 @@ class EmbeddingEngine:
         self.mesh = mesh
         self.data_axis = data_axis
         self._lock = threading.Lock()
-        self._compiled: dict[tuple[int, int], object] = {}
 
         if model_dir and model_dir != "random":
             self.cfg, params = load_params(model_dir)
@@ -122,11 +121,11 @@ class EmbeddingEngine:
             self._out_sharding = None
             self._n_dev = 1
 
-    # -- compile cache -------------------------------------------------------
-
-    def _fn_for(self, B: int, L: int):
-        key = (B, L)
-        fn = self._compiled.get(key)
+    def _jit_apply(self):
+        """ONE jitted forward shared by every (batch, seq) bucket —
+        jax.jit already caches an executable per concrete input shape, so
+        a per-shape dict of fresh jit wrappers bought nothing."""
+        fn = getattr(self, "_jit_fn", None)
         if fn is None:
             if self.mesh is not None:
                 fn = jax.jit(
@@ -136,14 +135,12 @@ class EmbeddingEngine:
                 )
             else:
                 fn = jax.jit(self.encoder.apply)
-            self._compiled[key] = fn
+            self._jit_fn = fn
         return fn
 
     def _run(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
         """Run one fixed-shape batch; returns float32 [B, D]."""
-        B, L = ids.shape
-        fn = self._fn_for(B, L)
-        out = fn(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        out = self._jit_apply()(self.params, jnp.asarray(ids), jnp.asarray(mask))
         return np.asarray(out, dtype=np.float32)
 
     # -- batching ------------------------------------------------------------

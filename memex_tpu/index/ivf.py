@@ -201,6 +201,45 @@ def _capacity_fill(choice: np.ndarray, sizes: np.ndarray, M: int):
     return a_final, slot_final, sizes_fill
 
 
+def bucket_pack_dest(assign, counts, C: int, M: int):
+    """Per-row scatter destination into the padded [C*M] bucket layout:
+    rows are stable-packed cluster-sorted; rows past a full bucket (and
+    padding rows routed to pseudo-cluster C) get dest == C*M, which is out
+    of bounds for the flat target — the mode='drop' scatter discards them
+    (they go to the spill). Shared by the single-chip and mesh builders so
+    the packing semantics cannot drift."""
+    n = assign.shape[0]
+    order = jnp.argsort(assign)
+    sorted_assign = jnp.take(assign, order)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    pos = jnp.arange(n, dtype=jnp.int32) - jnp.take(starts, sorted_assign)
+    dest_sorted = jnp.where(pos < M, sorted_assign * M + pos, C * M)
+    # Per-original-row destination (scatter instead of gather: avoids
+    # materializing a second full copy of the corpus). `order` rides along
+    # for the callers' overflow-row derivation (cluster c's overflow sits
+    # at sorted positions starts[c]+M..counts[c]).
+    dest = jnp.zeros((n,), jnp.int32).at[order].set(dest_sorted)
+    return dest, order
+
+
+# Scatter inside ONE jit: eagerly, `.at[dest].set` would materialize the
+# zeros input AND the output (2x the [C*M, D] bucket = OOM at 10M rows);
+# jitted, the init and scatter share one buffer.
+@partial(jax.jit, static_argnames=("C", "M"))
+def pack_scatter_int8(vecs_q, scales, dest, C: int, M: int):
+    dim_ = vecs_q.shape[1]
+    data = (jnp.zeros((C * M, dim_), jnp.int8)
+            .at[dest].set(vecs_q, mode="drop").reshape(C, M, dim_))
+    rsc = (jnp.zeros((C * M,), jnp.float32)
+           .at[dest].set(scales, mode="drop").reshape(C, M))
+    rid = (jnp.full((C * M,), -1, jnp.int32)
+           .at[dest].set(jnp.arange(vecs_q.shape[0], dtype=jnp.int32),
+                         mode="drop").reshape(C, M))
+    return data, rsc, rid
+
+
 @partial(jax.jit, donate_argnums=(0, 1, 2))
 def _fold_scatter(data, rsc, rid, codes, scales, dest, rid_new):
     """In-place (donated) scatter of spill rows into bucket slots: the
@@ -404,36 +443,9 @@ class IVFIndex:
         M = -(-M // 1024) * 1024  # 1024: batch kernels run S=1024 chunks
         C, dim = self.C, self.dim
 
-        order = jnp.argsort(assign)
-        sorted_assign = jnp.take(assign, order)
-        starts = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
-        )
-        pos = jnp.arange(n, dtype=jnp.int32) - jnp.take(starts, sorted_assign)
-        in_bucket = pos < M
-        dest_sorted = jnp.where(in_bucket, sorted_assign * M + pos, C * M)
-        # Per-original-row destination (scatter instead of gather: avoids
-        # materializing a second full copy of the corpus).
-        dest = jnp.zeros((n,), jnp.int32).at[order].set(dest_sorted)
-
-        # Scatter inside ONE jit: eagerly, `.at[dest].set` would materialize
-        # the zeros input AND the output (2x the [C*M, D] bucket = OOM at
-        # 10M rows); jitted, the init and scatter share one buffer. Overflow
-        # rows carry dest == C*M, which is out of bounds for the [C*M]
-        # target — scatter mode="drop" discards them (they go to spill).
-        @partial(jax.jit, static_argnames=("C", "M"))
-        def _pack_scatter(vecs_q, scales, dest, C, M):
-            dim_ = vecs_q.shape[1]
-            data = (jnp.zeros((C * M, dim_), jnp.int8)
-                    .at[dest].set(vecs_q, mode="drop").reshape(C, M, dim_))
-            rsc = (jnp.zeros((C * M,), jnp.float32)
-                   .at[dest].set(scales, mode="drop").reshape(C, M))
-            rid = (jnp.full((C * M,), -1, jnp.int32)
-                   .at[dest].set(jnp.arange(vecs_q.shape[0], dtype=jnp.int32),
-                                 mode="drop").reshape(C, M))
-            return data, rsc, rid
-
-        self.data, self.rscales, rid_cm = _pack_scatter(vecs_q, scales, dest, C, M)
+        dest, order = bucket_pack_dest(assign, counts, C, M)
+        self.data, self.rscales, rid_cm = pack_scatter_int8(
+            vecs_q, scales, dest, C, M)
         self._invalidate_int4()
         self.sizes = jnp.minimum(counts, M).astype(jnp.int32)
         # The rowid table stays ON DEVICE: the tunnel's device->host fetch

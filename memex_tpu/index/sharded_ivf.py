@@ -42,7 +42,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..log import get_logger
-from .ivf import IVFIndex, _capacity_fill, _topk_clusters, kmeans_assign, kmeans_fit
+from .ivf import (IVFIndex, _capacity_fill, _topk_clusters, bucket_pack_dest,
+                  kmeans_assign, kmeans_fit)
 from .sharded import ShardedFlatIndex
 
 logger = get_logger(__name__)
@@ -226,6 +227,29 @@ class ShardedIVFIndex:
         self._host_codes = qp
         self._host_scales = sp
 
+    def _pack_scatter_sharded(self):
+        """Memoized cluster-sharded variant of ivf.pack_scatter_int8 (same
+        body; GSPMD routes rows to their owning shard via out_shardings).
+        One jit per instance so repeated builds reuse the executable."""
+        fn = getattr(self, "_pack_scatter_fn", None)
+        if fn is None:
+            @partial(jax.jit, static_argnames=("C", "M"),
+                     out_shardings=(self._c_sh, self._cm_sh, self._cm_sh))
+            def fn(vecs_q, scales, dest, C, M):
+                dim_ = vecs_q.shape[1]
+                data = (jnp.zeros((C * M, dim_), jnp.int8)
+                        .at[dest].set(vecs_q, mode="drop").reshape(C, M, dim_))
+                rsc = (jnp.zeros((C * M,), jnp.float32)
+                       .at[dest].set(scales, mode="drop").reshape(C, M))
+                rid = (jnp.full((C * M,), -1, jnp.int32)
+                       .at[dest].set(jnp.arange(vecs_q.shape[0],
+                                                dtype=jnp.int32),
+                                     mode="drop").reshape(C, M))
+                return data, rsc, rid
+
+            self._pack_scatter_fn = fn
+        return fn
+
     def build_device(self, vecs_q, scales, ids: list,
                      n_valid: int | None = None) -> None:
         """SPMD build from a device-resident int8 corpus: replicated-sample
@@ -269,30 +293,8 @@ class ShardedIVFIndex:
         M = -(-M // 1024) * 1024  # 1024: batch kernel runs S=1024 chunks
         C = self.C
 
-        order = jnp.argsort(assign)
-        sorted_assign = jnp.take(assign, order)
-        starts = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
-        )
-        pos = jnp.arange(n, dtype=jnp.int32) - jnp.take(starts, sorted_assign)
-        in_bucket = pos < M
-        dest_sorted = jnp.where(in_bucket, sorted_assign * M + pos, C * M)
-        dest = jnp.zeros((n,), jnp.int32).at[order].set(dest_sorted)
-
-        @partial(jax.jit, static_argnames=("C", "M"),
-                 out_shardings=(self._c_sh, self._cm_sh, self._cm_sh))
-        def _pack_scatter(vecs_q, scales, dest, C, M):
-            dim_ = vecs_q.shape[1]
-            data = (jnp.zeros((C * M, dim_), jnp.int8)
-                    .at[dest].set(vecs_q, mode="drop").reshape(C, M, dim_))
-            rsc = (jnp.zeros((C * M,), jnp.float32)
-                   .at[dest].set(scales, mode="drop").reshape(C, M))
-            rid = (jnp.full((C * M,), -1, jnp.int32)
-                   .at[dest].set(jnp.arange(vecs_q.shape[0], dtype=jnp.int32),
-                                 mode="drop").reshape(C, M))
-            return data, rsc, rid
-
-        self.data, self.rscales, self._rowids_dev = _pack_scatter(
+        dest, order = bucket_pack_dest(assign, counts, C, M)
+        self.data, self.rscales, self._rowids_dev = self._pack_scatter_sharded()(
             vecs_q, scales, dest, C, M)
         self.sizes = jax.device_put(
             jnp.minimum(counts, M).astype(jnp.int32), self._c1_sh)
@@ -760,29 +762,8 @@ class ShardedIVFIndex:
         M = max(M, int(counts_h.max()))
         M = -(-M // 1024) * 1024
         C = self.C
-        order = jnp.argsort(assign)
-        sorted_assign = jnp.take(assign, order)
-        starts = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
-        )
-        pos = jnp.arange(n_pad, dtype=jnp.int32) - jnp.take(starts, sorted_assign)
-        dest = jnp.zeros((n_pad,), jnp.int32).at[order].set(
-            jnp.where(pos < M, sorted_assign * M + pos, C * M))
-
-        @partial(jax.jit, static_argnames=("C", "M"),
-                 out_shardings=(self._c_sh, self._cm_sh, self._cm_sh))
-        def _scatter(vecs_q, dscales, dest, C, M):
-            dim_ = vecs_q.shape[1]
-            data = (jnp.zeros((C * M, dim_), jnp.int8)
-                    .at[dest].set(vecs_q, mode="drop").reshape(C, M, dim_))
-            rsc = (jnp.zeros((C * M,), jnp.float32)
-                   .at[dest].set(dscales, mode="drop").reshape(C, M))
-            rid = (jnp.full((C * M,), -1, jnp.int32)
-                   .at[dest].set(jnp.arange(vecs_q.shape[0], dtype=jnp.int32),
-                                 mode="drop").reshape(C, M))
-            return data, rsc, rid
-
-        self.data, self.rscales, self._rowids_dev = _scatter(
+        dest, _ = bucket_pack_dest(assign, counts, C, M)
+        self.data, self.rscales, self._rowids_dev = self._pack_scatter_sharded()(
             vecs_q, dscales, dest, C, M)
         self.sizes = jax.device_put(
             jnp.minimum(counts, M).astype(jnp.int32), self._c1_sh)

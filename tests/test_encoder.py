@@ -26,7 +26,6 @@ def tiny_engine(mesh=None, **kw):
     eng.mesh = mesh
     eng.data_axis = "data"
     eng._lock = threading.Lock()
-    eng._compiled = {}
     eng.tokenizer = WordPieceTokenizer()
     eng.cfg = MiniLMConfig(
         vocab_size=eng.tokenizer.vocab_size,
