@@ -25,4 +25,5 @@ setup-examples:
 
 clean:
 	$(MAKE) -C native clean
-	rm -rf .pytest_cache **/__pycache__
+	rm -rf .pytest_cache
+	find . -name __pycache__ -type d -prune -exec rm -rf {} +

@@ -51,10 +51,18 @@ def health_check(host: str) -> None:
 def wait_for_task(host: str, task_id: int, timeout: float = 300.0) -> dict:
     deadline = time.monotonic() + timeout
     while time.monotonic() < deadline:
-        body = requests.get(f"{host}/api/tasks/{task_id}", timeout=10).json()
-        status = body["result"]["status"]
-        if status in ("Completed", "Failed"):
-            return body["result"]
+        resp = requests.get(f"{host}/api/tasks/{task_id}", timeout=10)
+        result = resp.json().get("result") or {}
+        if resp.status_code != 200 or "status" not in result:
+            # Error envelope ({code, message}) or transient 5xx: surface a
+            # readable message instead of a KeyError traceback.
+            msg = result.get("message", f"HTTP {resp.status_code}")
+            if resp.status_code == 404:
+                raise RuntimeError(f"task {task_id} not found: {msg}")
+            time.sleep(0.5)  # transient server error: keep polling
+            continue
+        if result["status"] in ("Completed", "Failed"):
+            return result
         time.sleep(0.5)
     raise TimeoutError(f"task {task_id} still pending after {timeout}s")
 

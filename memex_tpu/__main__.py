@@ -66,8 +66,10 @@ def cmd_serve(args: argparse.Namespace) -> int:
 
     rt = get_runtime(settings)
     roles = {r.strip().lower() for r in args.roles.split(",") if r.strip()}
-    if not roles <= {"api", "worker"}:
-        logger.error("unknown roles in %r (expected Api,Worker)", args.roles)
+    if not roles or not roles <= {"api", "worker"}:
+        # An empty set would pass a bare subset check and park the process
+        # doing nothing (no listener, no worker, no explanation).
+        logger.error("invalid roles %r (expected Api,Worker)", args.roles)
         return 2
 
     worker = None
@@ -108,11 +110,15 @@ def cmd_serve(args: argparse.Namespace) -> int:
         stop.wait()
 
     if worker is not None:
-        worker.shutdown()
-        # Checkpoint stores on clean shutdown.
-        from .store.registry import _REGISTRY
-
-        _REGISTRY.checkpoint_all()
+        worker.shutdown()  # flushes checkpoints via rt.checkpoint_all()
+    else:
+        # Api-only role: no worker shutdown ran, flush stores here. One
+        # O(count) save per store is enough — worker.shutdown() already
+        # checkpoints, so no second pass when a worker exists.
+        try:
+            rt.checkpoint_all()
+        except Exception:
+            logger.exception("checkpoint on shutdown failed")
     return 0
 
 

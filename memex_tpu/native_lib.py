@@ -29,7 +29,14 @@ def _ensure_built() -> None:
     if all(os.path.exists(os.path.join(_BUILD_DIR, t)) for t in targets):
         return
     logger.info("building native components (make -C %s)", _NATIVE_DIR)
-    subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+    proc = subprocess.run(["make", "-C", _NATIVE_DIR], capture_output=True,
+                          text=True)
+    if proc.returncode != 0:
+        # Surface the compiler diagnostics — a bare CalledProcessError
+        # ("exit status 2") makes every native-path failure a guessing game.
+        raise RuntimeError(
+            f"native build failed (exit {proc.returncode}):\n"
+            f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
 
 
 def load(name: str) -> ctypes.CDLL:

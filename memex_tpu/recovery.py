@@ -61,6 +61,18 @@ def rebuild_collection(rt: Runtime, collection: str, batch: int = 4096,
         if pending:
             store.add_vectors(pending)
             total += len(pending)
+    except BaseException:
+        # Restore the "empty or complete" invariant: a partially-populated
+        # store would make every later retry a no-op (the count>0 gate
+        # above) and silently serve a partial index forever. SQL holds
+        # everything, so dropping the partial restore loses nothing.
+        if not force:
+            try:
+                store.delete_all()
+            except Exception:
+                logger.exception("cleanup of partial rebuild failed for %r",
+                                 collection)
+        raise
     finally:
         store._recovering = False
     if getattr(store, "needs_recovery", False):

@@ -270,3 +270,53 @@ def test_fused_query_path_chunks_past_terminal_bucket(tmp_path):
     out = fq.search_texts(store, [f"query {i}" for i in range(n)], 3)
     assert len(out) == n
     assert all(len(hits) == 3 for hits in out)
+
+
+# -- 10: interrupted recovery leaves no partial store ---------------------------
+
+
+def test_interrupted_rebuild_cleans_up_and_retries(tmp_path):
+    from memex_tpu import recovery
+
+    rt = make_rt(tmp_path, "partial")
+    for i in range(6):
+        queue.enqueue(rt.db, "pc", f"document number {i} with words",
+                      queue.TaskType.Ingest)
+        executors.process_ingest(rt, _claim(rt))
+    n_sql = rt.db.query_one(
+        "SELECT COUNT(*) AS n FROM embeddings WHERE collection='pc'")["n"]
+    assert n_sql >= 6
+
+    # Fresh-process store (empty), same SQL. rt2.store is stubbed to the
+    # raw store so the runtime's own first-touch auto-rebuild does not
+    # preempt the direct rebuild_collection call under test.
+    rt2 = make_rt(tmp_path, "partial")
+    rt2.settings.vector_uri = "memory://partial2"
+    rt2._db = rt.db
+    from memex_tpu.store import get_vector_storage
+
+    store = get_vector_storage("memory://partial2", "pc",
+                               dim=rt2.settings.embedding_dim)
+    rt2.store = lambda c: store
+
+    calls = {"n": 0}
+    orig = type(store).add_vectors
+
+    def flaky(self, data):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("tunnel dropped mid-stream")
+        return orig(self, data)
+
+    type(store).add_vectors = flaky
+    try:
+        with pytest.raises(RuntimeError):
+            recovery.rebuild_collection(rt2, "pc", batch=2)
+        # The partial restore was rolled back: a later retry is NOT gated
+        # out by count>0 and restores everything.
+        assert store.count == 0, "partial rebuild left rows behind"
+        restored = recovery.rebuild_collection(rt2, "pc", batch=2)
+    finally:
+        type(store).add_vectors = orig
+    assert restored == n_sql
+    assert store.count == n_sql
