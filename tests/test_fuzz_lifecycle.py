@@ -37,9 +37,13 @@ class Oracle:
             self.live.pop(sid, None)
 
     def check(self, index, rng, d, k=10, probes=4):
-        # FlatIndex.count includes tombstoned rows (dead tracked aside);
-        # IVFIndex.count is the live-id set size.
-        live_count = index.count - getattr(index, "dead", 0)
+        # Unified live-id count: IVF keeps `_live`; flat/sharded keep the
+        # live id->row map (FlatIndex.count would include tombstones,
+        # ShardedFlatIndex.count would not — don't touch either).
+        live_ids = getattr(index, "_live", None)
+        if live_ids is None:
+            live_ids = index._id_to_row
+        live_count = len(live_ids)
         assert live_count == len(self.live), (
             f"live {live_count} != oracle {len(self.live)}")
         if not self.live:
@@ -129,4 +133,94 @@ def test_fuzz_ivf_lifecycle(tmp_path, seed, dtype):
         lambda: IVFIndex(dim=16, n_clusters=4, nprobe=4, dtype=dtype,
                          use_fused=False),
         seed, tmp_path,
+    )
+
+
+def _run_fuzz_sharded(make_index, seed, tmp_path, steps=30, d=16):
+    """Sharded variant: roundtrip = save + restore into a FRESH instance
+    (the mesh stores' restore contract), recovery simulated from the
+    oracle when the restored index flags it."""
+    rng = np.random.default_rng(seed)
+    idx = make_index()
+    oracle = Oracle()
+    next_id = 0
+    deleted_pool: list[str] = []
+
+    for step in range(steps):
+        op = OPS[rng.integers(0, len(OPS))]
+        if op == "add" or not oracle.live:
+            n = int(rng.integers(1, 40))
+            vecs = unit(rng, n, d)
+            ids = [f"id{next_id + i}" for i in range(n)]
+            next_id += n
+            idx.add(vecs, ids)
+            oracle.add(ids, vecs)
+        elif op == "delete":
+            ids = sorted(oracle.live)
+            n = int(rng.integers(1, max(2, len(ids) // 3)))
+            sel = [ids[i] for i in
+                   rng.choice(len(ids), min(n, len(ids)), replace=False)]
+            idx.delete(sel)
+            oracle.delete(sel)
+            deleted_pool.extend(sel)
+        elif op == "readd" and deleted_pool:
+            n = min(len(deleted_pool), int(rng.integers(1, 6)))
+            sel = [deleted_pool.pop() for _ in range(n)]
+            vecs = unit(rng, n, d)
+            idx.add(vecs, sel)
+            for sid, v in zip(sel, vecs):
+                oracle.live[sid] = v
+        elif op == "maintain":
+            if hasattr(idx, "fold_spill") and rng.integers(0, 2):
+                idx.fold_spill()
+            elif hasattr(idx, "rebuild"):
+                idx.rebuild()
+            else:
+                idx.compact()
+        elif op == "roundtrip":
+            path = str(tmp_path / f"sfz{seed}")
+            idx.save(path)
+            fresh = make_index()
+            fresh.restore(path)
+            idx = fresh
+            if getattr(idx, "needs_recovery", False) or (
+                    hasattr(idx, "_live")
+                    and len(idx._live) < len(oracle.live)):
+                ids = sorted(oracle.live)
+                if ids:
+                    idx.add(np.stack([oracle.live[s] for s in ids]), ids)
+                if hasattr(idx, "needs_recovery"):
+                    idx.needs_recovery = False
+        if step % 5 == 4 or op == "roundtrip":
+            oracle.check(idx, rng, d)
+    oracle.check(idx, rng, d, probes=8)
+
+
+@pytest.fixture
+def mesh():
+    import jax
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()[:4]), ("shard",))
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_fuzz_sharded_flat_lifecycle(tmp_path, mesh, seed):
+    from memex_tpu.index import ShardedFlatIndex
+
+    _run_fuzz_sharded(
+        lambda: ShardedFlatIndex(dim=16, mesh=mesh, capacity_per_shard=64,
+                                 dtype="int8", use_fused=False),
+        seed, tmp_path,
+    )
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_fuzz_sharded_ivf_lifecycle(tmp_path, mesh, seed):
+    from memex_tpu.index.sharded_ivf import ShardedIVFIndex
+
+    _run_fuzz_sharded(
+        lambda: ShardedIVFIndex(dim=16, mesh=mesh, n_clusters=4, nprobe=4,
+                                use_fused=False),
+        seed, tmp_path, steps=24,
     )
