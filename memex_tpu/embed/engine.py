@@ -41,13 +41,6 @@ logger = get_logger(__name__)
 _SEQ_BUCKETS = (32, 64, 128, 256, 512)
 
 
-def _bucket(n: int, buckets) -> int:
-    for b in buckets:
-        if n <= b:
-            return b
-    return buckets[-1]
-
-
 def seq_bucket(n: int, max_seq_length: int) -> int:
     """Padded sequence length for n tokens: the smallest _SEQ_BUCKET that
     fits, with max_seq_length ALWAYS the terminal bucket — a non-bucket
