@@ -245,6 +245,44 @@ def bench_scale_10m(rpc: float) -> dict:
         for i in range(Q)
     ]))
 
+    # --- margin-pruned routing (ops/ivf_batch.route_union prune_margin):
+    # Q=32 is HBM-bound on the probed-union read, so dropping the long
+    # tail of low-scoring probes converts ~1:1 into QPS. Report the union
+    # shrink + recall alongside so the trade is visible, not hidden.
+    from memex_tpu.ops.ivf_batch import route_union
+
+    PRUNE = 0.15
+    _, na_full = route_union(ivf.centroids, qs32[0], ivf.nprobe)
+    _, na_pruned = route_union(ivf.centroids, qs32[0], ivf.nprobe,
+                               prune_margin=PRUNE)
+    union_full, union_pruned = int(na_full[0]), int(na_pruned[0])
+
+    def ivf_dev_pruned(q):
+        return ivf_batch_search(ivf.centroids, ivf.data, ivf.rscales,
+                                ivf.sizes, jnp.asarray(q), ivf.nprobe, K,
+                                banks=ivf._batch_banks(), prune_margin=PRUNE)
+
+    float(ivf_dev_pruned(qs32[0])[0][0, 0])  # compile
+    bestp = 1e9
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        outs = [ivf_dev_pruned(q) for q in qs32]
+        float(outs[-1][0][0, 0])
+        bestp = min(bestp, (time.perf_counter() - t0 - rpc) / len(qs32))
+    ivf.prune_margin = PRUNE
+    hits_p = ivf.search(np.asarray(qs32[0]), K)
+    rec_pruned = float(np.mean([
+        len({int(s) for s, _ in hits_p[i]} & set(ei[i].tolist())) / K
+        for i in range(Q)
+    ]))
+    ivf.prune_margin = None
+    pruned_row = {
+        "qps_q32": round(Q / bestp, 1),
+        "recall_at_10": round(rec_pruned, 4),
+        "margin": PRUNE,
+        "union_clusters": [union_full, union_pruned],
+    }
+
     # --- int4 scan tier (ops/ivf_batch4.py): the probed-union read is the
     # whole batch cost at Q=32 (HBM-bound), so packed-int4 buckets halve it;
     # an int8 rerank of the candidate bank restores recall. Mirror = half
@@ -311,6 +349,7 @@ def bench_scale_10m(rpc: float) -> dict:
         "ivf_p50_batch_ms": round(best32 * 1e3, 3),
         "ivf_p50_batch_ms_q128": ivf_rows["q128"]["p50_batch_ms"],
         "ivf_recall_at_10_vs_int8_exact": round(rec, 4),
+        "ivf_pruned": pruned_row,
         "ivf_int4_pack_s": round(pack4_s, 2),
         "ivf_int4_qps_q32": ivf4_rows["q32"],
         "ivf_int4_qps_q128": ivf4_rows["q128"],

@@ -270,6 +270,7 @@ class IVFIndex:
         dtype: str = "float32",
         use_fused: bool | None = None,
         scan_int4: bool = False,
+        prune_margin: float | None = None,
     ):
         assert dtype in ("float32", "bfloat16", "int8"), dtype
         assert not (scan_int4 and dtype != "int8"), "int4 scan needs int8 storage"
@@ -282,6 +283,12 @@ class IVFIndex:
         self.bucket_factor = bucket_factor
         self.seed = seed
         self.dtype = dtype
+        # Opt-in routing prune (ops/ivf_batch.route_union): probes whose
+        # centroid score trails the query's best by more than the margin
+        # are dropped from the batch union — the scan is HBM-bound on the
+        # union bytes, so skipped clusters convert ~1:1 into QPS. nprobe
+        # stays the recall-side upper bound.
+        self.prune_margin = prune_margin
         self.centroids: jnp.ndarray | None = None
         self.data: jnp.ndarray | None = None          # [C, M, D] storage dtype
         self.rscales: jnp.ndarray | None = None       # [C, M] f32 (int8 mode)
@@ -852,7 +859,8 @@ class IVFIndex:
                                 self.centroids, data4, rsc4, self.data,
                                 self.rscales, self.sizes,
                                 jnp.asarray(queries), self.nprobe, kk,
-                                banks=banks, interpret=self._interpret,
+                                banks=banks, prune_margin=self.prune_margin,
+                                interpret=self._interpret,
                             )
                         else:
                             from ..ops.ivf_batch import ivf_batch_search
@@ -861,7 +869,8 @@ class IVFIndex:
                                 self.centroids, self.data, self.rscales,
                                 self.sizes, jnp.asarray(queries),
                                 self.nprobe, kk,
-                                banks=banks, interpret=self._interpret,
+                                banks=banks, prune_margin=self.prune_margin,
+                                interpret=self._interpret,
                             )
                         fused_ok = True
                     except Exception:

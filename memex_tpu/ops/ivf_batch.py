@@ -41,16 +41,30 @@ NEG_INF = -1e30
 _LANES = 128
 
 
-def route_union(centroids, queries, nprobe: int):
+def route_union(centroids, queries, nprobe: int,
+                prune_margin: float | None = None):
     """Route a query batch and dedupe its probed clusters.
 
     (centroids [C, D], queries [Q, D]) -> (cluster_list [C] int32 — active
     cluster ids ascending, inactive ids after; n_active [1] int32). f32
-    routing: bf16 would misroute probes on near-tied centroid scores."""
+    routing: bf16 would misroute probes on near-tied centroid scores.
+
+    prune_margin (cosine units, opt-in): a fixed nprobe forces every query
+    to read its full long tail of low-scoring probes even when the query
+    sits squarely inside one topic cluster. With a margin, a probe counts
+    only while its centroid score is within `prune_margin` of that query's
+    BEST centroid — the scan is HBM-bound on the probed-union bytes, so
+    dropped clusters convert ~1:1 into throughput. nprobe stays the hard
+    upper bound (recall can only approach strict-nprobe from below; tune
+    the margin against a recall target — tests pin >=97% of the unpruned
+    recall at >=25% fewer clusters on clustered corpora)."""
     C = centroids.shape[0]
     qc = jnp.einsum("qd,cd->qc", queries, centroids,
                     preferred_element_type=jnp.float32)
-    _, probes = jax.lax.top_k(qc, nprobe)  # [Q, nprobe]
+    top_vals, probes = jax.lax.top_k(qc, nprobe)  # [Q, nprobe]
+    if prune_margin is not None:
+        keep = top_vals >= top_vals[:, :1] - prune_margin
+        probes = jnp.where(keep, probes, C)  # OOB -> dropped by the scatter
     mask = jnp.zeros((C,), jnp.int32).at[probes.reshape(-1)].set(1, mode="drop")
     # Actives first (ascending id = ascending HBM address), inactives after.
     order = jnp.argsort(jnp.where(mask > 0, jnp.arange(C), C + jnp.arange(C)))
@@ -236,11 +250,14 @@ def ivf_batch_topk(data, rscales, sizes, cluster_list, n_active, queries,
     return vals, idx // M, idx % M
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "k", "banks", "interpret"))
+@functools.partial(jax.jit, static_argnames=("nprobe", "k", "banks",
+                                              "prune_margin", "interpret"))
 def ivf_batch_search(centroids, data, rscales, sizes, queries,
                      nprobe: int, k: int, banks: int = 4,
+                     prune_margin: float | None = None,
                      interpret: bool = False):
     """Routing + dedupe + the batch-union kernel in one jit."""
-    clist, nact = route_union(centroids, queries, nprobe)
+    clist, nact = route_union(centroids, queries, nprobe,
+                              prune_margin=prune_margin)
     return ivf_batch_topk(data, rscales, sizes, clist, nact, queries, k,
                           banks=banks, interpret=interpret)

@@ -272,10 +272,11 @@ def rerank_int8(data, rscales, queries, vals4, cl, sl, k: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("nprobe", "k", "rerank", "banks",
-                                    "interpret"))
+                                    "prune_margin", "interpret"))
 def ivf_batch_search4(centroids, data4, rscales4, data, rscales, sizes,
                       queries, nprobe: int, k: int, rerank: int | None = None,
-                      banks: int = 4, interpret: bool = False):
+                      banks: int = 4, prune_margin: float | None = None,
+                      interpret: bool = False):
     """Routing + dedupe + int4 batch-union scan + int8 rerank in one jit.
 
     By default the ENTIRE candidate bank (S = banks*128 per-lane maxima) is
@@ -285,7 +286,8 @@ def ivf_batch_search4(centroids, data4, rscales4, data, rscales, sizes,
     top-10 overlap vs the int8 kernel 0.95 full-bank vs 0.77 at r=64).
     Pass `rerank` to narrow the re-scored set to min(max(rerank*k, 64), S)."""
     S = banks * _LANES
-    clist, nact = route_union(centroids, queries, nprobe)
+    clist, nact = route_union(centroids, queries, nprobe,
+                              prune_margin=prune_margin)
     r = S if rerank is None else min(max(rerank * k, 64), S)
     v4, cl, sl = ivf_batch_topk4(data4, rscales4, sizes, clist, nact,
                                  queries, r, banks=banks, interpret=interpret)

@@ -55,6 +55,7 @@ def get_vector_storage(uri: str, collection: str, dim: int = DEFAULT_DIM) -> Vec
 _INT_OPTS = {"capacity", "n_clusters", "nprobe", "M", "ef_construction",
              "ef_search", "capacity_per_shard", "block_n"}
 _BOOL_OPTS = {"query_quantize", "use_fused", "scan_int4"}
+_FLOAT_OPTS = {"prune_margin", "bucket_factor"}
 
 
 def _build_store(uri: str, collection: str, dim: int) -> VectorStore:
@@ -70,6 +71,8 @@ def _build_store(uri: str, collection: str, dim: int) -> VectorStore:
             opts[key] = int(val)
         elif key in _BOOL_OPTS:
             opts[key] = val.lower() not in ("0", "false", "no", "off")
+        elif key in _FLOAT_OPTS:
+            opts[key] = float(val)
         else:
             opts[key] = val
     if scheme == "tpu":

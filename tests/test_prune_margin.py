@@ -1,0 +1,99 @@
+"""Margin-based probe pruning (ops/ivf_batch.route_union prune_margin).
+
+The 10M-tier Q=32 IVF scan is HBM-bound on the probed-union bytes
+(CLAUDE.md); a fixed nprobe forces every query to read its full long tail
+of low-scoring probes. The margin drops probes whose centroid score trails
+the query's best by more than `prune_margin` — this test pins the
+recall/bytes trade on a clustered corpus (the regime IVF exists for):
+>= 25% fewer active clusters at >= 97% of the unpruned recall.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from memex_tpu.index import IVFIndex
+from memex_tpu.ops.ivf_batch import route_union
+
+
+@pytest.fixture
+def clustered(scope="module"):
+    """Mixture-of-gaussians corpus (benchmarks/datasets.py parameters:
+    cos(point, center) ~ 0.8, matching intra-topic sentence-embedding
+    similarity)."""
+    rng = np.random.default_rng(0)
+    d, centers_n, n = 32, 64, 20000
+    centers = rng.standard_normal((centers_n, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    sigma = 0.75 / np.sqrt(d)
+    asg = rng.integers(0, centers_n, n)
+    db = centers[asg] + sigma * rng.standard_normal((n, d)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    qasg = rng.integers(0, centers_n, 32)
+    qs = centers[qasg] + sigma * rng.standard_normal((32, d)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    return db, qs
+
+
+def _recall(hits, exact_ids, k=10):
+    return np.mean([
+        len({sid for sid, _ in hits[i][:k]} & set(exact_ids[i])) / k
+        for i in range(len(hits))
+    ])
+
+
+def test_margin_cuts_union_at_near_full_recall(clustered):
+    db, qs = clustered
+    n = db.shape[0]
+    exact = np.argsort(-(qs @ db.T), axis=1)[:, :10]
+    exact_ids = [[f"r{j}" for j in row] for row in exact]
+
+    idx = IVFIndex(dim=32, n_clusters=64, nprobe=16, dtype="int8",
+                   use_fused=True)
+    idx._interpret = True  # batch-union kernel in Pallas interpret mode
+    idx.build(db, [f"r{i}" for i in range(n)])
+
+    # Routing stats: the margin must actually shrink the probed union.
+    cents = idx.centroids
+    _, nact_full = route_union(cents, jnp.asarray(qs), 16)
+    _, nact_pruned = route_union(cents, jnp.asarray(qs), 16,
+                                 prune_margin=0.25)
+    full, pruned = int(nact_full[0]), int(nact_pruned[0])
+    assert pruned < full, (full, pruned)
+    assert pruned <= 0.75 * full, f"only {full}->{pruned} clusters"
+
+    rec_full = _recall(idx.search(qs, 10), exact_ids)
+    idx.prune_margin = 0.25
+    rec_pruned = _recall(idx.search(qs, 10), exact_ids)
+    assert rec_pruned >= 0.97 * rec_full, (rec_full, rec_pruned)
+    assert rec_pruned >= 0.9
+
+
+def test_margin_off_is_identical(clustered):
+    db, qs = clustered
+    cents_rng = np.random.default_rng(1)
+    cents = cents_rng.standard_normal((64, 32)).astype(np.float32)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    a = route_union(jnp.asarray(cents), jnp.asarray(qs), 8)
+    b = route_union(jnp.asarray(cents), jnp.asarray(qs), 8, prune_margin=None)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    assert int(a[1][0]) == int(b[1][0])
+
+
+def test_huge_margin_is_noop(clustered):
+    db, qs = clustered
+    rng = np.random.default_rng(2)
+    cents = rng.standard_normal((64, 32)).astype(np.float32)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    a = route_union(jnp.asarray(cents), jnp.asarray(qs), 8)
+    b = route_union(jnp.asarray(cents), jnp.asarray(qs), 8, prune_margin=10.0)
+    assert int(a[1][0]) == int(b[1][0])
+
+
+def test_store_uri_accepts_prune_margin(tmp_path):
+    from memex_tpu.store import get_vector_storage
+
+    store = get_vector_storage(
+        f"tpu+ivf://{tmp_path}/v?nprobe=8&prune_margin=0.2", "pm", dim=32)
+    assert store.index.prune_margin == 0.2
