@@ -53,7 +53,8 @@ NEG_INF = -1e30
 
 def make_ivf_search_fn(mesh: Mesh, axis: str, Cp: int, M: int, nprobe: int,
                        kk: int, use_fused: bool, dtype: str,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       prune_margin: float | None = None):
     """Jitted SPMD search: (centroids [C,D], data [C,M,D], rscales [C,M],
     sizes [C], queries [Q,D]) -> (vals [Q,kk], gidx [Q,kk] global bucket
     coords), replicated."""
@@ -65,7 +66,14 @@ def make_ivf_search_fn(mesh: Mesh, axis: str, Cp: int, M: int, nprobe: int,
         shard = jax.lax.axis_index(axis)
         qc = jnp.einsum("qd,cd->qc", queries, centroids,
                         preferred_element_type=jnp.float32)
-        _, probes = jax.lax.top_k(qc, nprobe)          # global cluster ids
+        top_vals, probes = jax.lax.top_k(qc, nprobe)   # global cluster ids
+        if prune_margin is not None:
+            # Same margin prune as ops/ivf_batch.route_union: drop a
+            # query's long-tail probes; per-shard unions shrink ~1:1 into
+            # scan bytes (the global-C sentinel falls outside every
+            # shard's window below).
+            keep = top_vals >= top_vals[:, :1] - prune_margin
+            probes = jnp.where(keep, probes, Cp * int(mesh.shape[axis]))
         lo = shard * Cp
         local = jnp.where((probes >= lo) & (probes < lo + Cp),
                           probes - lo, Cp)              # OOB -> dropped
@@ -145,9 +153,14 @@ class ShardedIVFIndex:
         seed: int = 0,
         use_fused: bool | None = None,
         interpret: bool = False,
+        prune_margin: float | None = None,
     ):
         self.dim = dim
         self.mesh = mesh
+        # Opt-in routing prune (see ops/ivf_batch.route_union): drops a
+        # query's long-tail probes; per-shard unions shrink ~1:1 into
+        # scan bytes. nprobe stays the recall-side upper bound.
+        self.prune_margin = prune_margin
         self.axis = axis
         self.P = int(mesh.shape[axis])
         # Cluster count must split evenly over the mesh axis.
@@ -602,7 +615,8 @@ class ShardedIVFIndex:
                 if fn is None:
                     fn = make_ivf_search_fn(
                         self.mesh, self.axis, self.Cp, M, self.nprobe, kk,
-                        self.use_fused, self.dtype, interpret=self.interpret)
+                        self.use_fused, self.dtype, interpret=self.interpret,
+                        prune_margin=self.prune_margin)
                     self._search_cache[kk] = fn
                 vals, gidx = fn(self.centroids, self.data, self.rscales,
                                 self.sizes, jnp.asarray(queries))

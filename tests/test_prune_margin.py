@@ -97,3 +97,27 @@ def test_store_uri_accepts_prune_margin(tmp_path):
     store = get_vector_storage(
         f"tpu+ivf://{tmp_path}/v?nprobe=8&prune_margin=0.2", "pm", dim=32)
     assert store.index.prune_margin == 0.2
+
+
+def test_sharded_ivf_prune_margin_recall(clustered):
+    import jax
+    from jax.sharding import Mesh
+
+    from memex_tpu.index.sharded_ivf import ShardedIVFIndex
+
+    db, qs = clustered
+    n = db.shape[0]
+    mesh = Mesh(np.array(jax.devices()[:4]), ("shard",))
+    exact = np.argsort(-(qs @ db.T), axis=1)[:, :10]
+    exact_ids = [[f"r{j}" for j in row] for row in exact]
+
+    full = ShardedIVFIndex(dim=32, mesh=mesh, n_clusters=64, nprobe=16,
+                           use_fused=False)
+    full.build(db, [f"r{i}" for i in range(n)])
+    rec_full = _recall(full.search(qs, 10), exact_ids)
+
+    pruned = ShardedIVFIndex(dim=32, mesh=mesh, n_clusters=64, nprobe=16,
+                             use_fused=False, prune_margin=0.25)
+    pruned.build(db, [f"r{i}" for i in range(n)])
+    rec_pruned = _recall(pruned.search(qs, 10), exact_ids)
+    assert rec_pruned >= 0.97 * rec_full, (rec_full, rec_pruned)
