@@ -112,8 +112,10 @@ def bench_kernels(rpc: float) -> dict:
                          "recall_at_10": rec, "query_batch": qb}
 
     # Release the big buffers before the next stage: the tier lambdas
-    # close over them, so the list must go too or nothing frees.
-    del tiers, db, db16, db8, db4t, scales
+    # close over them, so the list must go too or nothing frees — and the
+    # loop variable `fn` still references the LAST tier's lambda (pinning
+    # its closure: db4t + db8 + scales), so it must go as well.
+    del tiers, db, db16, db8, db4t, scales, fn, outs, qs
     return results
 
 
@@ -549,18 +551,70 @@ def bench_e2e() -> dict:
     }
 
 
+def _measure_rpc() -> float:
+    """Tunnel RPC roundtrip, median of many samples. The rpc estimate is
+    subtracted once per timing chain, so with R-batch chains an error of E
+    shifts every per-batch time by E/R — a single +19ms outlier sample
+    inflated Q=256 QPS 2.3x in one recorded run. The median of 15 warm
+    scalar fetches is stable to ~1-2ms."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    tiny = jnp.zeros(())
+    float(tiny + 1)  # warm the eager add + any first-fetch setup
+    samples = []
+    for i in range(15):
+        t0 = time.perf_counter()
+        float(tiny + (2 + i))
+        samples.append(time.perf_counter() - t0)
+    return float(np.median(samples))
+
+
+def _stage_guard(extras: dict, key: str, fn):
+    """Run one bench stage; on failure record the message in the JSON and
+    the full traceback on stderr (the JSON line is the driver artifact,
+    stderr is the debugging artifact)."""
+    import gc
+    import traceback
+
+    try:
+        out = fn()
+        if out is not None:
+            extras[key] = out
+    except Exception as exc:
+        traceback.print_exc()
+        extras[f"{key}_error"] = str(exc)[:200]
+    # Drop dead device buffers before the next stage allocates: stage
+    # failures can leave multi-GB arrays reachable only via collector
+    # cycles (exception frames), and the next stage's peak needs them gone.
+    gc.collect()
+    _hbm_report(f"after {key}")
+
+
+def _hbm_report(tag: str) -> None:
+    """HBM telemetry (stderr): what is still device-resident at a stage
+    boundary — the forensic line when a later stage OOMs."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+        used = stats.get("bytes_in_use")
+        if used is not None:
+            print(f"[bench] {tag}: {used / 2**30:.2f} GiB in use",
+                  file=sys.stderr)
+    except Exception:
+        pass
+
+
 def main() -> None:
     _enable_compile_cache()
     import jax
-    import jax.numpy as jnp
 
-    tiny = jnp.zeros(())
-    float(tiny + 1)
-    t0 = time.perf_counter()
-    float(tiny + 2)
-    rpc = time.perf_counter() - t0
-
+    rpc = _measure_rpc()
+    print(f"[bench] rpc estimate: {rpc * 1e3:.1f} ms", file=sys.stderr)
+    _hbm_report("at start")
     results = bench_kernels(rpc)
+    _hbm_report("after kernels")
     eligible = {k: v for k, v in results.items() if v["recall_at_10"] >= RECALL_BAR}
     if not eligible:
         # A recall regression is exactly what this bench exists to surface:
@@ -570,23 +624,15 @@ def main() -> None:
 
     extras = {}
     if not os.environ.get("MEMEX_BENCH_SKIP_10M"):
-        try:
-            extras["scale_10M"] = bench_scale_10m(rpc)
-        except Exception as exc:
-            extras["scale_10M_error"] = str(exc)[:200]
-    try:
-        extras["bulk_load_1M_s"] = round(bench_bulk_load(), 2)
-    except Exception as exc:  # keep the headline even if a stage breaks
-        extras["bulk_load_error"] = str(exc)[:200]
-    try:
-        extras["sotu_e2e"] = bench_sotu()
-    except Exception as exc:
-        extras["sotu_e2e_error"] = str(exc)[:200]
-    try:
+        _stage_guard(extras, "scale_10M", lambda: bench_scale_10m(rpc))
+    _stage_guard(extras, "bulk_load_1M_s", lambda: round(bench_bulk_load(), 2))
+    _stage_guard(extras, "sotu_e2e", bench_sotu)
+
+    def _e2e():
         extras.update({k: (round(v, 2) if isinstance(v, float) else v)
                        for k, v in bench_e2e().items()})
-    except Exception as exc:
-        extras["e2e_error"] = str(exc)[:200]
+
+    _stage_guard(extras, "e2e", _e2e)
 
     print(json.dumps({
         "metric": "flat_search_qps_per_chip_1M_384d",

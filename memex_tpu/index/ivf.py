@@ -240,6 +240,15 @@ def pack_scatter_int8(vecs_q, scales, dest, C: int, M: int):
     return data, rsc, rid
 
 
+@partial(jax.jit, donate_argnums=(0, 1))
+def _land_rows(codes, scales, part_c, part_s, idx):
+    """Donated in-place landing of a (small) row block into the compacted
+    corpus buffers (rebuild_device's spill part): eagerly, .at[].set would
+    copy the full corpus-sized operand. OOB idx (padding) drops."""
+    return (codes.at[idx].set(part_c, mode="drop"),
+            scales.at[idx].set(part_s, mode="drop"))
+
+
 @partial(jax.jit, donate_argnums=(0, 1, 2))
 def _fold_scatter(data, rsc, rid, codes, scales, dest, rid_new):
     """In-place (donated) scatter of spill rows into bucket slots: the
@@ -768,12 +777,34 @@ class IVFIndex:
         sel = np.nonzero(valid.reshape(-1))[0]
         ids_out: list = self._cluster_live_ids(valid)
         n_live = len(sel)
+        # Spill selection first (host metadata only) so the compacted
+        # length T is known before the big gather.
+        sids: list = []
+        ssel = np.zeros((0,), np.int64)
+        if self.spill.count:
+            s_alive = np.asarray(self.spill.alive)[: self.spill.count] > 0
+            s_ids = np.asarray(self.spill.ids, dtype=object)[: self.spill.count]
+            if self._deleted:
+                s_alive &= ~np.isin(s_ids.astype(str), sorted(self._deleted))
+            ssel = np.nonzero(s_alive)[0]
+            sids = s_ids[ssel].tolist()
+        n_spill = len(ssel)
+        n_valid = n_live + n_spill
+        T = max(PAD, -(-n_valid // PAD) * PAD)
+        # Gather the live bucket rows STRAIGHT INTO the compacted layout:
+        # one [T]-index take whose positions [0, n_live) select live rows
+        # and whose tail is OOB (fill 0). An eager zeros().at[].set()
+        # compaction here would materialize three corpus-sized buffers at
+        # once (operand, scatter output, gathered part — eager scatters
+        # don't donate), ~12GB transient at the 10M tier: that exact OOM
+        # wedged a recorded bench run.
         flat_rows = self.data.reshape(-1, self.dim)
-        psel = jnp.asarray(_pad_to(sel, flat_rows.shape[0]))
-        # Real rows land first within each padded gather (pads at the end).
-        part_c = jnp.take(flat_rows, psel, axis=0, mode="fill", fill_value=0)
-        part_s = jnp.take(self.rscales.reshape(-1), psel,
-                          mode="fill", fill_value=0.0)
+        psel_np = np.full((T,), flat_rows.shape[0], np.int64)
+        psel_np[:n_live] = sel
+        psel = jnp.asarray(psel_np)
+        all_codes = jnp.take(flat_rows, psel, axis=0, mode="fill", fill_value=0)
+        all_scales = jnp.take(self.rscales.reshape(-1), psel,
+                              mode="fill", fill_value=0.0)
         # Free the bucket table as soon as it is gathered from: at the 10M
         # tier the table (6.4GB) + gathered codes (4GB) + compacted corpus
         # (4GB) + the rebuilt table would exceed a 16GB chip. (Dropping the
@@ -784,41 +815,20 @@ class IVFIndex:
         self._invalidate_int4()  # free the mirror's HBM before regathering
         self.rowids = None
         self._rowids_dev = None
-        sids: list = []
-        n_spill = 0
-        if self.spill.count:
-            s_alive = np.asarray(self.spill.alive)[: self.spill.count] > 0
-            s_ids = np.asarray(self.spill.ids, dtype=object)[: self.spill.count]
-            if self._deleted:
-                s_alive &= ~np.isin(s_ids.astype(str), sorted(self._deleted))
-            ssel = np.nonzero(s_alive)[0]
-            n_spill = len(ssel)
-            sids = s_ids[ssel].tolist()
+        if n_spill:
             pssel = jnp.asarray(_pad_to(ssel, self.spill.buf.shape[0]))
             part2_c = jnp.take(self.spill.buf, pssel, axis=0,
                                mode="fill", fill_value=0)
             part2_s = jnp.take(self.spill.scales, pssel,
                                mode="fill", fill_value=0.0)
-        n_valid = n_live + n_spill
-        T = max(PAD, -(-n_valid // PAD) * PAD)
-        # Compact both parts into one prefix: scatter each part's real-row
-        # prefix to [0, n_live) and [n_live, n_valid); pad slots scatter to
-        # a positive OOB index and drop.
-        idx1 = jnp.asarray(_pad_to(np.arange(n_live, dtype=np.int64), T)[
-            : part_c.shape[0]])
-        all_codes = jnp.zeros((T, self.dim), jnp.int8).at[idx1].set(
-            part_c, mode="drop")
-        all_scales = jnp.zeros((T,), jnp.float32).at[idx1].set(
-            part_s, mode="drop")
-        if n_spill:
             idx2 = jnp.asarray(_pad_to(
                 n_live + np.arange(n_spill, dtype=np.int64), T)[: part2_c.shape[0]])
-            all_codes = all_codes.at[idx2].set(part2_c, mode="drop")
-            all_scales = all_scales.at[idx2].set(part2_s, mode="drop")
-        ids_all = ids_out + sids + [None] * (T - n_valid)
-        del part_c, part_s
-        if n_spill:
+            # Donated in-place landing (fold_spill_scatter-style): the
+            # eager .at[].set would copy the whole compacted corpus.
+            all_codes, all_scales = _land_rows(all_codes, all_scales,
+                                               part2_c, part2_s, idx2)
             del part2_c, part2_s
+        ids_all = ids_out + sids + [None] * (T - n_valid)
         self.spill.delete_all()
         self._deleted.clear()
         self._live.clear()

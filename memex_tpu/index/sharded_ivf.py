@@ -536,6 +536,14 @@ class ShardedIVFIndex:
                          fill_value=0.0),
                 cl_ids, len(sel),
             ))
+            # Free the bucket table the moment its rows are gathered
+            # (async-safe): holding it through the landing loop puts table
+            # + gathered part + compacted corpus on-chip at once — over
+            # budget at the tier's design scale.
+            del flat
+            self.data = self.rscales = self.sizes = None
+            self._rowids_dev = None
+            self.rowids = None
         if self.spill.count:
             rows = sorted(self.spill.ids.items())
             sel = np.asarray([g for g, _ in rows])
@@ -563,12 +571,15 @@ class ShardedIVFIndex:
         scales = jax.device_put(jnp.zeros((T,), jnp.float32), self._vec_sh)
         ids_all: list = []
         base = 0
-        for pc, ps, pids, nreal in parts:
+        for pi in range(len(parts)):
+            pc, ps, pids, nreal = parts[pi]
+            parts[pi] = None  # release the gathered part once landed
             idx = jnp.asarray(_pad_to(base + np.arange(nreal, dtype=np.int64),
                                       T)[: pc.shape[0]])
             codes, scales = _land(codes, scales, pc, ps, idx)
             ids_all.extend(pids)
             base += nreal
+            del pc, ps
         ids_all.extend([None] * (T - n_valid))
         del parts
         self.data = self.rscales = self.sizes = None
@@ -611,13 +622,17 @@ class ShardedIVFIndex:
                      int(np.asarray(self.sizes).sum()), 512)
             if kk > 0:
                 M = self.data.shape[1]
-                fn = self._search_cache.get(kk)
+                # The margin is baked into the compiled fn, so it keys the
+                # cache too (mutating prune_margin must not reuse a stale
+                # executable).
+                ck = (kk, self.prune_margin)
+                fn = self._search_cache.get(ck)
                 if fn is None:
                     fn = make_ivf_search_fn(
                         self.mesh, self.axis, self.Cp, M, self.nprobe, kk,
                         self.use_fused, self.dtype, interpret=self.interpret,
                         prune_margin=self.prune_margin)
-                    self._search_cache[kk] = fn
+                    self._search_cache[ck] = fn
                 vals, gidx = fn(self.centroids, self.data, self.rscales,
                                 self.sizes, jnp.asarray(queries))
                 # Map winners to original rows ON DEVICE (rowid table fetch
