@@ -253,36 +253,49 @@ def bench_scale_10m(rpc: float) -> dict:
     # shrink + recall alongside so the trade is visible, not hidden.
     from memex_tpu.ops.ivf_batch import route_union
 
-    PRUNE = 0.15
     _, na_full = route_union(ivf.centroids, qs32[0], ivf.nprobe)
-    _, na_pruned = route_union(ivf.centroids, qs32[0], ivf.nprobe,
-                               prune_margin=PRUNE)
-    union_full, union_pruned = int(na_full[0]), int(na_pruned[0])
+    union_full = int(na_full[0])
 
-    def ivf_dev_pruned(q):
+    def ivf_dev_pruned(q, margin):
         return ivf_batch_search(ivf.centroids, ivf.data, ivf.rscales,
                                 ivf.sizes, jnp.asarray(q), ivf.nprobe, K,
-                                banks=ivf._batch_banks(), prune_margin=PRUNE)
+                                banks=ivf._batch_banks(), prune_margin=margin)
 
-    float(ivf_dev_pruned(qs32[0])[0][0, 0])  # compile
-    bestp = 1e9
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        outs = [ivf_dev_pruned(q) for q in qs32]
-        float(outs[-1][0][0, 0])
-        bestp = min(bestp, (time.perf_counter() - t0 - rpc) / len(qs32))
-    ivf.prune_margin = PRUNE
-    hits_p = ivf.search(np.asarray(qs32[0]), K)
-    rec_pruned = float(np.mean([
-        len({int(s) for s, _ in hits_p[i]} & set(ei[i].tolist())) / K
-        for i in range(Q)
-    ]))
+    # The margin is a DYNAMIC scalar (round 2): one compile covers the
+    # whole sweep, so the trade curve costs seconds, not a recompile per
+    # operating point.
+    float(ivf_dev_pruned(qs32[0], 0.15)[0][0, 0])  # compile (shared)
+    sweep = []
+    for margin in (0.15, 0.25, 0.35):
+        _, na_p = route_union(ivf.centroids, qs32[0], ivf.nprobe,
+                              prune_margin=margin)
+        bestp = 1e9
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            outs = [ivf_dev_pruned(q, margin) for q in qs32]
+            float(outs[-1][0][0, 0])
+            bestp = min(bestp, (time.perf_counter() - t0 - rpc) / len(qs32))
+        ivf.prune_margin = margin
+        hits_p = ivf.search(np.asarray(qs32[0]), K)
+        rec_pruned = float(np.mean([
+            len({int(s) for s, _ in hits_p[i]} & set(ei[i].tolist())) / K
+            for i in range(Q)
+        ]))
+        sweep.append({
+            "margin": margin,
+            "qps_q32": round(Q / bestp, 1),
+            "recall_at_10": round(rec_pruned, 4),
+            "union_clusters": int(na_p[0]),
+        })
     ivf.prune_margin = None
+    ok95 = [r for r in sweep if r["recall_at_10"] >= 0.95]
     pruned_row = {
-        "qps_q32": round(Q / bestp, 1),
-        "recall_at_10": round(rec_pruned, 4),
-        "margin": PRUNE,
-        "union_clusters": [union_full, union_pruned],
+        "union_clusters_full": union_full,
+        "sweep": sweep,
+        # Fastest operating point holding the >=0.95 recall floor (falls
+        # back to the most-accurate margin if none holds it).
+        "best_at_95": (max(ok95, key=lambda r: r["qps_q32"]) if ok95
+                       else max(sweep, key=lambda r: r["recall_at_10"])),
     }
 
     # --- int4 scan tier (ops/ivf_batch4.py): the probed-union read is the

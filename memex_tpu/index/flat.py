@@ -39,6 +39,10 @@ logger = get_logger(__name__)
 
 MIN_CAPACITY = 2048
 _ADD_BUCKETS = (8, 64, 256, 1024)
+# Bulk-add streaming chunk (rows): pow2 so every chunk of a large load
+# lands on one compiled write shape, sized so a chunk's int8 block
+# (~48MB at D=384) transfers while the host preps the next chunk.
+_ADD_CHUNK = 1 << 17
 
 
 def _is_tpu() -> bool:
@@ -277,6 +281,19 @@ class FlatIndex:
                 return
             vectors = vectors[fresh]
             ids = [ids[i] for i in fresh]
+        if vectors.shape[0] > _ADD_CHUNK:
+            # Stream large bulk loads in fixed pow2 chunks: host-side
+            # quantize/prep of chunk i+1 overlaps the (async) H2D
+            # transfer of chunk i, and every chunk hits ONE compiled
+            # write shape. Screening above already removed duplicates.
+            self._grow_to(self.count + vectors.shape[0] + 1)  # once, not per chunk
+            for i in range(0, vectors.shape[0], _ADD_CHUNK):
+                self._add_screened(vectors[i : i + _ADD_CHUNK],
+                                   ids[i : i + _ADD_CHUNK])
+            return
+        self._add_screened(vectors, ids)
+
+    def _add_screened(self, vectors: np.ndarray, ids: list[str]) -> None:
         m = vectors.shape[0]
         rows = _bucket_rows(m)
         # +1 so padded rows never alias live data at exactly-full capacity.

@@ -35,6 +35,12 @@ from ..ops.topk import blockwise_topk
 
 logger = get_logger(__name__)
 
+# Bulk-add streaming chunk (rows). Pow2 so every chunk of a large load
+# lands on one compiled write shape; sized so a chunk's int8 block
+# (~48MB at D=384) transfers in ~1.6s through the tunnel while the host
+# preps the next chunk.
+_ADD_CHUNK = 1 << 17
+
 _BUF_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
                "int8": jnp.int8, "int4": jnp.int8}
 
@@ -313,6 +319,18 @@ class ShardedFlatIndex:
                 return
             vectors = vectors[fresh]
             ids = [ids[i] for i in fresh]
+        if vectors.shape[0] > _ADD_CHUNK:
+            # Stream large bulk loads in fixed pow2 chunks: host-side
+            # quantize/prep of chunk i+1 overlaps the (async) H2D transfer
+            # of chunk i, and every chunk hits ONE compiled write shape.
+            # Screening already ran, so chunks see only fresh unique ids.
+            for i in range(0, vectors.shape[0], _ADD_CHUNK):
+                self._add_screened(vectors[i : i + _ADD_CHUNK],
+                                   ids[i : i + _ADD_CHUNK])
+            return
+        self._add_screened(vectors, ids)
+
+    def _add_screened(self, vectors: np.ndarray, ids: list[str]) -> None:
         m = vectors.shape[0]
         free_total = self.P * self.cap - sum(self.counts)
         if m > free_total:

@@ -62,9 +62,14 @@ def route_union(centroids, queries, nprobe: int,
     qc = jnp.einsum("qd,cd->qc", queries, centroids,
                     preferred_element_type=jnp.float32)
     top_vals, probes = jax.lax.top_k(qc, nprobe)  # [Q, nprobe]
-    if prune_margin is not None:
-        keep = top_vals >= top_vals[:, :1] - prune_margin
-        probes = jnp.where(keep, probes, C)  # OOB -> dropped by the scatter
+    # The margin may be a DYNAMIC scalar (traced), so serving can retune
+    # the pruning operating point without recompiling. None -> 4.0, the
+    # keep-all sentinel: cosine scores span [-1, 1], so no probe can trail
+    # the best by more than 2 and the where() folds to identity.
+    margin = jnp.asarray(4.0 if prune_margin is None else prune_margin,
+                         jnp.float32)
+    keep = top_vals >= top_vals[:, :1] - margin
+    probes = jnp.where(keep, probes, C)  # OOB -> dropped by the scatter
     mask = jnp.zeros((C,), jnp.int32).at[probes.reshape(-1)].set(1, mode="drop")
     # Actives first (ascending id = ascending HBM address), inactives after.
     order = jnp.argsort(jnp.where(mask > 0, jnp.arange(C), C + jnp.arange(C)))
@@ -251,13 +256,27 @@ def ivf_batch_topk(data, rscales, sizes, cluster_list, n_active, queries,
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "k", "banks",
-                                              "prune_margin", "interpret"))
-def ivf_batch_search(centroids, data, rscales, sizes, queries,
-                     nprobe: int, k: int, banks: int = 4,
-                     prune_margin: float | None = None,
-                     interpret: bool = False):
-    """Routing + dedupe + the batch-union kernel in one jit."""
+                                              "interpret"))
+def _ivf_batch_search(centroids, data, rscales, sizes, queries, prune_margin,
+                      nprobe: int, k: int, banks: int = 4,
+                      interpret: bool = False):
     clist, nact = route_union(centroids, queries, nprobe,
                               prune_margin=prune_margin)
     return ivf_batch_topk(data, rscales, sizes, clist, nact, queries, k,
                           banks=banks, interpret=interpret)
+
+
+def ivf_batch_search(centroids, data, rscales, sizes, queries,
+                     nprobe: int, k: int, banks: int = 4,
+                     prune_margin: float | None = None,
+                     interpret: bool = False):
+    """Routing + dedupe + the batch-union kernel in one jit.
+
+    `prune_margin` enters the executable as a DYNAMIC f32 scalar (None ->
+    the 4.0 keep-all sentinel), so sweeping or retuning the pruning
+    operating point at serve time reuses one compiled kernel instead of
+    paying a multi-minute tunnel recompile per margin value."""
+    margin = 4.0 if prune_margin is None else prune_margin
+    return _ivf_batch_search(centroids, data, rscales, sizes, queries,
+                             margin, nprobe=nprobe, k=k, banks=banks,
+                             interpret=interpret)

@@ -272,7 +272,20 @@ def rerank_int8(data, rscales, queries, vals4, cl, sl, k: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("nprobe", "k", "rerank", "banks",
-                                    "prune_margin", "interpret"))
+                                    "interpret"))
+def _ivf_batch_search4(centroids, data4, rscales4, data, rscales, sizes,
+                       queries, prune_margin, nprobe: int, k: int,
+                       rerank: int | None = None, banks: int = 4,
+                       interpret: bool = False):
+    S = banks * _LANES
+    clist, nact = route_union(centroids, queries, nprobe,
+                              prune_margin=prune_margin)
+    r = S if rerank is None else min(max(rerank * k, 64), S)
+    v4, cl, sl = ivf_batch_topk4(data4, rscales4, sizes, clist, nact,
+                                 queries, r, banks=banks, interpret=interpret)
+    return rerank_int8(data, rscales, queries, v4, cl, sl, k)
+
+
 def ivf_batch_search4(centroids, data4, rscales4, data, rscales, sizes,
                       queries, nprobe: int, k: int, rerank: int | None = None,
                       banks: int = 4, prune_margin: float | None = None,
@@ -284,11 +297,10 @@ def ivf_batch_search4(centroids, data4, rscales4, data, rscales, sizes,
     matvec, microscopic next to the scan — so the int4 pass only has to get
     bank MEMBERSHIP right, not ranking (measured on near-tie corpora:
     top-10 overlap vs the int8 kernel 0.95 full-bank vs 0.77 at r=64).
-    Pass `rerank` to narrow the re-scored set to min(max(rerank*k, 64), S)."""
-    S = banks * _LANES
-    clist, nact = route_union(centroids, queries, nprobe,
-                              prune_margin=prune_margin)
-    r = S if rerank is None else min(max(rerank * k, 64), S)
-    v4, cl, sl = ivf_batch_topk4(data4, rscales4, sizes, clist, nact,
-                                 queries, r, banks=banks, interpret=interpret)
-    return rerank_int8(data, rscales, queries, v4, cl, sl, k)
+    Pass `rerank` to narrow the re-scored set to min(max(rerank*k, 64), S).
+    `prune_margin` is a DYNAMIC f32 scalar (None -> 4.0 keep-all sentinel):
+    retuning the pruning operating point reuses the compiled kernel."""
+    margin = 4.0 if prune_margin is None else prune_margin
+    return _ivf_batch_search4(centroids, data4, rscales4, data, rscales,
+                              sizes, queries, margin, nprobe=nprobe, k=k,
+                              rerank=rerank, banks=banks, interpret=interpret)
