@@ -1199,3 +1199,96 @@ class IVFIndex:
         self._base_dirty = True
         self._host_data = self._host_scales = None
         self._invalidate_int4()
+
+    def calibrate_margin(self, queries: np.ndarray | None = None,
+                         k: int = 10, target_overlap: float = 0.97,
+                         margins=None, n_queries: int = 64,
+                         seed: int = 0) -> float | None:
+        """Auto-tune prune_margin to a recall target; see
+        calibrate_prune_margin."""
+        return calibrate_prune_margin(
+            self, queries=queries, k=k, target_overlap=target_overlap,
+            margins=margins, n_queries=n_queries, seed=seed)
+
+
+# -- prune-margin auto-calibration (shared by IVFIndex / ShardedIVFIndex) ---
+
+# Ascending sweep grid: the first (smallest = most aggressive) margin
+# holding the overlap target wins. Cosine units; 0.5 is already nearly
+# keep-all on clustered corpora.
+CALIBRATION_MARGINS = (0.05, 0.08, 0.12, 0.17, 0.25, 0.35, 0.5)
+
+
+def sample_corpus_queries(index, n: int, seed: int = 0) -> np.ndarray | None:
+    """Draw n probe queries from the index's own cluster table (dequantized
+    live-ish rows, re-normalized). Corpus rows are the right calibration
+    distribution: real queries land where the corpus is dense, which is
+    exactly where margin pruning must hold its recall. ~n*D*4 bytes fetched
+    (device->host is the slow direction on remote-attached chips — 64
+    queries at 384-d is ~100 KB, fine)."""
+    if index.data is None:
+        return None
+    sizes = np.asarray(index.sizes)
+    live = np.nonzero(sizes > 0)[0]
+    if live.size == 0:
+        return None
+    rng = np.random.default_rng(seed)
+    cl = rng.choice(live, size=n)
+    M = index.data.shape[1]
+    sl = np.floor(rng.random(n) * sizes[cl]).astype(np.int64)
+    flat = jnp.asarray(cl * M + sl)
+    rows = jnp.take(index.data.reshape(-1, index.dim), flat,
+                    axis=0).astype(jnp.float32)
+    if index.rscales is not None:
+        rows = rows * jnp.take(index.rscales.reshape(-1), flat)[:, None]
+    q = np.asarray(jax.device_get(rows), np.float32)
+    nrm = np.linalg.norm(q, axis=1, keepdims=True)
+    return q / np.maximum(nrm, 1e-9)
+
+
+def calibrate_prune_margin(index, queries: np.ndarray | None = None,
+                           k: int = 10, target_overlap: float = 0.97,
+                           margins=None, n_queries: int = 64,
+                           seed: int = 0) -> float | None:
+    """Pick the smallest (fastest) prune margin whose pruned top-k keeps
+    >= target_overlap of the UNPRUNED result on probe queries, then set it
+    as index.prune_margin and return it.
+
+    No external oracle needed: pruning only ever drops probes, so the
+    unpruned batch-union search IS the recall ceiling it approaches from
+    below — overlap against it bounds the recall loss pruning can add.
+    The margin is a dynamic scalar in every kernel involved, so the whole
+    ascending sweep reuses one compiled executable per batch shape.
+    Returns None (pruning off) when nothing meets the target or the index
+    has no cluster table yet."""
+    if margins is None:
+        margins = CALIBRATION_MARGINS
+    if queries is None:
+        queries = sample_corpus_queries(index, n_queries, seed=seed)
+    if queries is None:
+        index.prune_margin = None
+        return None
+    prev = index.prune_margin
+    index.prune_margin = None
+    try:
+        base = index.search(queries, k)
+    except Exception:
+        index.prune_margin = prev
+        raise
+    base_sets = [frozenset(sid for sid, _ in hits) for hits in base]
+    denom = [max(len(b), 1) for b in base_sets]
+    for m in sorted(margins):
+        index.prune_margin = float(m)
+        pruned = index.search(queries, k)
+        overlap = float(np.mean([
+            len(base_sets[i] & {sid for sid, _ in pruned[i]}) / denom[i]
+            for i in range(len(base_sets))
+        ]))
+        if overlap >= target_overlap:
+            logger.info("prune_margin calibrated: %.3f (overlap %.3f >= %.2f)",
+                        m, overlap, target_overlap)
+            return index.prune_margin
+    index.prune_margin = None
+    logger.info("prune_margin calibration: no margin held overlap >= %.2f; "
+                "pruning disabled", target_overlap)
+    return None

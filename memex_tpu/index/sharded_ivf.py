@@ -53,13 +53,15 @@ NEG_INF = -1e30
 
 def make_ivf_search_fn(mesh: Mesh, axis: str, Cp: int, M: int, nprobe: int,
                        kk: int, use_fused: bool, dtype: str,
-                       interpret: bool = False,
-                       prune_margin: float | None = None):
+                       interpret: bool = False):
     """Jitted SPMD search: (centroids [C,D], data [C,M,D], rscales [C,M],
-    sizes [C], queries [Q,D]) -> (vals [Q,kk], gidx [Q,kk] global bucket
-    coords), replicated."""
+    sizes [C], queries [Q,D], margin [] f32) -> (vals [Q,kk], gidx [Q,kk]
+    global bucket coords), replicated. `margin` is the DYNAMIC prune
+    scalar (ops/ivf_batch.route_union semantics; 4.0 = keep-all sentinel),
+    so retuning or calibrating the pruning operating point reuses this
+    executable instead of recompiling the SPMD program."""
 
-    def local_search(centroids, data, rscales, sizes, queries):
+    def local_search(centroids, data, rscales, sizes, queries, margin):
         # Per-device shapes: data [Cp, M, D], sizes [Cp]; centroids/queries
         # replicated. Routing is recomputed on every device — cheaper than
         # communicating probe tables.
@@ -67,13 +69,12 @@ def make_ivf_search_fn(mesh: Mesh, axis: str, Cp: int, M: int, nprobe: int,
         qc = jnp.einsum("qd,cd->qc", queries, centroids,
                         preferred_element_type=jnp.float32)
         top_vals, probes = jax.lax.top_k(qc, nprobe)   # global cluster ids
-        if prune_margin is not None:
-            # Same margin prune as ops/ivf_batch.route_union: drop a
-            # query's long-tail probes; per-shard unions shrink ~1:1 into
-            # scan bytes (the global-C sentinel falls outside every
-            # shard's window below).
-            keep = top_vals >= top_vals[:, :1] - prune_margin
-            probes = jnp.where(keep, probes, Cp * int(mesh.shape[axis]))
+        # Same margin prune as ops/ivf_batch.route_union: drop a query's
+        # long-tail probes; per-shard unions shrink ~1:1 into scan bytes
+        # (the global-C sentinel falls outside every shard's window
+        # below). At the keep-all sentinel the where() folds to identity.
+        keep = top_vals >= top_vals[:, :1] - margin
+        probes = jnp.where(keep, probes, Cp * int(mesh.shape[axis]))
         lo = shard * Cp
         local = jnp.where((probes >= lo) & (probes < lo + Cp),
                           probes - lo, Cp)              # OOB -> dropped
@@ -127,7 +128,8 @@ def make_ivf_search_fn(mesh: Mesh, axis: str, Cp: int, M: int, nprobe: int,
     shmapped = jax.shard_map(
         local_search,
         mesh=mesh,
-        in_specs=(P(), P(axis, None, None), P(axis, None), P(axis), P()),
+        in_specs=(P(), P(axis, None, None), P(axis, None), P(axis), P(),
+                  P()),
         out_specs=(P(), P()),
         check_vma=False,  # outputs replicated post-all_gather
     )
@@ -622,19 +624,18 @@ class ShardedIVFIndex:
                      int(np.asarray(self.sizes).sum()), 512)
             if kk > 0:
                 M = self.data.shape[1]
-                # The margin is baked into the compiled fn, so it keys the
-                # cache too (mutating prune_margin must not reuse a stale
-                # executable).
-                ck = (kk, self.prune_margin)
-                fn = self._search_cache.get(ck)
+                fn = self._search_cache.get(kk)
                 if fn is None:
                     fn = make_ivf_search_fn(
                         self.mesh, self.axis, self.Cp, M, self.nprobe, kk,
-                        self.use_fused, self.dtype, interpret=self.interpret,
-                        prune_margin=self.prune_margin)
-                    self._search_cache[ck] = fn
+                        self.use_fused, self.dtype, interpret=self.interpret)
+                    self._search_cache[kk] = fn
+                # The margin rides in as a dynamic scalar (4.0 = keep-all
+                # sentinel): retuning prune_margin reuses the executable.
+                margin = jnp.float32(4.0 if self.prune_margin is None
+                                     else self.prune_margin)
                 vals, gidx = fn(self.centroids, self.data, self.rscales,
-                                self.sizes, jnp.asarray(queries))
+                                self.sizes, jnp.asarray(queries), margin)
                 # Map winners to original rows ON DEVICE (rowid table fetch
                 # is prohibitive through a remote tunnel; a [Q, kk] gather
                 # is free).
@@ -659,6 +660,19 @@ class ShardedIVFIndex:
         return [
             sorted(m.items(), key=lambda kv: -kv[1])[:k] for m in merged
         ]
+
+    def calibrate_margin(self, queries: np.ndarray | None = None,
+                         k: int = 10, target_overlap: float = 0.97,
+                         margins=None, n_queries: int = 64,
+                         seed: int = 0) -> float | None:
+        """Auto-tune prune_margin to a recall target (the margin is a
+        dynamic scalar in the SPMD executable, so the sweep compiles once
+        per batch shape); see ivf.calibrate_prune_margin."""
+        from .ivf import calibrate_prune_margin
+
+        return calibrate_prune_margin(
+            self, queries=queries, k=k, target_overlap=target_overlap,
+            margins=margins, n_queries=n_queries, seed=seed)
 
     # -- persistence ----------------------------------------------------------
 

@@ -104,6 +104,12 @@ class TpuIVFStore(TpuFlatStore):
         self.dim = dim
         self._lock = threading.Lock()
         self._path = None
+        # prune_target=<overlap> (URI option): auto-calibrate prune_margin
+        # on the first search after each (re)build instead of hand-tuning
+        # it — the right margin is corpus-dependent (the 10M bench sweep
+        # and the unit fixtures disagree by 2x on the same recall floor).
+        self._prune_target = kw.pop("prune_target", None)
+        self._calibrated = False
         if base_dir:
             os.makedirs(base_dir, exist_ok=True)
             self._path = os.path.join(base_dir, f"{collection}.ivf")
@@ -121,6 +127,26 @@ class TpuIVFStore(TpuFlatStore):
             self.index.build(vecs, [d.id for d in data])
             for d in data:
                 self._doc_of[d.id] = d.document_id
+            self._calibrated = False
+
+    def search_batch(self, vectors: np.ndarray, limit: int) -> list[list[SearchHit]]:
+        self._maybe_calibrate()
+        return super().search_batch(vectors, limit)
+
+    def _maybe_calibrate(self) -> None:
+        """Lazy one-shot calibration (per build generation): runs on the
+        first search once a cluster table exists — at build time the
+        serving batch shapes are not warm yet, and spill-only collections
+        have nothing to prune."""
+        if self._prune_target is None or self._calibrated:
+            return
+        with self._lock:
+            if self._calibrated or self.index.data is None:
+                return
+            m = self.index.calibrate_margin(target_overlap=self._prune_target)
+            self._calibrated = True
+            logger.info("ivf %s: prune_margin calibrated to %s (target %.2f)",
+                        self.collection, m, self._prune_target)
 
     @property
     def needs_recovery(self) -> bool:
@@ -159,6 +185,10 @@ class TpuIVFStore(TpuFlatStore):
     def rebuild(self) -> None:
         with self._lock:
             self.index.rebuild()
+            if self._prune_target is not None:
+                # Partitions changed; the old operating point is stale.
+                self.index.prune_margin = None
+                self._calibrated = False
 
     def delete(self, ids: list[str]) -> int:
         n = super().delete(ids)
@@ -253,6 +283,10 @@ class TpuMeshIVFStore(TpuFlatStore):
         self.dim = dim
         self._lock = threading.Lock()
         self._path = None
+        # Same lazy prune_margin auto-calibration as TpuIVFStore (the
+        # margin is a dynamic scalar in the SPMD executable).
+        self._prune_target = kw.pop("prune_target", None)
+        self._calibrated = False
         if base_dir:
             os.makedirs(base_dir, exist_ok=True)
             self._path = os.path.join(base_dir, f"{collection}.ivfmesh")
@@ -272,6 +306,29 @@ class TpuMeshIVFStore(TpuFlatStore):
             self.index.build(vecs, [d.id for d in data])
             for d in data:
                 self._doc_of[d.id] = d.document_id
+            self._calibrated = False
+
+    def search_batch(self, vectors: np.ndarray, limit: int) -> list[list[SearchHit]]:
+        self._maybe_calibrate()
+        return super().search_batch(vectors, limit)
+
+    def _maybe_calibrate(self) -> None:
+        if self._prune_target is None or self._calibrated:
+            return
+        with self._lock:
+            if self._calibrated or self.index.data is None:
+                return
+            m = self.index.calibrate_margin(target_overlap=self._prune_target)
+            self._calibrated = True
+            logger.info(
+                "sharded ivf %s: prune_margin calibrated to %s (target %.2f)",
+                self.collection, m, self._prune_target)
+
+    def _rebuild_locked(self) -> None:
+        self.index.rebuild()
+        if self._prune_target is not None:
+            self.index.prune_margin = None
+            self._calibrated = False
 
     def add_vectors(self, data: list[VectorData]) -> None:
         super().add_vectors(data)
@@ -288,7 +345,7 @@ class TpuMeshIVFStore(TpuFlatStore):
                     "sharded ivf %s: auto-rebuild (folded=%d spill=%d total=%d)",
                     self.collection, folded, left, total)
                 with self._lock:
-                    self.index.rebuild()
+                    self._rebuild_locked()
             elif folded:
                 logger.info("sharded ivf %s: folded %d spill rows in place",
                             self.collection, folded)
@@ -304,7 +361,7 @@ class TpuMeshIVFStore(TpuFlatStore):
                     "sharded ivf %s: delete-churn rebuild (%d tombstones)",
                     self.collection, dead)
                 with self._lock:
-                    self.index.rebuild()
+                    self._rebuild_locked()
         return n
 
     @property

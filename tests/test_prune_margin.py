@@ -99,6 +99,105 @@ def test_store_uri_accepts_prune_margin(tmp_path):
     assert store.index.prune_margin == 0.2
 
 
+def test_calibrate_margin_ivf(clustered):
+    """calibrate_margin picks a margin that (a) holds the overlap target
+    against the unpruned search and (b) actually shrinks the probed union."""
+    db, qs = clustered
+    n = db.shape[0]
+    idx = IVFIndex(dim=32, n_clusters=64, nprobe=16, dtype="int8",
+                   use_fused=True)
+    idx._interpret = True
+    idx.build(db, [f"r{i}" for i in range(n)])
+
+    m = idx.calibrate_margin(queries=qs, target_overlap=0.9)
+    assert m is not None and idx.prune_margin == m
+
+    # Verify the promise on held-out queries from the same distribution.
+    idx.prune_margin = None
+    base = idx.search(qs, 10)
+    idx.prune_margin = m
+    pruned = idx.search(qs, 10)
+    overlap = np.mean([
+        len({s for s, _ in base[i]} & {s for s, _ in pruned[i]})
+        / max(len(base[i]), 1)
+        for i in range(len(base))
+    ])
+    assert overlap >= 0.9, (m, overlap)
+
+    _, nact_full = route_union(idx.centroids, jnp.asarray(qs), 16)
+    _, nact_m = route_union(idx.centroids, jnp.asarray(qs), 16,
+                            prune_margin=m)
+    assert int(nact_m[0]) < int(nact_full[0]), m
+
+
+def test_calibrate_margin_sampled_queries(clustered):
+    """Corpus-sampled probe queries (no caller queries) also calibrate."""
+    from memex_tpu.index.ivf import sample_corpus_queries
+
+    db, _ = clustered
+    n = db.shape[0]
+    idx = IVFIndex(dim=32, n_clusters=64, nprobe=16, dtype="int8",
+                   use_fused=True)
+    idx._interpret = True
+    idx.build(db, [f"r{i}" for i in range(n)])
+
+    sq = sample_corpus_queries(idx, 16, seed=3)
+    assert sq.shape == (16, 32)
+    np.testing.assert_allclose(np.linalg.norm(sq, axis=1), 1.0, atol=1e-5)
+
+    m = idx.calibrate_margin(n_queries=16, target_overlap=0.9, seed=3)
+    # On a 64-topic mixture some margin always holds 0.9 overlap.
+    assert m is not None
+
+
+def test_calibrate_margin_empty_index():
+    idx = IVFIndex(dim=32, n_clusters=8, nprobe=4, dtype="int8")
+    assert idx.calibrate_margin() is None
+    assert idx.prune_margin is None
+
+
+def test_calibrate_margin_sharded(clustered):
+    from jax.sharding import Mesh
+
+    from memex_tpu.index.sharded_ivf import ShardedIVFIndex
+
+    db, qs = clustered
+    n = db.shape[0]
+    mesh = Mesh(np.array(jax.devices()[:4]), ("shard",))
+    idx = ShardedIVFIndex(dim=32, mesh=mesh, n_clusters=64, nprobe=16,
+                          use_fused=False)
+    idx.build(db, [f"r{i}" for i in range(n)])
+
+    m = idx.calibrate_margin(queries=qs, target_overlap=0.9)
+    assert m is not None and idx.prune_margin == m
+    # Dynamic margin: the calibration sweep + both margin settings must
+    # all ride ONE compiled executable per (kk) — no per-margin entries.
+    assert len(idx._search_cache) == 1, list(idx._search_cache)
+
+
+def test_store_prune_target_calibrates_on_first_search(clustered, tmp_path):
+    from memex_tpu.store import get_vector_storage
+    from memex_tpu.store.base import VectorData
+
+    db, qs = clustered
+    store = get_vector_storage(
+        f"tpu+ivf://{tmp_path}/v?nprobe=16&n_clusters=64&prune_target=0.9",
+        "cal", dim=32)
+    store.build([
+        VectorData(id=f"r{i}", document_id="d", text="", vector=db[i],
+                   segment_id=i)
+        for i in range(2048)
+    ])
+    assert store.index.prune_margin is None  # lazy: not yet searched
+    store.search_batch(qs[:4], 5)
+    assert store._calibrated
+    # Rebuild invalidates the operating point; next search recalibrates.
+    store.rebuild()
+    assert store.index.prune_margin is None and not store._calibrated
+    store.search_batch(qs[:4], 5)
+    assert store._calibrated
+
+
 def test_sharded_ivf_prune_margin_recall(clustered):
     import jax
     from jax.sharding import Mesh

@@ -179,6 +179,7 @@ class TestHundredMillionGeometry:
             jax.ShapeDtypeStruct((C, M), np.float32),
             jax.ShapeDtypeStruct((C,), np.int32),
             jax.ShapeDtypeStruct((64, D), np.float32),
+            jax.ShapeDtypeStruct((), np.float32),  # dynamic prune margin
         )
         assert out[0].shape == (64, 128) and out[1].shape == (64, 128)
         assert C * M >= N  # capacity actually covers the corpus
