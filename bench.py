@@ -85,6 +85,10 @@ def bench_kernels(rpc: float) -> dict:
             db8, scales, q, K, count=N, block_n=32768, banks=4)),
         ("int8q_q256", 256, lambda q: fused_score_topk_int8q(
             db8, scales, q, K, count=N, block_n=32768, banks=4)),
+        # Q=512: past the HBM/MXU crossover the scan is MXU-bound, so the
+        # tier measures how close the kernel sits to the s8xs8 roofline.
+        ("int8q_q512", 512, lambda q: fused_score_topk_int8q(
+            db8, scales, q, K, count=N, block_n=32768, banks=4)),
         ("int4_q128", 128, lambda q: fused_score_topk_int4_rerank(
             db4t, scales, db8, q, K, count=N, rerank=64, block_n=32768,
             deferred=False)),
@@ -297,6 +301,17 @@ def bench_scale_10m(rpc: float) -> dict:
         "best_at_95": (max(ok95, key=lambda r: r["qps_q32"]) if ok95
                        else max(sweep, key=lambda r: r["recall_at_10"])),
     }
+    # Q=128 at the chosen operating point: pruning and batch-union
+    # amortization compose (both shrink/share the probed-union bytes).
+    bm = pruned_row["best_at_95"]["margin"]
+    float(ivf_dev_pruned(qs128[0], bm)[0][0, 0])  # compile (Q=128 shape)
+    bestp128 = 1e9
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        outs = [ivf_dev_pruned(q, bm) for q in qs128]
+        float(outs[-1][0][0, 0])
+        bestp128 = min(bestp128, (time.perf_counter() - t0 - rpc) / len(qs128))
+    pruned_row["qps_q128_at_best95"] = round(128 / bestp128, 1)
 
     # --- int4 scan tier (ops/ivf_batch4.py): the probed-union read is the
     # whole batch cost at Q=32 (HBM-bound), so packed-int4 buckets halve it;
