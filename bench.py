@@ -87,8 +87,12 @@ def bench_kernels(rpc: float) -> dict:
             db8, scales, q, K, count=N, block_n=32768, banks=4)),
         # Q=512: past the HBM/MXU crossover the scan is MXU-bound, so the
         # tier measures how close the kernel sits to the s8xs8 roofline.
+        # block 16384 is the measured Q=512 sweet spot (372k vs 354k at
+        # 32768: the [512, block] fold working set spills registers at
+        # wider blocks — 65536 OOMs VMEM on spill slots alone); at Q<=128
+        # 32768 stays ahead, so only this tier narrows the block.
         ("int8q_q512", 512, lambda q: fused_score_topk_int8q(
-            db8, scales, q, K, count=N, block_n=32768, banks=4)),
+            db8, scales, q, K, count=N, block_n=16384, banks=4)),
         ("int4_q128", 128, lambda q: fused_score_topk_int4_rerank(
             db4t, scales, db8, q, K, count=N, rerank=64, block_n=32768,
             deferred=False)),
