@@ -198,6 +198,28 @@ def test_store_prune_target_calibrates_on_first_search(clustered, tmp_path):
     assert store._calibrated
 
 
+def test_mesh_store_prune_target_calibrates(clustered, tmp_path):
+    from memex_tpu.store import get_vector_storage
+    from memex_tpu.store.base import VectorData
+
+    db, qs = clustered
+    store = get_vector_storage(
+        f"tpu+ivf+mesh://{tmp_path}/vm?nprobe=16&n_clusters=64"
+        "&use_fused=0&prune_target=0.9",
+        "calm", dim=32)
+    store.build([
+        VectorData(id=f"r{i}", document_id="d", text="", vector=db[i],
+                   segment_id=i)
+        for i in range(4096)
+    ])
+    assert store.index.prune_margin is None
+    store.search_batch(qs[:4], 10)  # k=10: shares the calibration kk
+    assert store._calibrated
+    # One SPMD executable covered the serving search + the whole
+    # calibration sweep (the margin is a dynamic arg, not a cache key).
+    assert len(store.index._search_cache) == 1
+
+
 def test_sharded_ivf_prune_margin_recall(clustered):
     import jax
     from jax.sharding import Mesh
