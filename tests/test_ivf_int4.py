@@ -232,6 +232,27 @@ class TestIndexIntegration:
             for a, b in zip(r8, r4))
         assert hits / (6 * 10) >= 0.9
 
+    def test_int4_composes_with_prune_margin(self, rng):
+        """int4 scan + margin pruning compose (bench_scale_10m's composed
+        operating point): at a generous margin the pruned int4 search keeps
+        high overlap with the unpruned one, and a keep-all margin is
+        exactly identical (same executable, dynamic scalar)."""
+        i8, i4, db = self._pair(rng)
+        qs = unit(rng, 6, 64)
+        base = i4.search(qs, 10)
+
+        i4.prune_margin = 4.0  # keep-all sentinel: no probe may be dropped
+        same = i4.search(qs, 10)
+        assert [[s for s, _ in r] for r in same] == \
+            [[s for s, _ in r] for r in base]
+
+        i4.prune_margin = 0.25
+        pruned = i4.search(qs, 10)
+        hits = sum(
+            len({s for s, _ in a} & {s for s, _ in b})
+            for a, b in zip(base, pruned))
+        assert hits / (6 * 10) >= 0.9
+
     def test_mirror_invalidated_by_fold(self, rng):
         i8, i4, db = self._pair(rng)
         q = unit(rng, 1, 64)
