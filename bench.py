@@ -144,8 +144,11 @@ def bench_scale_10m(rpc: float) -> dict:
     from memex_tpu.index.ivf import IVFIndex
     from memex_tpu.ops.fused_topk import fused_score_topk_int8q, quantize_rows_int8
 
-    N10 = 10 * (1 << 20)
+    # Scale is env-overridable so stage changes can be smoke-tested on the
+    # real chip in ~1/10th the time (MEMEX_BENCH_10M_BLOCKS=1 -> 1M rows)
+    # without burning a 10M build on plumbing bugs.
     BLK = 1 << 20
+    N10 = int(os.environ.get("MEMEX_BENCH_10M_BLOCKS", "10")) * BLK
     # Clustered corpus (mixture of gaussians; benchmarks/datasets.py
     # parameters: offset NORM 0.75 -> cos(point, center) ~ 0.8, matching
     # intra-topic similarity of sentence embeddings). A uniform corpus has
@@ -350,7 +353,46 @@ def bench_scale_10m(rpc: float) -> dict:
         len({int(s) for s, _ in hits4[i]} & set(ei[i].tolist())) / K
         for i in range(Q)
     ]))
-    ivf.scan_int4 = False
+
+    # --- int4 + margin pruning COMPOSED: both attack the same bottleneck
+    # (probed-union bytes at Q=32 — pruning drops low-scoring clusters,
+    # int4 halves bytes per surviving cluster) and the margin is a dynamic
+    # scalar, so this point reuses the int4 executable compiled above.
+    # Own guard: a failure here degrades to missing composed keys, it must
+    # not void the rest of the 10M stage.
+    int4_pruned = {}
+    try:
+        def ivf_dev4p(q):
+            return ivf_batch_search4(ivf.centroids, data4, rsc4, ivf.data,
+                                     ivf.rscales, ivf.sizes, jnp.asarray(q),
+                                     ivf.nprobe, K, banks=ivf._batch_banks(),
+                                     prune_margin=bm)
+
+        float(ivf_dev4p(qs32[0])[0][0, 0])
+        best4p = 1e9
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            outs = [ivf_dev4p(q) for q in qs32]
+            float(outs[-1][0][0, 0])
+            best4p = min(best4p, (time.perf_counter() - t0 - rpc) / len(qs32))
+        ivf.prune_margin = bm
+        ivf.scan_int4 = True
+        hits4p = ivf.search(np.asarray(qs32[0]), K)
+        rec4p = float(np.mean([
+            len({int(s) for s, _ in hits4p[i]} & set(ei[i].tolist())) / K
+            for i in range(Q)
+        ]))
+        int4_pruned = {
+            "ivf_int4_pruned_qps_q32": round(Q / best4p, 1),
+            "ivf_int4_pruned_margin": bm,
+            "ivf_int4_pruned_recall_at_10": round(rec4p, 4),
+        }
+        del ivf_dev4p
+    except Exception as exc:  # pragma: no cover - bench resilience
+        int4_pruned = {"ivf_int4_pruned_error": repr(exc)[:200]}
+    finally:
+        ivf.prune_margin = None
+        ivf.scan_int4 = False
     del ivf_dev4, data4, rsc4
     ivf._invalidate_int4()  # free 2.8GB before the rebuild stage
 
@@ -388,6 +430,7 @@ def bench_scale_10m(rpc: float) -> dict:
         "ivf_int4_qps_q32": ivf4_rows["q32"],
         "ivf_int4_qps_q128": ivf4_rows["q128"],
         "ivf_int4_recall_at_10": round(rec4, 4),
+        **int4_pruned,
         "ckpt_incremental_s": round(ckpt_s, 2),
         "rebuild_device_s": round(rebuild_s, 2),
         "spill_after_rebuild": spill_after,
@@ -595,6 +638,27 @@ def bench_bulk_load() -> float:
     return elapsed
 
 
+def bench_llm() -> dict:
+    """Local-LLM decode throughput (benchmarks/llm_bench.py) at the
+    TinyLlama-1.1B geometry, bf16 weights, in a SUBPROCESS so the ~2.2GB
+    of params never share HBM with the index stages. Reference point:
+    GGML q4 CPU decode ~10 tok/s for 7B-class models (the reference's
+    clippy prints predict time, examples/clippy/src/main.rs:242)."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "memex_tpu.benchmarks.llm_bench",
+         "--geometry", "tinyllama-1.1b", "--param-dtype", "bfloat16"],
+        capture_output=True, text=True, timeout=1800,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"llm_bench failed: {proc.stderr[-500:]}")
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    out.pop("backend", None)
+    return out
+
+
 def bench_e2e() -> dict:
     """Serving-path numbers: encode (full MiniLM-L12 architecture) +
     fused search per query, and worker ingest docs/sec."""
@@ -763,6 +827,7 @@ def main() -> None:
                        for k, v in bench_e2e().items()})
 
     _stage_guard(extras, "e2e", _e2e)
+    _stage_guard(extras, "llm_decode", bench_llm)
 
     print(json.dumps({
         "metric": "flat_search_qps_per_chip_1M_384d",
