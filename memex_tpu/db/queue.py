@@ -35,6 +35,10 @@ class TaskType(str, enum.Enum):
     Ingest = "Ingest"
     Extract = "Extract"
     Summarize = "Summarize"
+    # New vs reference: background index maintenance (fold/retrain). The
+    # query path never rebuilds in-request — it schedules one of these and
+    # serves the bounded exact fallback until the worker lands it.
+    Maintain = "Maintain"
 
 
 @dataclass
@@ -89,6 +93,18 @@ def enqueue_many(db: Database, items: list[tuple[str, str, TaskType]]) -> None:
             for (c, content, t) in items
         ],
     )
+
+
+def has_pending(db: Database, collection: str, task_type: TaskType) -> bool:
+    """True if a Queued/Processing task of this type exists for the
+    collection — the dedup gate for maintenance scheduling (one rebuild
+    services any number of shortfall queries)."""
+    row = db.query_one(
+        "SELECT COUNT(*) AS n FROM queue WHERE collection = ? AND task_type = ?"
+        " AND status IN ('Queued', 'Processing')",
+        (collection, task_type.value),
+    )
+    return bool(row and row["n"])
 
 
 def get_task(db: Database, task_id: int) -> Task | None:

@@ -136,6 +136,47 @@ def make_ivf_search_fn(mesh: Mesh, axis: str, Cp: int, M: int, nprobe: int,
     return jax.jit(shmapped)
 
 
+def make_exact_search_fn(mesh: Mesh, axis: str, Cp: int, M: int, kk: int):
+    """Bounded tombstone-shortfall fallback: ONE exact SPMD pass over the
+    whole bucket table (no routing, no Pallas, any kk) with collective
+    top-k merge. O(corpus) compute in a single dispatch — the query-path
+    answer when tombstones crowd the probe kernels' candidate banks; the
+    retrain that actually removes the tombstones runs on the worker
+    (round-2 verdict: search() used to call rebuild() inline)."""
+
+    def local(data, rscales, sizes, queries):
+        shard = jax.lax.axis_index(axis)
+        flat = data.reshape(Cp * M, -1)
+        scores = jnp.einsum(
+            "qd,nd->qn", queries.astype(jnp.bfloat16),
+            flat.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) * rscales.reshape(1, Cp * M)
+        col = jnp.arange(Cp * M)
+        ok = col % M < jnp.take(sizes, col // M)
+        scores = jnp.where(ok[None, :], scores, NEG_INF)
+        from ..ops.topk import blockwise_topk
+
+        vals, fidx = blockwise_topk(scores, min(kk, Cp * M))
+        if vals.shape[1] < kk:  # tiny shards: pad to the merge width
+            pad = kk - vals.shape[1]
+            vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=NEG_INF)
+            fidx = jnp.pad(fidx, ((0, 0), (0, pad)))
+        gidx = shard * (Cp * M) + fidx.astype(jnp.int32)
+        from ..parallel.collectives import merge_topk_across
+
+        return merge_topk_across(vals, gidx, axis, kk)
+
+    shmapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(shmapped)
+
+
 class ShardedIVFIndex:
     """Mesh-sharded IVF with device-side build and collective merge.
 
@@ -198,6 +239,11 @@ class ShardedIVFIndex:
         # gates the null-row exclusion in rebuild/save masks.
         self._ids_nulled = False
         self._search_cache: dict = {}
+        self._exact_cache: dict = {}
+        # Set (never acted on) by the search path: a shortfall query was
+        # served by the exact fallback and the table wants a rebuild. The
+        # store schedules a worker Maintain task when it sees this.
+        self.maintenance_needed = False
         self._host_codes: np.ndarray | None = None  # [N] order as self.ids
         self._host_scales: np.ndarray | None = None
         self._base_dirty = False
@@ -600,20 +646,62 @@ class ShardedIVFIndex:
         # The over-fetch is hard-capped at the kernel bank width (kk<=512),
         # so deletes adversarially concentrated in one topic can crowd out
         # every live candidate below the store's 25% churn-rebuild trigger.
-        # Shortfall => rebuild (drops tombstones) and retry ONCE; the guard
-        # on the tombstone count prevents a loop when rebuild no-ops in the
-        # spill-only regime.
+        # Shortfall => ONE exact pass with kk widened past the dead count
+        # (bounded, no retrain — a rebuild here would stall this query for
+        # minutes at the 100M design scale) and flag maintenance_needed so
+        # the store schedules the rebuild on the worker.
         if self._deleted:
             expect = min(k, self.count)
             if any(len(r) < expect for r in out):
-                before = len(self._deleted)
                 logger.warning(
-                    "sharded ivf shortfall under %d tombstones; rebuilding",
-                    before)
-                self.rebuild()
-                if len(self._deleted) < before:
-                    out = self._search_once(queries, k)
+                    "sharded ivf shortfall under %d tombstones; exact "
+                    "fallback (maintenance flagged)", len(self._deleted))
+                out = self._search_exact(queries, k)
+                self.maintenance_needed = True
         return out
+
+    def _search_exact(self, queries: np.ndarray, k: int) -> list[list[tuple]]:
+        """Exact scan over table + spill with the over-fetch widened past
+        every tombstone — correct under any delete pattern, one dispatch,
+        never retrains. kk rounds up to a power of two so churn doesn't
+        compile a fresh executable per dead-count."""
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        Q = queries.shape[0]
+        merged: list[dict] = [dict() for _ in range(Q)]
+        if self.data is not None:
+            total = int(np.asarray(self.sizes).sum())
+            kk = min(k + len(self._deleted), total)
+            if kk > 0:
+                kk = min(1 << (kk - 1).bit_length(), total)
+                M = self.data.shape[1]
+                fn = self._exact_cache.get(kk)
+                if fn is None:
+                    fn = make_exact_search_fn(self.mesh, self.axis, self.Cp,
+                                              M, kk)
+                    self._exact_cache[kk] = fn
+                vals, gidx = fn(self.data, self.rscales, self.sizes,
+                                jnp.asarray(queries))
+                orig = jnp.take(self._rowids_dev.reshape(-1), gidx)
+                from ..ops.host import fetch
+
+                vals, orig = fetch(vals, orig)
+                for qi in range(Q):
+                    for v, r in zip(vals[qi], orig[qi]):
+                        if v <= -1e29 or r < 0:
+                            continue
+                        sid = self.ids[r]
+                        if sid is None or sid in self._deleted:
+                            continue
+                        merged[qi][sid] = float(v)
+        if self.spill.count:
+            ksp = min(k + len(self._deleted), self.spill.count)
+            for qi, hits in enumerate(self.spill.search(queries, ksp)):
+                for sid, v in hits:
+                    if sid not in self._deleted:
+                        merged[qi][sid] = v
+        return [
+            sorted(m.items(), key=lambda kv: -kv[1])[:k] for m in merged
+        ]
 
     def _search_once(self, queries: np.ndarray, k: int) -> list[list[tuple]]:
         queries = np.atleast_2d(np.asarray(queries, np.float32))

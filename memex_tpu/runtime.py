@@ -127,12 +127,28 @@ class Runtime:
         if err is not None:
             raise err
 
+    def _enqueue_maintenance(self, collection: str, reason: str) -> None:
+        """Schedule an index rebuild on the worker queue (dedup: one
+        pending Maintain per collection services any number of triggers).
+        Maintenance never runs on the path that noticed the need — the
+        verdict-2 fix for k-means-inside-search."""
+        from .db import queue
+
+        if queue.has_pending(self.db, collection, queue.TaskType.Maintain):
+            return
+        queue.enqueue(self.db, collection, reason, queue.TaskType.Maintain)
+        logger.info("scheduled maintenance for %r (%s)", collection, reason)
+
     def store(self, collection: str):
         from .store import get_vector_storage
 
         store = get_vector_storage(
             self.settings.vector_uri, collection, dim=self.settings.embedding_dim
         )
+        # Wire background maintenance for stores that support it (TPU IVF
+        # tiers): O(corpus) retrains become worker tasks, not inline work.
+        if getattr(store, "on_maintenance", "absent") is None:
+            store.on_maintenance = self._enqueue_maintenance
         # First touch per process: if the device index is empty but SQL has
         # rows (restart without a checkpoint), rebuild from the source of
         # truth (SURVEY.md §5 checkpoint/resume). Check-and-rebuild happens

@@ -31,6 +31,39 @@ def _normalize(vectors: np.ndarray) -> np.ndarray:
 class TpuFlatStore:
     """Flat exact store (the default tier)."""
 
+    # Maintenance scheduling (new vs reference): when the runtime wires
+    # `on_maintenance`, O(corpus) work (retrains, tombstone compaction)
+    # is enqueued as a worker Maintain task instead of running inline on
+    # whichever request tripped the trigger. Class attributes so every
+    # store subclass inherits them without __init__ changes.
+    on_maintenance = None            # callable(collection, reason) | None
+    _maintenance_last = 0.0          # time-windowed dedup, not a latch:
+    #                                  a failed Maintain task must not
+    #                                  suppress scheduling forever
+
+    def request_maintenance(self, reason: str) -> bool:
+        """Schedule background maintenance; returns True if scheduled (or
+        recently requested — the DB dedups harder via has_pending). False
+        = no scheduler wired; caller decides whether to do the work inline
+        (standalone/library mode)."""
+        cb = self.on_maintenance
+        if cb is None:
+            return False
+        import time as _time
+
+        now = _time.monotonic()
+        if now - self._maintenance_last < 5.0:
+            return True
+        self._maintenance_last = now
+        try:
+            cb(self.collection, reason)
+        except Exception:
+            logger.exception("maintenance scheduling failed for %s",
+                             self.collection)
+            self._maintenance_last = 0.0
+            return False
+        return True
+
     def __init__(self, base_dir: str | None, collection: str, dim: int = 384,
                  dtype: str | None = None, **kw):
         self.collection = collection
@@ -175,9 +208,14 @@ class TpuIVFStore(TpuFlatStore):
                     folded = self.index.fold_spill()
             left = self.index.spill.count
             if left > 4096 or (total > 1024 and left * 5 > total):
-                logger.info("ivf %s: auto-rebuild (folded=%d spill=%d total=%d)",
-                            self.collection, folded, left, total)
-                self.rebuild()
+                # Prefer the worker queue (O(corpus) retrain off this
+                # request); rebuild inline only in standalone/library mode.
+                if not self.request_maintenance(
+                        f"spill growth ({left}/{total})"):
+                    logger.info(
+                        "ivf %s: auto-rebuild (folded=%d spill=%d total=%d)",
+                        self.collection, folded, left, total)
+                    self.rebuild()
             elif folded:
                 logger.info("ivf %s: folded %d spill rows in place",
                             self.collection, folded)
@@ -185,6 +223,7 @@ class TpuIVFStore(TpuFlatStore):
     def rebuild(self) -> None:
         with self._lock:
             self.index.rebuild()
+            self._maintenance_last = 0.0
             if self._prune_target is not None:
                 # Partitions changed; the old operating point is stale.
                 self.index.prune_margin = None
@@ -201,9 +240,11 @@ class TpuIVFStore(TpuFlatStore):
         if n and not getattr(self, "_recovering", False):
             dead = len(self.index._deleted)
             if dead > 256 and dead * 4 > max(self.index.count, 1):
-                logger.info("ivf %s: delete-churn rebuild (%d tombstones)",
-                            self.collection, dead)
-                self.rebuild()
+                if not self.request_maintenance(
+                        f"delete churn ({dead} tombstones)"):
+                    logger.info("ivf %s: delete-churn rebuild (%d tombstones)",
+                                self.collection, dead)
+                    self.rebuild()
         return n
 
     @property
@@ -310,7 +351,15 @@ class TpuMeshIVFStore(TpuFlatStore):
 
     def search_batch(self, vectors: np.ndarray, limit: int) -> list[list[SearchHit]]:
         self._maybe_calibrate()
-        return super().search_batch(vectors, limit)
+        out = super().search_batch(vectors, limit)
+        # The index flags (never runs) maintenance: a tombstone-shortfall
+        # query was answered by the bounded exact fallback and the table
+        # wants a rebuild. Schedule it on the worker; in standalone mode
+        # the next add/delete trigger (or an explicit rebuild()) covers it.
+        if getattr(self.index, "maintenance_needed", False):
+            if self.request_maintenance("search shortfall fallback"):
+                self.index.maintenance_needed = False
+        return out
 
     def _maybe_calibrate(self) -> None:
         if self._prune_target is None or self._calibrated:
@@ -326,9 +375,16 @@ class TpuMeshIVFStore(TpuFlatStore):
 
     def _rebuild_locked(self) -> None:
         self.index.rebuild()
+        self._maintenance_last = 0.0
         if self._prune_target is not None:
             self.index.prune_margin = None
             self._calibrated = False
+
+    def rebuild(self) -> None:
+        """Fold spill + drop tombstones + retrain (worker Maintain task
+        entry point; never called from the query path)."""
+        with self._lock:
+            self._rebuild_locked()
 
     def add_vectors(self, data: list[VectorData]) -> None:
         super().add_vectors(data)
@@ -341,11 +397,13 @@ class TpuMeshIVFStore(TpuFlatStore):
                 folded = self.index.fold_spill()
             left = self.index.spill.count
             if left > 16384 or (total > 4096 and left * 5 > total):
-                logger.info(
-                    "sharded ivf %s: auto-rebuild (folded=%d spill=%d total=%d)",
-                    self.collection, folded, left, total)
-                with self._lock:
-                    self._rebuild_locked()
+                if not self.request_maintenance(
+                        f"spill growth ({left}/{total})"):
+                    logger.info(
+                        "sharded ivf %s: auto-rebuild (folded=%d spill=%d total=%d)",
+                        self.collection, folded, left, total)
+                    with self._lock:
+                        self._rebuild_locked()
             elif folded:
                 logger.info("sharded ivf %s: folded %d spill rows in place",
                             self.collection, folded)
@@ -357,11 +415,13 @@ class TpuMeshIVFStore(TpuFlatStore):
         if n and not getattr(self, "_recovering", False):
             dead = len(self.index._deleted)
             if dead > 256 and dead * 4 > max(self.index.count, 1):
-                logger.info(
-                    "sharded ivf %s: delete-churn rebuild (%d tombstones)",
-                    self.collection, dead)
-                with self._lock:
-                    self._rebuild_locked()
+                if not self.request_maintenance(
+                        f"delete churn ({dead} tombstones)"):
+                    logger.info(
+                        "sharded ivf %s: delete-churn rebuild (%d tombstones)",
+                        self.collection, dead)
+                    with self._lock:
+                        self._rebuild_locked()
         return n
 
     @property

@@ -52,6 +52,8 @@ class Worker:
                 output = executors.process_summarize(self.rt, task)
             elif task.task_type == queue.TaskType.Extract:
                 output = executors.process_extract(self.rt, task)
+            elif task.task_type == queue.TaskType.Maintain:
+                output = executors.process_maintain(self.rt, task)
             else:
                 raise ValueError(f"unknown task type {task.task_type}")
             queue.mark_done(self.rt.db, task.id, task_output=output)

@@ -61,6 +61,25 @@ def process_ingest(rt: Runtime, task: queue.Task) -> None:
         logger.exception("task %d: checkpoint failed (ingest unaffected)", task.id)
 
 
+def process_maintain(rt: Runtime, task: queue.Task):
+    """Index maintenance executor (new vs reference): fold the spill /
+    retrain partitions OFF the query path. Scheduled by the stores'
+    request_maintenance() (search shortfalls, spill growth, delete churn);
+    the query that hit the condition already returned via a bounded
+    fallback, this task restores the fast path."""
+    store = rt.store(task.collection)
+    rebuild = getattr(store, "rebuild", None)
+    if rebuild is None:
+        logger.info("task %d: store for %r has no maintenance surface",
+                    task.id, task.collection)
+        return {"rebuilt": False}
+    t0 = time.perf_counter()
+    rebuild()
+    logger.info("task %d: maintained %r (%d rows) in %.0fms", task.id,
+                task.collection, store.count, (time.perf_counter() - t0) * 1e3)
+    return {"rebuilt": True, "count": store.count}
+
+
 def process_summarize(rt: Runtime, task: queue.Task):
     """Map-reduce summarize (tasks.rs:68-89): budget-split the text, LLM
     summarize each chunk, concatenate the bullet summaries."""
