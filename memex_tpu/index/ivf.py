@@ -1203,12 +1203,14 @@ class IVFIndex:
     def calibrate_margin(self, queries: np.ndarray | None = None,
                          k: int = 10, target_overlap: float = 0.97,
                          margins=None, n_queries: int = 64,
-                         seed: int = 0) -> float | None:
+                         seed: int = 0,
+                         target_metric: str = "overlap") -> float | None:
         """Auto-tune prune_margin to a recall target; see
         calibrate_prune_margin."""
         return calibrate_prune_margin(
             self, queries=queries, k=k, target_overlap=target_overlap,
-            margins=margins, n_queries=n_queries, seed=seed)
+            margins=margins, n_queries=n_queries, seed=seed,
+            target_metric=target_metric)
 
 
 # -- prune-margin auto-calibration (shared by IVFIndex / ShardedIVFIndex) ---
@@ -1249,18 +1251,30 @@ def sample_corpus_queries(index, n: int, seed: int = 0) -> np.ndarray | None:
 def calibrate_prune_margin(index, queries: np.ndarray | None = None,
                            k: int = 10, target_overlap: float = 0.97,
                            margins=None, n_queries: int = 64,
-                           seed: int = 0) -> float | None:
+                           seed: int = 0,
+                           target_metric: str = "overlap") -> float | None:
     """Pick the smallest (fastest) prune margin whose pruned top-k keeps
-    >= target_overlap of the UNPRUNED result on probe queries, then set it
+    >= target_overlap of the baseline result on probe queries, then set it
     as index.prune_margin and return it.
 
-    No external oracle needed: pruning only ever drops probes, so the
-    unpruned batch-union search IS the recall ceiling it approaches from
-    below — overlap against it bounds the recall loss pruning can add.
+    target_metric="overlap" (default): baseline = the UNPRUNED batch-union
+    search. No external oracle needed — pruning only ever drops probes, so
+    the unpruned search is the recall ceiling it approaches from below;
+    overlap against it bounds the recall loss PRUNING can add (but not the
+    loss nprobe routing already had).
+
+    target_metric="recall": baseline = a FULL-PROBE search (nprobe=C, no
+    pruning) — exact over table+spill within storage precision — so the
+    target is recall-vs-exact, routing loss included (round-2 verdict: the
+    overlap target understated recall on corpora where nprobe itself
+    misses). Costs one extra executable at the all-probe shape.
+
     The margin is a dynamic scalar in every kernel involved, so the whole
     ascending sweep reuses one compiled executable per batch shape.
     Returns None (pruning off) when nothing meets the target or the index
     has no cluster table yet."""
+    if target_metric not in ("overlap", "recall"):
+        raise ValueError(f"unknown target_metric {target_metric!r}")
     if margins is None:
         margins = CALIBRATION_MARGINS
     if queries is None:
@@ -1269,12 +1283,17 @@ def calibrate_prune_margin(index, queries: np.ndarray | None = None,
         index.prune_margin = None
         return None
     prev = index.prune_margin
+    prev_nprobe = index.nprobe
     index.prune_margin = None
+    if target_metric == "recall":
+        index.nprobe = index.C
     try:
         base = index.search(queries, k)
     except Exception:
         index.prune_margin = prev
         raise
+    finally:
+        index.nprobe = prev_nprobe
     base_sets = [frozenset(sid for sid, _ in hits) for hits in base]
     denom = [max(len(b), 1) for b in base_sets]
     for m in sorted(margins):

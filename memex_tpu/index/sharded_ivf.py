@@ -712,12 +712,15 @@ class ShardedIVFIndex:
                      int(np.asarray(self.sizes).sum()), 512)
             if kk > 0:
                 M = self.data.shape[1]
-                fn = self._search_cache.get(kk)
+                # Keyed by (kk, nprobe): recall-target calibration searches
+                # once at nprobe=C, and a kk-only key would serve that
+                # all-probe executable a stale routing width.
+                fn = self._search_cache.get((kk, self.nprobe))
                 if fn is None:
                     fn = make_ivf_search_fn(
                         self.mesh, self.axis, self.Cp, M, self.nprobe, kk,
                         self.use_fused, self.dtype, interpret=self.interpret)
-                    self._search_cache[kk] = fn
+                    self._search_cache[(kk, self.nprobe)] = fn
                 # The margin rides in as a dynamic scalar (4.0 = keep-all
                 # sentinel): retuning prune_margin reuses the executable.
                 margin = jnp.float32(4.0 if self.prune_margin is None
@@ -752,7 +755,8 @@ class ShardedIVFIndex:
     def calibrate_margin(self, queries: np.ndarray | None = None,
                          k: int = 10, target_overlap: float = 0.97,
                          margins=None, n_queries: int = 64,
-                         seed: int = 0) -> float | None:
+                         seed: int = 0,
+                         target_metric: str = "overlap") -> float | None:
         """Auto-tune prune_margin to a recall target (the margin is a
         dynamic scalar in the SPMD executable, so the sweep compiles once
         per batch shape); see ivf.calibrate_prune_margin."""
@@ -760,7 +764,8 @@ class ShardedIVFIndex:
 
         return calibrate_prune_margin(
             self, queries=queries, k=k, target_overlap=target_overlap,
-            margins=margins, n_queries=n_queries, seed=seed)
+            margins=margins, n_queries=n_queries, seed=seed,
+            target_metric=target_metric)
 
     # -- persistence ----------------------------------------------------------
 

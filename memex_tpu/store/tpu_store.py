@@ -137,11 +137,15 @@ class TpuIVFStore(TpuFlatStore):
         self.dim = dim
         self._lock = threading.Lock()
         self._path = None
-        # prune_target=<overlap> (URI option): auto-calibrate prune_margin
+        # prune_target=<floor> (URI option): auto-calibrate prune_margin
         # on the first search after each (re)build instead of hand-tuning
         # it — the right margin is corpus-dependent (the 10M bench sweep
         # and the unit fixtures disagree by 2x on the same recall floor).
+        # prune_metric=recall calibrates against a full-probe baseline
+        # (recall-vs-exact, routing loss included) instead of overlap vs
+        # the unpruned nprobe search.
         self._prune_target = kw.pop("prune_target", None)
+        self._prune_metric = str(kw.pop("prune_metric", "overlap"))
         self._calibrated = False
         if base_dir:
             os.makedirs(base_dir, exist_ok=True)
@@ -176,7 +180,9 @@ class TpuIVFStore(TpuFlatStore):
         with self._lock:
             if self._calibrated or self.index.data is None:
                 return
-            m = self.index.calibrate_margin(target_overlap=self._prune_target)
+            m = self.index.calibrate_margin(
+                target_overlap=self._prune_target,
+                target_metric=self._prune_metric)
             self._calibrated = True
             logger.info("ivf %s: prune_margin calibrated to %s (target %.2f)",
                         self.collection, m, self._prune_target)
@@ -327,6 +333,7 @@ class TpuMeshIVFStore(TpuFlatStore):
         # Same lazy prune_margin auto-calibration as TpuIVFStore (the
         # margin is a dynamic scalar in the SPMD executable).
         self._prune_target = kw.pop("prune_target", None)
+        self._prune_metric = str(kw.pop("prune_metric", "overlap"))
         self._calibrated = False
         if base_dir:
             os.makedirs(base_dir, exist_ok=True)
@@ -367,7 +374,9 @@ class TpuMeshIVFStore(TpuFlatStore):
         with self._lock:
             if self._calibrated or self.index.data is None:
                 return
-            m = self.index.calibrate_margin(target_overlap=self._prune_target)
+            m = self.index.calibrate_margin(
+                target_overlap=self._prune_target,
+                target_metric=self._prune_metric)
             self._calibrated = True
             logger.info(
                 "sharded ivf %s: prune_margin calibrated to %s (target %.2f)",

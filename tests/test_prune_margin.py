@@ -242,3 +242,96 @@ def test_sharded_ivf_prune_margin_recall(clustered):
     pruned.build(db, [f"r{i}" for i in range(n)])
     rec_pruned = _recall(pruned.search(qs, 10), exact_ids)
     assert rec_pruned >= 0.97 * rec_full, (rec_full, rec_pruned)
+
+
+# -- recall-target calibration (round-2 verdict item 6) ------------------------
+
+
+def test_calibrate_recall_target_vs_exact(clustered):
+    """target_metric='recall' calibrates against a full-probe baseline
+    (routing loss included), so the chosen margin holds recall vs the
+    exact oracle — not just overlap vs the already-lossy nprobe search."""
+    db, qs = clustered
+    n = db.shape[0]
+    exact = np.argsort(-(qs @ db.T), axis=1)[:, :10]
+    exact_ids = [[f"r{j}" for j in row] for row in exact]
+
+    idx = IVFIndex(dim=32, n_clusters=64, nprobe=16, dtype="int8",
+                   use_fused=False)
+    idx.build(db, [f"r{i}" for i in range(n)])
+    m = idx.calibrate_margin(queries=qs, target_overlap=0.95,
+                             target_metric="recall")
+    assert idx.nprobe == 16  # restored after the full-probe baseline
+    rec = _recall(idx.search(qs, 10), exact_ids)
+    # The guarantee is vs the int8 full-probe baseline; allow quantization
+    # slack against the f32 oracle.
+    assert rec >= 0.92, (m, rec)
+
+
+def test_calibrate_recall_on_fixture_embeddings(clustered):
+    """Embedding-distributed vectors, not Gaussians: encode real sentences
+    through the (deterministic random-weight) MiniLM architecture and pin
+    the calibrated operating point's recall vs exact on those vectors."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_encoder import tiny_engine
+
+    eng = tiny_engine()
+    topics = ("congress votes on the economy", "the war in ukraine",
+              "insulin and health care costs", "police reform and safety",
+              "jobs and manufacturing growth", "climate and clean energy",
+              "taxes on corporations", "fentanyl and the opioid crisis",
+              "roads bridges and infrastructure", "schools and teachers",
+              "veterans benefits and care", "the southern border",
+              "small business investment", "prescription drug prices",
+              "voting rights legislation", "semiconductor chip factories")
+    fillers = ("today", "this year", "for families", "across america",
+               "in every state", "for the middle class", "right now",
+               "again")
+    rng = np.random.default_rng(5)
+    # Unique suffix per text: duplicate texts embed identically and the
+    # id-level recall metric then undercounts on tie-broken ranks.
+    texts = [f"{topics[rng.integers(len(topics))]} "
+             f"{fillers[rng.integers(len(fillers))]} "
+             f"{fillers[rng.integers(len(fillers))]} item {i}"
+             for i in range(1024)]
+    vecs = eng.encode_batch(texts)
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    qs = vecs[:24]
+    exact = np.argsort(-(qs @ vecs.T), axis=1)[:, :10]
+    exact_ids = [[f"t{j}" for j in row] for row in exact]
+
+    # f32 storage isolates routing+pruning loss (what this test pins):
+    # near-duplicate embeddings sit ~0.001 apart in cosine, so int8
+    # noise alone reorders top-10 ranks regardless of pruning.
+    idx = IVFIndex(dim=vecs.shape[1], n_clusters=16, nprobe=8,
+                   dtype="float32", use_fused=False)
+    idx.build(vecs, [f"t{i}" for i in range(len(texts))])
+    idx.calibrate_margin(queries=qs, target_overlap=0.95,
+                         target_metric="recall")
+    rec = _recall(idx.search(qs, 10), exact_ids)
+    assert rec >= 0.95, rec
+
+
+def test_sharded_calibrate_recall_target(clustered):
+    import jax
+    from jax.sharding import Mesh
+
+    from memex_tpu.index.sharded_ivf import ShardedIVFIndex
+
+    db, qs = clustered
+    n = db.shape[0]
+    mesh = Mesh(np.array(jax.devices()[:4]), ("shard",))
+    exact = np.argsort(-(qs @ db.T), axis=1)[:, :10]
+    exact_ids = [[f"r{j}" for j in row] for row in exact]
+
+    idx = ShardedIVFIndex(dim=32, mesh=mesh, n_clusters=64, nprobe=16,
+                          use_fused=False)
+    idx.build(db, [f"r{i}" for i in range(n)])
+    idx.calibrate_margin(queries=qs, target_overlap=0.95,
+                         target_metric="recall")
+    assert idx.nprobe == 16
+    rec = _recall(idx.search(qs, 10), exact_ids)
+    assert rec >= 0.92, rec
