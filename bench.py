@@ -4,22 +4,27 @@ Headline: search QPS/chip on a 1M x 384 corpus (BASELINE.json north star:
 >=10k QPS/chip with >=95% recall@10). Storage tiers measured in one run:
 f32 (exact scan), bf16, int8 (per-row scales), int8q (queries quantized
 too -> s8xs8 MXU dot), int4 (packed nibbles + exact int8 rerank), plus
-Q=128 rows for the two fastest tiers (the scan is HBM-bound, so larger
-query batches raise QPS at near-constant per-batch latency). The headline
-value is the fastest row clearing the 0.95 recall bar against the exact
-oracle. A 10M-row device-resident stage reports flat + IVF at scale.
+larger query batches for the fast tiers (the scan is HBM-bound, so QPS
+scales with Q at near-constant per-batch latency). The headline value is
+the fastest row clearing the 0.95 recall bar against the exact oracle.
 
-Also measured (BASELINE.md target table): end-to-end query latency through
-the real serving stack (full MiniLM-L12 encode + fused search), ingest
-docs/sec through the worker pipeline, and the 1M-row bulk shard load.
+Survivability (round-2 lesson: BENCH_r02 died rc=124 with zero parsed
+output): the FULL JSON line is printed after every tier and re-printed,
+enriched, after every stage — the driver keeps the last parseable line,
+so a timeout can only truncate coverage, never void the round. Every
+stage carries a wall-clock estimate and is skipped (recorded in
+"skipped_stages") once the budget (MEMEX_BENCH_BUDGET_S, default 3000s)
+cannot cover it. Stage order is headline-first.
+
+Roofline telemetry: every tier reports achieved TOPS / HBM GB/s and % of the
+v5e peaks (394 int8 TOPS, 197 bf16 TFLOPS, 819 GB/s) so kernel
+regressions read as a %-of-peak drop, not a noisy QPS delta.
 
 Timing: per-call wall timing is unreliable through the remote-TPU tunnel
 (async dispatch; ~30ms host<->device RPC), so we dispatch R batches
 back-to-back and fetch one scalar from the LAST result — device execution
 is in-order, so the fetch syncs the whole chain; measured RPC roundtrip is
 subtracted once. Tier timing is best-of-3 (tunnel throughput is noisy).
-
-Prints exactly one JSON line.
 """
 
 import json
@@ -38,6 +43,89 @@ REPS = 3
 BASELINE_QPS = 10_000.0   # driver-set target (BASELINE.md)
 RECALL_BAR = 0.95
 
+# v5e single-chip peaks (public spec): the telemetry denominators.
+PEAK_INT8_TOPS = 394.0
+PEAK_BF16_TFLOPS = 197.0
+PEAK_F32_TFLOPS = 66.0    # f32 matmul ~= 3-pass bf16 on the MXU
+PEAK_HBM_GBPS = 819.0
+
+# Per-tier roofline spec: bytes/row read by the scan and the compute peak
+# its dots run against. ops/batch = 2*N*D*Q for every tier (the int4
+# deferred path dots the hi nibble at full D).
+TIER_ROOFLINE = {
+    "f32":        (D * 4,     PEAK_F32_TFLOPS),
+    "bf16":       (D * 2,     PEAK_BF16_TFLOPS),
+    "int8":       (D + 4,     PEAK_BF16_TFLOPS),   # dequant -> bf16 dots
+    "int8q":      (D + 4,     PEAK_INT8_TOPS),
+    "int8q_q128": (D + 4,     PEAK_INT8_TOPS),
+    "int8q_q256": (D + 4,     PEAK_INT8_TOPS),
+    "int8q_q512": (D + 4,     PEAK_INT8_TOPS),
+    "int4":       (D // 2 + 4, PEAK_BF16_TFLOPS),
+    "int4_q128":  (D // 2 + 4, PEAK_BF16_TFLOPS),
+}
+
+
+def _roofline(name: str, qb: int, seconds: float, n_rows: int = N) -> dict:
+    bytes_row, peak = TIER_ROOFLINE.get(name, (None, None))
+    if bytes_row is None or seconds <= 0:
+        return {}
+    gbps = n_rows * bytes_row / seconds / 1e9
+    tops = 2.0 * n_rows * D * qb / seconds / 1e12
+    pct_hbm = 100.0 * gbps / PEAK_HBM_GBPS
+    pct_mxu = 100.0 * tops / peak
+    return {
+        "achieved_tops": round(tops, 2),
+        "hbm_gbps": round(gbps, 1),
+        "pct_peak_hbm": round(pct_hbm, 1),
+        "pct_peak_compute": round(pct_mxu, 1),
+        "bound": "hbm" if pct_hbm >= pct_mxu else "mxu",
+    }
+
+
+class Reporter:
+    """Holds the result document and re-prints the FULL JSON line after
+    every tier/stage. The driver keeps the last parseable stdout line, so
+    partial coverage still lands driver-verified numbers."""
+
+    def __init__(self) -> None:
+        self.doc = {
+            "metric": "flat_search_qps_per_chip_1M_384d",
+            "value": 0.0,
+            "unit": "queries/sec",
+            "vs_baseline": 0.0,
+            "tiers": {},
+            "e2e": {},
+            "skipped_stages": [],
+            "corpus": N,
+        }
+
+    def set_headline(self, results: dict) -> None:
+        eligible = {k: v for k, v in results.items()
+                    if v["recall_at_10"] >= RECALL_BAR}
+        if not eligible:
+            # A recall regression is exactly what this bench exists to
+            # surface: still emit (flagged) instead of dying on max({}).
+            eligible = results
+        best = max(eligible, key=lambda k: eligible[k]["qps"])
+        b = results[best]
+        self.doc.update({
+            "value": round(b["qps"], 1),
+            "vs_baseline": round(b["qps"] / BASELINE_QPS, 3),
+            "storage_tier": best,
+            "recall_at_10_vs_exact": round(b["recall_at_10"], 4),
+            "p50_batch_ms": round(b["p50_batch_ms"], 3),
+            "query_batch": b["query_batch"],
+        })
+        self.doc["tiers"] = {
+            k: {"qps": round(v["qps"], 1),
+                "recall": round(v["recall_at_10"], 4),
+                "q": v["query_batch"], **v.get("roofline", {})}
+            for k, v in results.items()
+        }
+
+    def emit(self) -> None:
+        print(json.dumps(self.doc), flush=True)
+
 
 def _enable_compile_cache() -> None:
     """Shared persistent-cache policy (memex_tpu/compile_cache.py):
@@ -47,7 +135,43 @@ def _enable_compile_cache() -> None:
     enable_compile_cache()
 
 
-def bench_kernels(rpc: float) -> dict:
+def _resolve_weights() -> tuple[str, str, str | None]:
+    """Real all-MiniLM-L12-v2 weights when present; one bounded download
+    attempt when the host has egress; otherwise an EXPLICIT recorded
+    fallback (round-2 verdict item 2 — never a silent 'random').
+    Returns (embedding_model arg, 'real'|'random', fallback_reason)."""
+    needed = ("model.safetensors", "config.json", "vocab.txt")
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = [os.environ.get("MEMEX_MINILM_DIR"),
+             os.path.join(here, "models", "all-MiniLM-L12-v2"),
+             os.path.expanduser("~/.cache/memex/models/all-MiniLM-L12-v2")]
+    for c in cands:
+        if c and all(os.path.exists(os.path.join(c, f)) for f in needed):
+            return c, "real", None
+    import socket
+
+    try:
+        socket.create_connection(("huggingface.co", 443), timeout=5).close()
+    except OSError as exc:
+        return ("random", "random",
+                f"offline, cannot fetch all-MiniLM-L12-v2 ({exc})")
+    import subprocess
+
+    tgt = cands[1]
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", "memex_tpu", "download-model",
+             "--target", tgt],
+            capture_output=True, text=True, timeout=900, cwd=here)
+    except Exception as exc:  # pragma: no cover - network path
+        return "random", "random", f"download error: {exc}"
+    if r.returncode == 0 and all(
+            os.path.exists(os.path.join(tgt, f)) for f in needed):
+        return tgt, "real", None
+    return "random", "random", f"download failed: {r.stderr[-160:]}"
+
+
+def bench_kernels(rpc: float, on_tier=None) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -68,9 +192,11 @@ def bench_kernels(rpc: float) -> dict:
     db8, scales = quantize_rows_int8(db)
     db4t, _ = quantize_rows_int4(db)
 
-    # Tier rows: (name, query_batch, fn). Q=128 rows exist because the scan
-    # is HBM-bound and Q-independent until the slot fold saturates the VPU:
-    # throughput keeps climbing past Q=32 at near-unchanged per-batch time.
+    # Tier rows: (name, query_batch, fn). Bigger-Q rows exist because the
+    # scan is HBM-bound and Q-independent until the slot fold saturates
+    # the VPU: throughput keeps climbing past Q=32 at near-unchanged
+    # per-batch time; past the HBM/MXU crossover (Q~256) the tiers measure
+    # how close the kernel sits to the s8xs8 roofline.
     tiers = [
         ("f32", Q, lambda q: fused_score_topk(db, q, K, count=N, block_n=2048)),
         ("bf16", Q, lambda q: fused_score_topk(db16, q, K, count=N, block_n=1024)),
@@ -85,12 +211,9 @@ def bench_kernels(rpc: float) -> dict:
             db8, scales, q, K, count=N, block_n=32768, banks=4)),
         ("int8q_q256", 256, lambda q: fused_score_topk_int8q(
             db8, scales, q, K, count=N, block_n=32768, banks=4)),
-        # Q=512: past the HBM/MXU crossover the scan is MXU-bound, so the
-        # tier measures how close the kernel sits to the s8xs8 roofline.
-        # block 16384 is the measured Q=512 sweet spot (372k vs 354k at
-        # 32768: the [512, block] fold working set spills registers at
-        # wider blocks — 65536 OOMs VMEM on spill slots alone); at Q<=128
-        # 32768 stays ahead, so only this tier narrows the block.
+        # Q=512: block 16384 is the measured sweet spot (372k vs 354k at
+        # 32768 — the [512, block] fold working set spills registers at
+        # wider blocks; 65536 OOMs VMEM on spill slots alone).
         ("int8q_q512", 512, lambda q: fused_score_topk_int8q(
             db8, scales, q, K, count=N, block_n=16384, banks=4)),
         ("int4_q128", 128, lambda q: fused_score_topk_int4_rerank(
@@ -117,7 +240,10 @@ def bench_kernels(rpc: float) -> dict:
         fi = np.asarray(fn(qs[0])[1])[:Q]   # recall on the oracle's Q rows
         rec = float(np.mean([len(set(fi[i]) & set(ei[i])) / K for i in range(Q)]))
         results[name] = {"qps": qb / best, "p50_batch_ms": best * 1e3,
-                         "recall_at_10": rec, "query_batch": qb}
+                         "recall_at_10": rec, "query_batch": qb,
+                         "roofline": _roofline(name, qb, best)}
+        if on_tier is not None:
+            on_tier(results)
 
     # Release the big buffers before the next stage: the tier lambdas
     # close over them, so the list must go too or nothing frees — and the
@@ -200,6 +326,7 @@ def bench_scale_10m(rpc: float) -> dict:
         float(outs[-1][0][0, 0])
         best = min(best, (time.perf_counter() - t0 - rpc) / len(qs128))
     flat_qps = 128 / best
+    flat_roof = _roofline("int8q_q128", 128, best, n_rows=N10)
     ei = np.asarray(flat(qs32[0])[1])  # int8-exact oracle for IVF routing
     # The `flat` closure pins vecs/scales; drop it so the later
     # `del vecs, scales` actually frees the 3.8GB corpus copy and the IVF
@@ -225,16 +352,35 @@ def bench_scale_10m(rpc: float) -> dict:
 
     # Device-path IVF timing: chain jitted probe searches and fetch once
     # (ivf.search() fetches per call, which is ~35ms RPC-bound through the
-    # tunnel and would measure the link, not the index). Round 2: the
-    # batch-union kernel (ops/ivf_batch.py) — each probed cluster is read
-    # once per BATCH, so QPS scales with Q while per-batch bytes saturate
-    # at the unique-cluster union.
+    # tunnel and would measure the link, not the index). The batch-union
+    # kernel (ops/ivf_batch.py): each probed cluster is read once per
+    # BATCH, so QPS scales with Q while per-batch bytes saturate at the
+    # unique-cluster union.
     from memex_tpu.ops.ivf_batch import ivf_batch_search
 
     def ivf_dev(q):
         return ivf_batch_search(ivf.centroids, ivf.data, ivf.rscales,
                                 ivf.sizes, jnp.asarray(q), ivf.nprobe, K,
                                 banks=ivf._batch_banks())
+
+    from memex_tpu.ops.ivf_batch import route_union
+
+    _, na_full = route_union(ivf.centroids, qs32[0], ivf.nprobe)
+    union_full = int(na_full[0])
+    M_bucket = int(ivf.data.shape[1])
+
+    def _ivf_roof(union: int, qb: int, seconds: float) -> dict:
+        """Probe-scan roofline: per batch the kernel reads the probed
+        UNION's buckets once (int8 codes + f32 scales)."""
+        if seconds <= 0:
+            return {}
+        byts = union * M_bucket * (D + 4)
+        gbps = byts / seconds / 1e9
+        tops = 2.0 * union * M_bucket * D * qb / seconds / 1e12
+        return {"hbm_gbps": round(gbps, 1),
+                "pct_peak_hbm": round(100 * gbps / PEAK_HBM_GBPS, 1),
+                "achieved_tops": round(tops, 2),
+                "pct_peak_compute": round(100 * tops / PEAK_INT8_TOPS, 1)}
 
     ivf_rows = {}
     best32 = 1e9
@@ -247,7 +393,8 @@ def bench_scale_10m(rpc: float) -> dict:
             float(outs[-1][0][0, 0])
             best = min(best, (time.perf_counter() - t0 - rpc) / len(qset))
         ivf_rows[name] = {"qps": round(qb / best, 1),
-                          "p50_batch_ms": round(best * 1e3, 3)}
+                          "p50_batch_ms": round(best * 1e3, 3),
+                          "roofline": _ivf_roof(union_full, qb, best)}
         if name == "q32":
             best32 = best
     # Recall through the full index path (bucket + spill + id mapping),
@@ -262,19 +409,13 @@ def bench_scale_10m(rpc: float) -> dict:
     # Q=32 is HBM-bound on the probed-union read, so dropping the long
     # tail of low-scoring probes converts ~1:1 into QPS. Report the union
     # shrink + recall alongside so the trade is visible, not hidden.
-    from memex_tpu.ops.ivf_batch import route_union
-
-    _, na_full = route_union(ivf.centroids, qs32[0], ivf.nprobe)
-    union_full = int(na_full[0])
-
     def ivf_dev_pruned(q, margin):
         return ivf_batch_search(ivf.centroids, ivf.data, ivf.rscales,
                                 ivf.sizes, jnp.asarray(q), ivf.nprobe, K,
                                 banks=ivf._batch_banks(), prune_margin=margin)
 
-    # The margin is a DYNAMIC scalar (round 2): one compile covers the
-    # whole sweep, so the trade curve costs seconds, not a recompile per
-    # operating point.
+    # The margin is a DYNAMIC scalar: one compile covers the whole sweep,
+    # so the trade curve costs seconds, not a recompile per point.
     float(ivf_dev_pruned(qs32[0], 0.15)[0][0, 0])  # compile (shared)
     sweep = []
     for margin in (0.15, 0.25, 0.35):
@@ -361,8 +502,9 @@ def bench_scale_10m(rpc: float) -> dict:
     # Own guard: a failure here degrades to missing composed keys, it must
     # not void the rest of the 10M stage.
     int4_pruned = {}
+    ivf_dev4p = None
     try:
-        def ivf_dev4p(q):
+        def ivf_dev4p(q):  # noqa: F811 — assigned for the finally-free
             return ivf_batch_search4(ivf.centroids, data4, rsc4, ivf.data,
                                      ivf.rscales, ivf.sizes, jnp.asarray(q),
                                      ivf.nprobe, K, banks=ivf._batch_banks(),
@@ -387,12 +529,15 @@ def bench_scale_10m(rpc: float) -> dict:
             "ivf_int4_pruned_margin": bm,
             "ivf_int4_pruned_recall_at_10": round(rec4p, 4),
         }
-        del ivf_dev4p
     except Exception as exc:  # pragma: no cover - bench resilience
         int4_pruned = {"ivf_int4_pruned_error": repr(exc)[:200]}
     finally:
+        # Free the closure on BOTH paths: on an error it pins data4/rsc4
+        # (~2.8GB) past the del below, shorting the rebuild stage's
+        # headroom (round-2 advisor finding).
         ivf.prune_margin = None
         ivf.scan_int4 = False
+        ivf_dev4p = None
     del ivf_dev4, data4, rsc4
     ivf._invalidate_int4()  # free 2.8GB before the rebuild stage
 
@@ -418,12 +563,15 @@ def bench_scale_10m(rpc: float) -> dict:
         "n": N10,
         "corpus_gen_s": round(gen_s, 2),
         "flat_int8q_q128_qps": round(flat_qps, 1),
+        "flat_roofline": flat_roof,
         "ivf_build_device_s": round(build_s, 2),
         "ivf_spill_rows": spill_rows_initial,
         "ivf_nprobe64_qps_q32": ivf_rows["q32"]["qps"],
         "ivf_nprobe64_qps_q128": ivf_rows["q128"]["qps"],
         "ivf_p50_batch_ms": round(best32 * 1e3, 3),
         "ivf_p50_batch_ms_q128": ivf_rows["q128"]["p50_batch_ms"],
+        "ivf_roofline_q32": ivf_rows["q32"]["roofline"],
+        "ivf_roofline_q128": ivf_rows["q128"]["roofline"],
         "ivf_recall_at_10_vs_int8_exact": round(rec, 4),
         "ivf_pruned": pruned_row,
         "ivf_int4_pack_s": round(pack4_s, 2),
@@ -495,7 +643,7 @@ def bench_sharded_ivf(rpc: float) -> dict:
     ]))
     # Chain the compiled SPMD fn directly (search() fetches per call —
     # that measures the ~30ms tunnel RPC, not the index).
-    fn = sivf._search_cache[K]
+    fn = sivf._search_cache[(K, sivf.nprobe)]
     margin = jnp.float32(4.0)
     best = 1e9
     for _ in range(REPS):
@@ -534,12 +682,176 @@ def bench_sharded_ivf(rpc: float) -> dict:
     return row
 
 
+def bench_recall_vs_hnsw(rpc: float) -> dict:
+    """BASELINE.json's north star as written: recall@10 vs the reference's
+    HNSW index (M=16, ef_construction=200, ef_search=32 —
+    /root/reference/lib/libmemex/src/storage/local.rs:101,76) on 1M 384-d
+    vectors. The graph is built ONCE (single-core CPU, ~40min) and cached
+    on disk (benchmarks/hnsw_recall.py); this stage reloads it, scores it
+    against an exact f32 host oracle, and scores the shipping TPU tiers
+    against (a) the same oracle and (b) HNSW's own top-10 directly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from memex_tpu.benchmarks import hnsw_recall as hr
+    from memex_tpu.native_lib import np_quantize_rows_int8
+    from memex_tpu.ops.fused_topk import fused_score_topk_int8q
+
+    N1 = 1 << 20
+    QN = 128
+    seed = 1234
+    t0 = time.perf_counter()
+    corpus = hr.make_corpus(N1, D, seed=seed)
+    gen_s = time.perf_counter() - t0
+    build_env = os.environ.get("MEMEX_BENCH_BUILD_HNSW") == "1"
+    graph, build_s = hr.build_or_load(corpus, seed=seed,
+                                      build_if_missing=build_env)
+    if graph is None:
+        return {"skipped": "no cached HNSW baseline graph "
+                           "(run with MEMEX_BENCH_BUILD_HNSW=1 once)"}
+    queries = hr.make_queries(QN, D, seed=seed)
+    exact = hr.exact_topk_host(corpus, queries, K)
+
+    t0 = time.perf_counter()
+    got = graph.search(queries, K, ef=hr.EF_SEARCH_REF)
+    hnsw_ms = (time.perf_counter() - t0) / QN * 1e3
+    hnsw_rec = hr.recall_against(exact, got)
+
+    # TPU tiers on the SAME corpus/queries (host-quantized int8 shipped up
+    # — the fast direction; the f32 oracle never leaves the host).
+    codes, scales = np_quantize_rows_int8(corpus)
+    dev_c = jax.device_put(jnp.asarray(codes))
+    dev_s = jax.device_put(jnp.asarray(scales))
+    qd = jnp.asarray(queries)
+    ti = np.asarray(fused_score_topk_int8q(
+        dev_c, dev_s, qd, K, count=N1, block_n=32768, banks=4)[1])
+    int8q_rec = hr.recall_against(exact, ti)
+    int8q_vs_hnsw = hr.recall_against(got, ti)
+
+    # IVF tier (10M params scaled to 1M: C=1024, nprobe=16) with
+    # recall-target prune calibration — the shipping operating point.
+    from memex_tpu.index.ivf import IVFIndex
+
+    ivf = IVFIndex(dim=D, n_clusters=1024, nprobe=16, dtype="int8",
+                   bucket_factor=1.2)
+    ivf.build_device(dev_c, dev_s, list(range(N1)))
+    m = ivf.calibrate_margin(target_overlap=0.95, target_metric="recall")
+    hits = ivf.search(queries, K)
+    ivf_idx = np.asarray([[int(s) for s, _ in row] + [-1] * (K - len(row))
+                          for row in hits])
+    ivf_rec = hr.recall_against(exact, ivf_idx)
+    ivf_vs_hnsw = hr.recall_against(got, ivf_idx)
+
+    return {
+        "n": N1,
+        "corpus_gen_s": round(gen_s, 1),
+        "hnsw": {
+            "params": f"M{hr.M_REF}_efc{hr.EFC_REF}_ef{hr.EF_SEARCH_REF}",
+            "recall_at_10_vs_exact": round(hnsw_rec, 4),
+            "search_ms_per_query_cpu": round(hnsw_ms, 3),
+            "qps_cpu_1core": round(1e3 / max(hnsw_ms, 1e-9), 1),
+            "build_s": round(build_s, 1) if build_s else "cached",
+        },
+        "tiers": {
+            # f32 flat is the exact oracle itself: recall vs exact = 1.0
+            # by construction, so its recall vs HNSW = HNSW's own recall.
+            "f32_flat": {"recall_at_10_vs_exact": 1.0,
+                         "overlap_vs_hnsw_top10": round(hnsw_rec, 4)},
+            "int8q_flat": {"recall_at_10_vs_exact": round(int8q_rec, 4),
+                           "overlap_vs_hnsw_top10": round(int8q_vs_hnsw, 4)},
+            "ivf_int8_pruned": {
+                "recall_at_10_vs_exact": round(ivf_rec, 4),
+                "overlap_vs_hnsw_top10": round(ivf_vs_hnsw, 4),
+                "calibrated_margin": m,
+            },
+        },
+        "exact_tiers_beat_hnsw": True,  # recall 1.0 >= hnsw_rec
+        "int8q_beats_hnsw": bool(int8q_rec >= hnsw_rec),
+    }
+
+
+def bench_realtext_ivf() -> dict:
+    """Prune calibration on embedding-distributed vectors (round-2 verdict
+    item 6): encode real text (SOTU sentences recombined into 16k distinct
+    windows) through the full MiniLM-L12 architecture, build the IVF tier
+    on those embeddings, auto-calibrate with the recall-vs-exact target,
+    and record the operating point. Gaussian mixtures flatter IVF; this is
+    the honest corpus geometry."""
+    import numpy as np
+
+    from memex_tpu.embed import EmbeddingEngine
+
+    path = "/root/reference/example_docs/state_of_the_union_2023.txt"
+    if not os.path.exists(path):
+        return {"skipped": "reference corpus not present"}
+    with open(path, "r", encoding="utf-8") as fh:
+        text = fh.read()
+    sents = [s.strip() for s in text.replace("\n", " ").split(".")
+             if len(s.strip()) > 20]
+    rng = np.random.default_rng(7)
+    NW = int(os.environ.get("MEMEX_BENCH_REALTEXT_WINDOWS", "16384"))
+    windows = []
+    for i in range(NW):
+        j = int(rng.integers(0, len(sents) - 3))
+        windows.append(f"{sents[j]}. {sents[j + 1]}. {sents[j + 2]}. "
+                       f"(window {i})")
+
+    model_arg, weights, reason = _resolve_weights()
+    engine = EmbeddingEngine(model_dir=model_arg)
+    t0 = time.perf_counter()
+    vecs = np.concatenate([
+        engine.encode_batch(windows[lo:lo + 256])
+        for lo in range(0, NW, 256)
+    ])
+    encode_s = time.perf_counter() - t0
+    vecs = vecs / np.maximum(
+        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-9)
+
+    qs = vecs[rng.choice(NW, size=64, replace=False)]
+    exact = np.argsort(-(qs @ vecs.T), axis=1)[:, :K]
+
+    from memex_tpu.index.ivf import IVFIndex
+
+    out = {"windows": NW, "encode_s": round(encode_s, 1),
+           "encode_windows_per_s": round(NW / encode_s, 1),
+           "weights": weights}
+    if reason:
+        out["weights_fallback_reason"] = reason
+    for dtype in ("int8", "float32"):
+        ivf = IVFIndex(dim=vecs.shape[1], n_clusters=64, nprobe=8,
+                       dtype=dtype)
+        ivf.build(vecs, list(range(NW)))
+        m = ivf.calibrate_margin(target_overlap=0.95,
+                                 target_metric="recall")
+        hits = ivf.search(qs, K)
+        rec = float(np.mean([
+            len({int(s) for s, _ in hits[i]} & set(exact[i].tolist())) / K
+            for i in range(len(qs))
+        ]))
+        from memex_tpu.ops.ivf_batch import route_union
+        import jax.numpy as jnp
+
+        _, na_full = route_union(ivf.centroids, jnp.asarray(qs), ivf.nprobe)
+        _, na_pr = route_union(ivf.centroids, jnp.asarray(qs), ivf.nprobe,
+                               prune_margin=m)
+        out[dtype] = {
+            "calibrated_margin": m,
+            "recall_at_10_vs_exact_f32": round(rec, 4),
+            "union_clusters_full": int(na_full[0]),
+            "union_clusters_pruned": int(na_pr[0]),
+        }
+    return out
+
+
 def bench_sotu() -> dict:
     """BASELINE config 1 on the real corpus: the reference's own demo
     document (state_of_the_union_2023.txt) through the serving stack —
     windows -> full MiniLM-L12 encode -> int8 fused index — so ingest
     throughput, query latency and int8-vs-f32 recall are measured on
-    embedding-distributed vectors, not Gaussians."""
+    embedding-distributed vectors, not Gaussians. Uses REAL pretrained
+    weights when available; records the fallback reason when not
+    (air-gapped bench hosts)."""
     import tempfile
 
     import numpy as np
@@ -555,11 +867,12 @@ def bench_sotu() -> dict:
     with open(path, "r", encoding="utf-8") as fh:
         text = fh.read()
 
+    model_arg, weights, reason = _resolve_weights()
     tmp = tempfile.mkdtemp(prefix="memex_sotu_")
     settings = Settings.from_env(
         db_uri=f"sqlite://{tmp}/sotu.db",
         vector_uri=f"tpu://{tmp}/vec?dtype=int8",
-        embedding_model="random",  # full L12 architecture, deterministic init
+        embedding_model=model_arg,
     )
     rt = Runtime(settings)
     # Warm every encode bucket the doc will hit (tunnel compiles are
@@ -601,13 +914,17 @@ def bench_sotu() -> dict:
     for qi in range(len(queries)):
         got = {id_of.get(h.id, -1) for h in hits[qi]}
         rec.append(len(got & set(exact[qi].tolist())) / 10.0)
-    return {
+    out = {
         "windows": len(segments),
         "ingest_s": round(ingest_s, 2),
         "query_p50_ms": round(float(lat[len(lat) // 2] * 1e3), 2),
         "top3_score": round(float(hits[0][0].score), 4) if hits[0] else None,
         "recall_at_10_int8_vs_f32": round(float(np.mean(rec)), 4),
+        "weights": weights,
     }
+    if reason:
+        out["weights_fallback_reason"] = reason
+    return out
 
 
 def bench_bulk_load() -> float:
@@ -646,16 +963,31 @@ def bench_llm() -> dict:
     clippy prints predict time, examples/clippy/src/main.rs:242)."""
     import subprocess
 
-    proc = subprocess.run(
-        [sys.executable, "-m", "memex_tpu.benchmarks.llm_bench",
-         "--geometry", "tinyllama-1.1b", "--param-dtype", "bfloat16"],
-        capture_output=True, text=True, timeout=1800,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
+    import jax
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "memex_tpu.benchmarks.llm_bench",
+             "--geometry", "tinyllama-1.1b", "--param-dtype", "bfloat16"],
+            capture_output=True, text=True, timeout=3000,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        # Killing a mid-compile process wedges the remote compile service
+        # for ~10 min (claim timeout) — record that so the next stage's
+        # slowness is explainable.
+        raise RuntimeError(
+            "llm_bench timed out at 3000s (likely a cold generate() scan "
+            "compile through the tunnel; the remote compile service may be "
+            "wedged for ~10min after this kill)")
     if proc.returncode != 0:
         raise RuntimeError(f"llm_bench failed: {proc.stderr[-500:]}")
     out = json.loads(proc.stdout.strip().splitlines()[-1])
-    out.pop("backend", None)
+    # Keep the child's backend and flag silent CPU fallbacks: decode tok/s
+    # recorded as-if-TPU from a CPU child voids the comparison.
+    if out.get("backend") != jax.default_backend():
+        out["backend_mismatch"] = (
+            f"child={out.get('backend')} parent={jax.default_backend()}")
     return out
 
 
@@ -800,53 +1132,80 @@ def _hbm_report(tag: str) -> None:
 
 
 def main() -> None:
+    t_start = time.monotonic()
+    budget_s = float(os.environ.get("MEMEX_BENCH_BUDGET_S", "3000"))
+    deadline = t_start + budget_s
+    rep = Reporter()
+    rep.doc["budget_s"] = budget_s
+    # Emit a full (all-zero) line BEFORE importing jax: backend init goes
+    # through the remote tunnel and can hang outright (observed >6h when
+    # the tunnel is down) — even that failure mode must leave the driver a
+    # parseable artifact.
+    rep.emit()
+
     _enable_compile_cache()
     import jax
 
+    rep.doc["backend"] = jax.default_backend()
     rpc = _measure_rpc()
     print(f"[bench] rpc estimate: {rpc * 1e3:.1f} ms", file=sys.stderr)
     _hbm_report("at start")
-    results = bench_kernels(rpc)
+    rep.emit()
+
+    def _tick(results):
+        rep.set_headline(results)
+        rep.doc["elapsed_s"] = round(time.monotonic() - t_start, 1)
+        rep.emit()
+
+    try:
+        results = bench_kernels(rpc, on_tier=_tick)
+        rep.set_headline(results)
+    except Exception as exc:
+        import traceback
+
+        traceback.print_exc()
+        rep.doc["kernels_error"] = str(exc)[:200]
     _hbm_report("after kernels")
-    eligible = {k: v for k, v in results.items() if v["recall_at_10"] >= RECALL_BAR}
-    if not eligible:
-        # A recall regression is exactly what this bench exists to surface:
-        # still emit the JSON line (flagged) instead of dying on max({}).
-        eligible = results
-    best = max(eligible, key=lambda k: eligible[k]["qps"])
+    rep.emit()
 
-    extras = {}
-    if not os.environ.get("MEMEX_BENCH_SKIP_10M"):
-        _stage_guard(extras, "scale_10M", lambda: bench_scale_10m(rpc))
-    _stage_guard(extras, "sharded_ivf_1M", lambda: bench_sharded_ivf(rpc))
-    _stage_guard(extras, "bulk_load_1M_s", lambda: round(bench_bulk_load(), 2))
-    _stage_guard(extras, "sotu_e2e", bench_sotu)
+    extras = rep.doc["e2e"]
 
-    def _e2e():
+    # (key, conservative wall-clock estimate [warm compile cache], fn).
+    # Ordered headline-first (round-2 verdict item 1): a budget cut drops
+    # the tail, never the 10M/sharded evidence.
+    def _e2e_merge():
         extras.update({k: (round(v, 2) if isinstance(v, float) else v)
                        for k, v in bench_e2e().items()})
 
-    _stage_guard(extras, "e2e", _e2e)
-    _stage_guard(extras, "llm_decode", bench_llm)
+    stages = [
+        ("scale_10M", 600, lambda: bench_scale_10m(rpc)),
+        ("sharded_ivf_1M", 240, lambda: bench_sharded_ivf(rpc)),
+        ("recall_vs_hnsw", 300, lambda: bench_recall_vs_hnsw(rpc)),
+        ("llm_decode", 420, bench_llm),
+        ("ivf_prune_realtext", 300, bench_realtext_ivf),
+        ("sotu_e2e", 240, bench_sotu),
+        ("e2e", 300, _e2e_merge),
+        ("bulk_load_1M_s", 150, lambda: round(bench_bulk_load(), 2)),
+    ]
+    for key, est, fn in stages:
+        if key == "scale_10M" and os.environ.get("MEMEX_BENCH_SKIP_10M"):
+            continue
+        if os.environ.get(f"MEMEX_BENCH_SKIP_{key.upper()}"):
+            rep.doc["skipped_stages"].append({"stage": key, "why": "env"})
+            continue
+        remaining = deadline - time.monotonic()
+        if remaining < est:
+            rep.doc["skipped_stages"].append(
+                {"stage": key, "why": f"budget ({remaining:.0f}s left, "
+                                      f"needs ~{est}s)"})
+            rep.emit()
+            continue
+        _stage_guard(extras, key, fn)
+        rep.doc["elapsed_s"] = round(time.monotonic() - t_start, 1)
+        rep.emit()
 
-    print(json.dumps({
-        "metric": "flat_search_qps_per_chip_1M_384d",
-        "value": round(results[best]["qps"], 1),
-        "unit": "queries/sec",
-        "vs_baseline": round(results[best]["qps"] / BASELINE_QPS, 3),
-        "storage_tier": best,
-        "recall_at_10_vs_exact": round(results[best]["recall_at_10"], 4),
-        "p50_batch_ms": round(results[best]["p50_batch_ms"], 3),
-        "query_batch": results[best]["query_batch"],
-        "tiers": {
-            k: {"qps": round(v["qps"], 1), "recall": round(v["recall_at_10"], 4),
-                "q": v["query_batch"]}
-            for k, v in results.items()
-        },
-        "e2e": extras,
-        "corpus": N,
-        "backend": jax.default_backend(),
-    }))
+    rep.doc["elapsed_s"] = round(time.monotonic() - t_start, 1)
+    rep.emit()
 
 
 if __name__ == "__main__":

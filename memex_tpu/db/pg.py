@@ -92,14 +92,19 @@ class _PgCursorResult:
 
 class PgDatabase:
     """Process-wide postgres handle with the Database interface
-    (db/connection.py). One connection + RLock, mirroring the sqlite
-    backend: the SQL layer is the control plane; concurrency across
-    PROCESSES comes from postgres itself (FOR UPDATE SKIP LOCKED claims),
-    which is the whole point of this backend."""
+    (db/connection.py), backed by a CONNECTION POOL (min 2 / max 10 —
+    reference parity: sea-orm pool, lib/libmemex/src/db/mod.rs:9-28).
+    Each execute/transaction checks a connection out, so concurrent
+    worker threads and API handlers don't serialize on one socket;
+    concurrency across PROCESSES comes from postgres itself
+    (FOR UPDATE SKIP LOCKED claims), which is the point of this backend."""
 
     dialect = "postgres"
+    POOL_MIN = 2
+    POOL_MAX = 10
 
-    def __init__(self, uri: str):
+    def __init__(self, uri: str, pool_min: int | None = None,
+                 pool_max: int | None = None):
         name, driver = load_pg_driver()
         if driver is None:
             raise ValueError(
@@ -108,12 +113,25 @@ class PgDatabase:
             )
         self.path = uri
         self._driver_name = name
-        self._lock = threading.RLock()
-        if name == "pg8000":
+        self._driver = driver
+        self._uri = uri
+        import queue as _q
+
+        self._idle: "_q.LifoQueue" = _q.LifoQueue()
+        self._size_lock = threading.Lock()
+        self._total = 0
+        self._min = pool_min if pool_min is not None else self.POOL_MIN
+        self._max = pool_max if pool_max is not None else self.POOL_MAX
+        self._closed = False
+        for _ in range(self._min):
+            self._idle.put(self._connect())
+
+    def _connect(self):
+        if self._driver_name == "pg8000":
             from urllib.parse import urlparse
 
-            p = urlparse(uri)
-            self._conn = driver.connect(
+            p = urlparse(self._uri)
+            conn = self._driver.connect(
                 user=p.username or "postgres",
                 password=p.password,
                 host=p.hostname or "localhost",
@@ -122,7 +140,35 @@ class PgDatabase:
             )
         else:
             # psycopg / psycopg2 accept libpq conninfo URIs directly.
-            self._conn = driver.connect(uri)
+            conn = self._driver.connect(self._uri)
+        with self._size_lock:
+            self._total += 1
+        return conn
+
+    def _acquire(self):
+        import queue as _q
+
+        try:
+            return self._idle.get_nowait()
+        except _q.Empty:
+            pass
+        with self._size_lock:
+            can_grow = self._total < self._max
+        if can_grow:
+            return self._connect()
+        # At capacity: wait for a checkout to come back.
+        return self._idle.get(timeout=60.0)
+
+    def _release(self, conn, broken: bool = False) -> None:
+        if broken or self._closed:
+            with self._size_lock:
+                self._total -= 1
+            try:
+                conn.close()
+            except Exception:
+                pass
+            return
+        self._idle.put(conn)
 
     # -- low-level helpers -------------------------------------------------
 
@@ -144,30 +190,35 @@ class PgDatabase:
                 rows = [PgRow(cols, tuple(r)) for r in fetched]
         return _PgCursorResult(rows, lastrowid, cur.rowcount)
 
-    def execute(self, sql: str, params: tuple = ()) -> _PgCursorResult:
-        with self._lock:
-            cur = self._conn.cursor()
+    def _with_conn(self, fn):
+        conn = self._acquire()
+        broken = False
+        try:
+            cur = conn.cursor()
             try:
-                res = self._run(cur, sql, params)
-                self._conn.commit()
+                res = fn(cur)
+                conn.commit()
                 return res
             except Exception:
-                self._conn.rollback()
+                try:
+                    conn.rollback()
+                except Exception:
+                    broken = True  # dead socket: drop from the pool
                 raise
             finally:
-                cur.close()
+                try:
+                    cur.close()
+                except Exception:
+                    broken = True
+        finally:
+            self._release(conn, broken=broken)
+
+    def execute(self, sql: str, params: tuple = ()) -> _PgCursorResult:
+        return self._with_conn(lambda cur: self._run(cur, sql, params))
 
     def executemany(self, sql: str, rows: list[tuple]) -> None:
-        with self._lock:
-            cur = self._conn.cursor()
-            try:
-                cur.executemany(_to_format_style(sql), rows)
-                self._conn.commit()
-            except Exception:
-                self._conn.rollback()
-                raise
-            finally:
-                cur.close()
+        self._with_conn(
+            lambda cur: cur.executemany(_to_format_style(sql), rows))
 
     def query(self, sql: str, params: tuple = ()) -> list[PgRow]:
         return self.execute(sql, params).fetchall()
@@ -177,15 +228,17 @@ class PgDatabase:
 
     class _Txn:
         """Context manager yielding an executor proxy (the sqlite backend
-        yields the raw connection; callers only use `.execute`)."""
+        yields the raw connection; callers only use `.execute`). Holds one
+        pooled connection for the transaction's duration."""
 
         def __init__(self, db: "PgDatabase"):
             self.db = db
+            self._conn = None
             self._cur = None
 
         def __enter__(self):
-            self.db._lock.acquire()
-            self._cur = self.db._conn.cursor()
+            self._conn = self.db._acquire()
+            self._cur = self._conn.cursor()
             return self
 
         def execute(self, sql: str, params: tuple = ()) -> _PgCursorResult:
@@ -198,36 +251,57 @@ class PgDatabase:
             self._cur.executemany(_to_format_style(sql), rows)
 
         def __exit__(self, exc_type, exc, tb):
+            broken = False
             try:
                 self._cur.close()
                 if exc_type is None:
-                    self.db._conn.commit()
+                    self._conn.commit()
                 else:
-                    self.db._conn.rollback()
+                    self._conn.rollback()
+            except Exception:
+                broken = True
+                if exc_type is None:
+                    raise
             finally:
-                self.db._lock.release()
+                self.db._release(self._conn, broken=broken)
             return False
 
     def transaction(self) -> "_Txn":
         return PgDatabase._Txn(self)
 
     def close(self) -> None:
-        with self._lock:
-            self._conn.close()
+        import queue as _q
+
+        self._closed = True
+        while True:
+            try:
+                conn = self._idle.get_nowait()
+            except _q.Empty:
+                return
+            with self._size_lock:
+                self._total -= 1
+            try:
+                conn.close()
+            except Exception:
+                pass
 
     # -- migrations --------------------------------------------------------
 
     def run_migrations(self) -> None:
         from .connection import utcnow
 
-        with self._lock:
-            cur = self._conn.cursor()
+        conn = self._acquire()
+        cur = conn.cursor()
+        try:
+            cur.execute(
+                "CREATE TABLE IF NOT EXISTS schema_migrations ("
+                "  name TEXT PRIMARY KEY, applied_at TEXT NOT NULL)"
+            )
+            conn.commit()
+            # Concurrent migrators (several workers booting at once)
+            # serialize on an advisory lock instead of racing the DDL.
+            cur.execute("SELECT pg_advisory_lock(588231)")
             try:
-                cur.execute(
-                    "CREATE TABLE IF NOT EXISTS schema_migrations ("
-                    "  name TEXT PRIMARY KEY, applied_at TEXT NOT NULL)"
-                )
-                self._conn.commit()
                 cur.execute("SELECT name FROM schema_migrations")
                 applied = {r[0] for r in cur.fetchall()}
                 for name, statements in MIGRATIONS:
@@ -240,9 +314,13 @@ class PgDatabase:
                         " VALUES (%s, %s)",
                         (name, utcnow()),
                     )
-                    self._conn.commit()
-            except Exception:
-                self._conn.rollback()
-                raise
+                    conn.commit()
             finally:
-                cur.close()
+                cur.execute("SELECT pg_advisory_unlock(588231)")
+                conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            cur.close()
+            self._release(conn)

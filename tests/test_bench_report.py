@@ -1,0 +1,115 @@
+"""bench.py survivability machinery (round-2 verdict item 1).
+
+BENCH_r02 was rc=124/parsed=null because the old bench printed its single
+JSON line only after ~7 serial stages. These tests pin the new contract
+hermetically (no TPU, no device work): the Reporter emits a full parseable
+line at every tick, stage budgets skip-and-record instead of dying, the
+roofline fields are present and sane, and the weights resolver records an
+explicit fallback when offline.
+"""
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import bench  # noqa: E402
+
+
+def _fake_results():
+    return {
+        "f32": {"qps": 15000.0, "p50_batch_ms": 2.1, "recall_at_10": 0.99,
+                "query_batch": 32, "roofline": bench._roofline("f32", 32, 32 / 15000.0)},
+        "int8q_q512": {"qps": 372000.0, "p50_batch_ms": 1.4,
+                       "recall_at_10": 0.969, "query_batch": 512,
+                       "roofline": bench._roofline("int8q_q512", 512,
+                                                   512 / 372000.0)},
+        "bad": {"qps": 9e9, "p50_batch_ms": 0.01, "recall_at_10": 0.5,
+                "query_batch": 32, "roofline": {}},
+    }
+
+
+def test_reporter_emits_parseable_full_line(capsys):
+    rep = bench.Reporter()
+    rep.emit()  # pre-work emission: parseable even before any tier ran
+    rep.set_headline(_fake_results())
+    rep.doc["e2e"]["scale_10M"] = {"n": 1}
+    rep.emit()
+    lines = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln]
+    assert len(lines) == 2
+    first, last = json.loads(lines[0]), json.loads(lines[-1])
+    assert first["value"] == 0.0 and first["metric"]
+    # Headline picks the fastest tier CLEARING the recall bar, not the
+    # fastest overall ("bad" at 0.5 recall must lose).
+    assert last["storage_tier"] == "int8q_q512"
+    assert last["value"] == 372000.0
+    assert last["vs_baseline"] == 37.2
+    assert last["e2e"]["scale_10M"] == {"n": 1}
+
+
+def test_roofline_fields():
+    r = bench._roofline("int8q_q512", 512, 512 / 372000.0)
+    assert set(r) == {"achieved_tops", "hbm_gbps", "pct_peak_hbm",
+                      "pct_peak_compute", "bound"}
+    # 372k QPS at Q=512: per-batch 1.376ms over 1M rows x 388 B = 295 GB/s.
+    assert 250 < r["hbm_gbps"] < 350
+    assert 0 < r["pct_peak_hbm"] < 100
+    assert r["bound"] in ("hbm", "mxu")
+    # int4 reads half the bytes per row.
+    r4 = bench._roofline("int4", 32, 1e-3)
+    r8 = bench._roofline("int8q", 32, 1e-3)
+    assert r4["hbm_gbps"] < r8["hbm_gbps"]
+
+
+def test_reporter_recall_regression_still_emits():
+    rep = bench.Reporter()
+    rep.set_headline({"only": {"qps": 100.0, "p50_batch_ms": 1.0,
+                               "recall_at_10": 0.2, "query_batch": 32}})
+    assert rep.doc["storage_tier"] == "only"  # flagged, not a crash
+    assert rep.doc["recall_at_10_vs_exact"] == 0.2
+
+
+def test_resolve_weights_records_offline_fallback(monkeypatch, tmp_path):
+    """Air-gapped host: the resolver must return 'random' WITH a reason,
+    never silently (round-2 verdict item 2)."""
+    import socket as socket_mod
+
+    monkeypatch.setenv("MEMEX_MINILM_DIR", str(tmp_path / "nope"))
+
+    def _no_net(*a, **kw):
+        raise OSError("Name or service not known")
+
+    monkeypatch.setattr(socket_mod, "create_connection", _no_net)
+    arg, kind, reason = bench._resolve_weights()
+    assert arg == "random" and kind == "random"
+    assert reason and "offline" in reason
+
+
+def test_resolve_weights_prefers_local_checkpoint(monkeypatch, tmp_path):
+    mdir = tmp_path / "minilm"
+    mdir.mkdir()
+    for f in ("model.safetensors", "config.json", "vocab.txt"):
+        (mdir / f).write_text("x")
+    monkeypatch.setenv("MEMEX_MINILM_DIR", str(mdir))
+    arg, kind, reason = bench._resolve_weights()
+    assert arg == str(mdir) and kind == "real" and reason is None
+
+
+def test_stage_budget_skips_recorded(monkeypatch, capsys):
+    """A stage whose estimate exceeds the remaining budget is skipped and
+    recorded — the driver artifact says WHAT is missing and why."""
+    monkeypatch.setenv("MEMEX_BENCH_BUDGET_S", "0")
+    rep = bench.Reporter()
+    # Simulate main()'s scheduler on one stage without device work.
+    import time as _t
+
+    deadline = _t.monotonic()  # already expired
+    est = 100
+    remaining = deadline - _t.monotonic()
+    assert remaining < est
+    rep.doc["skipped_stages"].append(
+        {"stage": "scale_10M", "why": f"budget ({remaining:.0f}s left, "
+                                      f"needs ~{est}s)"})
+    rep.emit()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["skipped_stages"][0]["stage"] == "scale_10M"
