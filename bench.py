@@ -772,12 +772,13 @@ def bench_recall_vs_hnsw(rpc: float) -> dict:
 
 
 def bench_realtext_ivf() -> dict:
-    """Prune calibration on embedding-distributed vectors (round-2 verdict
+    """Operating point on embedding-distributed vectors (round-2 verdict
     item 6): encode real text (SOTU sentences recombined into 16k distinct
     windows) through the full MiniLM-L12 architecture, build the IVF tier
-    on those embeddings, auto-calibrate with the recall-vs-exact target,
-    and record the operating point. Gaussian mixtures flatter IVF; this is
-    the honest corpus geometry."""
+    on those embeddings, and jointly calibrate (nprobe, prune_margin) to
+    the 0.95 recall-vs-exact floor. Gaussian mixtures flatter IVF — on
+    this corpus a fixed nprobe=8/64 caps recall near 0.35 no matter the
+    margin, so the ladder is what makes the floor reachable."""
     import numpy as np
 
     from memex_tpu.embed import EmbeddingEngine
@@ -822,8 +823,11 @@ def bench_realtext_ivf() -> dict:
         ivf = IVFIndex(dim=vecs.shape[1], n_clusters=64, nprobe=8,
                        dtype=dtype)
         ivf.build(vecs, list(range(NW)))
-        m = ivf.calibrate_margin(target_overlap=0.95,
-                                 target_metric="recall")
+        # Joint (nprobe, margin) calibration on corpus-sampled probe
+        # queries; evaluated below on a DIFFERENT held-out sample, so the
+        # recorded recall is the operating point generalizing, not the
+        # calibration fitting itself.
+        pt = ivf.calibrate_operating_point(target_recall=0.95)
         hits = ivf.search(qs, K)
         rec = float(np.mean([
             len({int(s) for s, _ in hits[i]} & set(exact[i].tolist())) / K
@@ -833,10 +837,14 @@ def bench_realtext_ivf() -> dict:
         import jax.numpy as jnp
 
         _, na_full = route_union(ivf.centroids, jnp.asarray(qs), ivf.nprobe)
-        _, na_pr = route_union(ivf.centroids, jnp.asarray(qs), ivf.nprobe,
-                               prune_margin=m)
+        na_pr = na_full
+        if ivf.prune_margin is not None:
+            _, na_pr = route_union(ivf.centroids, jnp.asarray(qs),
+                                   ivf.nprobe, prune_margin=ivf.prune_margin)
         out[dtype] = {
-            "calibrated_margin": m,
+            "operating_point": pt,
+            # End-to-end vs the f32 exact oracle (routing + storage loss);
+            # pt["recall_vs_full"] isolates the routing part.
             "recall_at_10_vs_exact_f32": round(rec, 4),
             "union_clusters_full": int(na_full[0]),
             "union_clusters_pruned": int(na_pr[0]),

@@ -767,6 +767,20 @@ class ShardedIVFIndex:
             margins=margins, n_queries=n_queries, seed=seed,
             target_metric=target_metric)
 
+    def calibrate_operating_point(self, queries: np.ndarray | None = None,
+                                  k: int = 10, target_recall: float = 0.95,
+                                  nprobes=None, n_queries: int = 64,
+                                  seed: int = 0, margins=None) -> dict | None:
+        """Jointly pick (nprobe, prune_margin) against a recall floor; see
+        ivf.calibrate_operating_point. Each ladder nprobe is one SPMD
+        executable (nprobe is static in the routing mask), so the doubling
+        ladder costs O(log C) compiles, amortized by the compile cache."""
+        from .ivf import calibrate_operating_point
+
+        return calibrate_operating_point(
+            self, queries=queries, k=k, target_recall=target_recall,
+            nprobes=nprobes, n_queries=n_queries, seed=seed, margins=margins)
+
     # -- persistence ----------------------------------------------------------
 
     def save(self, path: str) -> None:

@@ -144,8 +144,13 @@ class TpuIVFStore(TpuFlatStore):
         # prune_metric=recall calibrates against a full-probe baseline
         # (recall-vs-exact, routing loss included) instead of overlap vs
         # the unpruned nprobe search.
+        # recall_target=<floor> goes further: jointly calibrates
+        # (nprobe, prune_margin) — on anisotropic corpora the configured
+        # nprobe itself can cap recall below the floor, and no margin can
+        # lift it (ivf.calibrate_operating_point).
         self._prune_target = kw.pop("prune_target", None)
         self._prune_metric = str(kw.pop("prune_metric", "overlap"))
+        self._recall_target = kw.pop("recall_target", None)
         self._calibrated = False
         if base_dir:
             os.makedirs(base_dir, exist_ok=True)
@@ -175,10 +180,19 @@ class TpuIVFStore(TpuFlatStore):
         first search once a cluster table exists — at build time the
         serving batch shapes are not warm yet, and spill-only collections
         have nothing to prune."""
-        if self._prune_target is None or self._calibrated:
+        if (self._prune_target is None and self._recall_target is None) \
+                or self._calibrated:
             return
         with self._lock:
             if self._calibrated or self.index.data is None:
+                return
+            if self._recall_target is not None:
+                pt = self.index.calibrate_operating_point(
+                    target_recall=self._recall_target)
+                self._calibrated = True
+                logger.info("ivf %s: operating point calibrated to %s "
+                            "(recall target %.2f)",
+                            self.collection, pt, self._recall_target)
                 return
             m = self.index.calibrate_margin(
                 target_overlap=self._prune_target,
@@ -230,7 +244,7 @@ class TpuIVFStore(TpuFlatStore):
         with self._lock:
             self.index.rebuild()
             self._maintenance_last = 0.0
-            if self._prune_target is not None:
+            if self._prune_target is not None or self._recall_target is not None:
                 # Partitions changed; the old operating point is stale.
                 self.index.prune_margin = None
                 self._calibrated = False
@@ -330,10 +344,12 @@ class TpuMeshIVFStore(TpuFlatStore):
         self.dim = dim
         self._lock = threading.Lock()
         self._path = None
-        # Same lazy prune_margin auto-calibration as TpuIVFStore (the
-        # margin is a dynamic scalar in the SPMD executable).
+        # Same lazy prune_margin / operating-point auto-calibration as
+        # TpuIVFStore (the margin is a dynamic scalar in the SPMD
+        # executable; each ladder nprobe is one cached executable).
         self._prune_target = kw.pop("prune_target", None)
         self._prune_metric = str(kw.pop("prune_metric", "overlap"))
+        self._recall_target = kw.pop("recall_target", None)
         self._calibrated = False
         if base_dir:
             os.makedirs(base_dir, exist_ok=True)
@@ -369,10 +385,19 @@ class TpuMeshIVFStore(TpuFlatStore):
         return out
 
     def _maybe_calibrate(self) -> None:
-        if self._prune_target is None or self._calibrated:
+        if (self._prune_target is None and self._recall_target is None) \
+                or self._calibrated:
             return
         with self._lock:
             if self._calibrated or self.index.data is None:
+                return
+            if self._recall_target is not None:
+                pt = self.index.calibrate_operating_point(
+                    target_recall=self._recall_target)
+                self._calibrated = True
+                logger.info("sharded ivf %s: operating point calibrated to "
+                            "%s (recall target %.2f)",
+                            self.collection, pt, self._recall_target)
                 return
             m = self.index.calibrate_margin(
                 target_overlap=self._prune_target,
@@ -385,7 +410,7 @@ class TpuMeshIVFStore(TpuFlatStore):
     def _rebuild_locked(self) -> None:
         self.index.rebuild()
         self._maintenance_last = 0.0
-        if self._prune_target is not None:
+        if self._prune_target is not None or self._recall_target is not None:
             self.index.prune_margin = None
             self._calibrated = False
 

@@ -1,0 +1,106 @@
+"""Every shipping tier must return at least what the reference's ANN
+index would have (BASELINE.json north star: ">=95% recall@10 vs HNSW
+reference").
+
+The reference serves hnsw_rs at M=16, ef_construction=200, ef_search=32
+(/root/reference/lib/libmemex/src/storage/local.rs:101,76). This builds
+the repo's own native HNSW (native/hnsw/hnsw.cpp) at EXACTLY those
+parameters on the same corpus + queries as the TPU tiers, scores both
+against the same exact oracle, and asserts tier recall >= HNSW recall —
+the target as written, hermetically (CPU backend, interpret-mode
+kernels, no network).
+
+Two scales:
+- default: 8k x 64-d clustered corpus (seconds; regression gate);
+- slow:   100k x 384-d at the bench geometry (round-2 verdict item 3's
+  prescribed scale; the graph build is minutes of single-core work, so
+  it is `-m slow` like the virtual-pod lifecycle).
+"""
+
+import numpy as np
+import pytest
+
+from memex_tpu.benchmarks import hnsw_recall as hr
+from memex_tpu.index import FlatIndex, IVFIndex
+
+K = 10
+
+
+def _flat_recall(corpus, queries, exact, dtype, **kw) -> float:
+    idx = FlatIndex(dim=corpus.shape[1], capacity=corpus.shape[0],
+                    dtype=dtype, **kw)
+    idx.add(corpus, [f"r{i}" for i in range(corpus.shape[0])])
+    hits = idx.search(queries, K)
+    return float(np.mean([
+        len({int(s[1:]) for s, _ in hits[i]} & set(exact[i].tolist())) / K
+        for i in range(len(queries))
+    ]))
+
+
+def _ivf_recall(corpus, queries, exact, n_clusters, nprobe) -> float:
+    idx = IVFIndex(dim=corpus.shape[1], n_clusters=n_clusters,
+                   nprobe=nprobe, dtype="int8", use_fused=False)
+    idx.build(corpus, [f"r{i}" for i in range(corpus.shape[0])])
+    # The serving configuration: jointly calibrated (nprobe, margin)
+    # against the same floor the URI option `recall_target` would use.
+    idx.calibrate_operating_point(target_recall=0.95)
+    hits = idx.search(queries, K)
+    return float(np.mean([
+        len({int(s[1:]) for s, _ in hits[i]} & set(exact[i].tolist())) / K
+        for i in range(len(queries))
+    ]))
+
+
+def _hnsw_recall(corpus, queries, exact, cache_dir) -> float:
+    graph, _ = hr.build_or_load(corpus, seed=4242, cache_dir=cache_dir)
+    assert graph is not None
+    got = graph.search(queries, K, ef=hr.EF_SEARCH_REF)
+    return hr.recall_against(exact, got)
+
+
+def _corpus(n, dim, centers):
+    corpus = hr.make_corpus(n, dim, seed=4242, centers=centers)
+    queries = hr.make_queries(64, dim, seed=4242, centers=centers)
+    exact = hr.exact_topk_host(corpus, queries, K)
+    return corpus, queries, exact
+
+
+def test_every_tier_beats_hnsw_small(tmp_path):
+    # 384-d at the serving geometry: ef_search=32 costs HNSW real recall
+    # here (~0.75 measured; 0.91 at 1M in BENCH_r03), so the bar is the
+    # reference's true operating quality, not a saturated 1.0 that only
+    # tie-breaking noise could miss.
+    corpus, queries, exact = _corpus(8192, 384, centers=2048)
+    hnsw_rec = _hnsw_recall(corpus, queries, exact, str(tmp_path))
+    assert 0.3 < hnsw_rec < 1.0, hnsw_rec
+
+    tiers = {
+        "f32": _flat_recall(corpus, queries, exact, "float32"),
+        "bf16": _flat_recall(corpus, queries, exact, "bfloat16"),
+        "int8": _flat_recall(corpus, queries, exact, "int8",
+                             query_quantize=False),
+        "int8q": _flat_recall(corpus, queries, exact, "int8"),
+        "int4": _flat_recall(corpus, queries, exact, "int4"),
+        "ivf_int8": _ivf_recall(corpus, queries, exact,
+                                n_clusters=64, nprobe=8),
+    }
+    for tier, rec in tiers.items():
+        assert rec >= hnsw_rec, (tier, rec, hnsw_rec, tiers)
+
+
+@pytest.mark.slow
+def test_every_tier_beats_hnsw_100k():
+    """Verdict item 3's prescribed hermetic scale (100k x 384-d). The
+    graph is cached under ~/.cache/memex_hnsw keyed by (n, dim, seed), so
+    only the first run pays the single-core build."""
+    corpus, queries, exact = _corpus(100_000, 384, centers=2048)
+    hnsw_rec = _hnsw_recall(corpus, queries, exact, hr.DEFAULT_CACHE)
+
+    tiers = {
+        "f32": _flat_recall(corpus, queries, exact, "float32"),
+        "int8q": _flat_recall(corpus, queries, exact, "int8"),
+        "ivf_int8": _ivf_recall(corpus, queries, exact,
+                                n_clusters=256, nprobe=32),
+    }
+    for tier, rec in tiers.items():
+        assert rec >= hnsw_rec, (tier, rec, hnsw_rec, tiers)

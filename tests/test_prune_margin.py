@@ -335,3 +335,130 @@ def test_sharded_calibrate_recall_target(clustered):
     assert idx.nprobe == 16
     rec = _recall(idx.search(qs, 10), exact_ids)
     assert rec >= 0.92, rec
+
+
+# -- joint (nprobe, margin) operating-point calibration -------------------------
+
+
+def test_operating_point_lifts_capped_nprobe(clustered):
+    """When the configured nprobe itself caps recall below the floor, no
+    margin can lift it (pruning only drops probes) — the nprobe ladder
+    can. Round-2 verdict item 6: the realtext corpus sat at 0.35 recall
+    with nprobe=8/64 while the margin calibration reported success."""
+    db, _ = clustered
+    n = db.shape[0]
+    # Straddling queries — midpoints of rows from different regions — so
+    # the true top-10 splits across clusters and nprobe=1 CANNOT hold the
+    # floor (single-cluster queries are trivially routable at nprobe=1).
+    rng = np.random.default_rng(3)
+    a, b = rng.integers(0, n, 32), rng.integers(0, n, 32)
+    qs = db[a] + db[b]
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    exact = np.argsort(-(qs @ db.T), axis=1)[:, :10]
+    exact_ids = [[f"r{j}" for j in row] for row in exact]
+
+    idx = IVFIndex(dim=32, n_clusters=64, nprobe=1, dtype="float32",
+                   use_fused=False)
+    idx.build(db, [f"r{i}" for i in range(n)])
+    rec_before = _recall(idx.search(qs, 10), exact_ids)
+    assert rec_before < 0.95  # nprobe=1 must actually be the bottleneck
+
+    pt = idx.calibrate_operating_point(queries=qs, target_recall=0.95)
+    assert pt is not None
+    assert idx.nprobe == pt["nprobe"] > 1
+    # The sweep is the evidence trail: ascending nprobe, last rung holds.
+    rungs = [s["nprobe"] for s in pt["sweep"]]
+    assert rungs == sorted(rungs)
+    assert pt["sweep"][-1]["recall_vs_full"] >= 0.95
+    rec = _recall(idx.search(qs, 10), exact_ids)
+    assert rec >= 0.95, (pt, rec)
+
+
+def test_operating_point_keeps_sufficient_nprobe(clustered):
+    """A corpus-adequate nprobe is kept (first rung already holds), and
+    the margin sweep still runs to buy bytes back under the floor."""
+    db, qs = clustered
+    n = db.shape[0]
+    idx = IVFIndex(dim=32, n_clusters=64, nprobe=16, dtype="float32",
+                   use_fused=False)
+    idx.build(db, [f"r{i}" for i in range(n)])
+    pt = idx.calibrate_operating_point(queries=qs, target_recall=0.9)
+    assert pt["nprobe"] == 16 and len(pt["sweep"]) == 1
+
+
+def test_operating_point_on_fixture_embeddings(clustered):
+    """The round-2 failure mode end-to-end: embedding-distributed vectors
+    (deterministic random-weight MiniLM on real sentences), a too-low
+    configured nprobe, and a 0.95 floor vs the f32 exact oracle."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_encoder import tiny_engine
+
+    eng = tiny_engine()
+    words = ("economy congress health police jobs climate taxes schools "
+             "border veterans voting chips roads drugs energy war").split()
+    rng = np.random.default_rng(11)
+    texts = [" ".join(rng.choice(words, size=6)) + f" item {i}"
+             for i in range(1024)]
+    vecs = eng.encode_batch(texts)
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    qs = vecs[:24]
+    exact = np.argsort(-(qs @ vecs.T), axis=1)[:, :10]
+    exact_ids = [[f"t{j}" for j in row] for row in exact]
+
+    idx = IVFIndex(dim=vecs.shape[1], n_clusters=16, nprobe=1,
+                   dtype="float32", use_fused=False)
+    idx.build(vecs, [f"t{i}" for i in range(len(texts))])
+    pt = idx.calibrate_operating_point(queries=qs, target_recall=0.95)
+    rec = _recall(idx.search(qs, 10), exact_ids)
+    assert rec >= 0.95, (pt, rec)
+
+
+def test_sharded_operating_point(clustered):
+    import jax
+    from jax.sharding import Mesh
+
+    from memex_tpu.index.sharded_ivf import ShardedIVFIndex
+
+    db, _ = clustered
+    n = db.shape[0]
+    mesh = Mesh(np.array(jax.devices()[:4]), ("shard",))
+    rng = np.random.default_rng(3)
+    a, b = rng.integers(0, n, 32), rng.integers(0, n, 32)
+    qs = db[a] + db[b]
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    exact = np.argsort(-(qs @ db.T), axis=1)[:, :10]
+    exact_ids = [[f"r{j}" for j in row] for row in exact]
+
+    idx = ShardedIVFIndex(dim=32, mesh=mesh, n_clusters=64, nprobe=1,
+                          use_fused=False)
+    idx.build(db, [f"r{i}" for i in range(n)])
+    pt = idx.calibrate_operating_point(queries=qs, target_recall=0.95)
+    assert pt["nprobe"] > 1
+    rec = _recall(idx.search(qs, 10), exact_ids)
+    assert rec >= 0.92, (pt, rec)  # int8 storage slack vs the f32 oracle
+
+
+def test_store_recall_target_calibrates(clustered, tmp_path):
+    """URI surface: recall_target jointly lifts nprobe + sets the margin
+    on the first search; rebuild invalidates the point."""
+    from memex_tpu.store import get_vector_storage
+    from memex_tpu.store.base import VectorData
+
+    db, qs = clustered
+    store = get_vector_storage(
+        f"tpu+ivf://{tmp_path}/v?nprobe=1&n_clusters=64&use_fused=0"
+        "&dtype=float32&recall_target=0.95",
+        "calop", dim=32)
+    store.build([
+        VectorData(id=f"r{i}", document_id="d", text="", vector=db[i],
+                   segment_id=i)
+        for i in range(4096)
+    ])
+    assert store.index.nprobe == 1
+    store.search_batch(qs[:4], 10)
+    assert store._calibrated and store.index.nprobe > 1
+    store.rebuild()
+    assert not store._calibrated
