@@ -158,7 +158,7 @@ class FlatIndex:
 
     def __init__(self, dim: int, capacity: int = MIN_CAPACITY, use_fused: bool | None = None,
                  block_n: int = 1024, dtype: str = "float32",
-                 query_quantize: bool = True):
+                 query_quantize: bool = True, center: bool | None = None):
         """dtype selects storage precision: "float32" (exact), "bfloat16"
         (2x scan throughput, ~1e-3 score error), "int8" (4x throughput,
         ScaNN-style per-row scales, small recall cost), "int4" (8x-throughput
@@ -170,6 +170,23 @@ class FlatIndex:
         assert dtype != "int4" or dim % 2 == 0, "int4 packing needs even dim"
         self.dim = dim
         self.dtype = dtype
+        # Anisotropy-corrected quantization: real sentence embeddings
+        # concentrate around a large common mean (measured: random- and
+        # pretrained-MiniLM corpora sit at pairwise cos 0.95+), so direct
+        # int8 quantization burns nearly the whole code range on the shared
+        # component and the informative residual drowns in rounding noise.
+        # Storing codes = quantize(v - mean) spends the range on the
+        # residual; ranking is unchanged (score q.v = q.mean + q.delta and
+        # q.mean is query-constant across rows) and true cosines are
+        # restored by adding q.mean on the host AFTER the device top-k —
+        # zero changes to any compiled kernel. The mean is pinned at the
+        # first quantized ingestion (even a small first batch estimates it
+        # well on exactly the concentrated corpora that need it) and only a
+        # compact/rebuild re-pins it. Isotropic corpora pin a near-zero
+        # mean and behave as before. `center` defaults on for quantized
+        # tiers; float tiers have no rounding to correct.
+        self.center = (dtype in ("int8", "int4")) if center is None else bool(center)
+        self.mean: np.ndarray | None = None  # None = not pinned yet
         capacity = max(MIN_CAPACITY, int(capacity))
         self.capacity = 1 << (capacity - 1).bit_length()  # power of two
         self.count = 0
@@ -301,7 +318,11 @@ class FlatIndex:
         if self.dtype in ("int8", "int4"):
             from ..native_lib import np_quantize_rows_int8
 
-            q, row_scales = np_quantize_rows_int8(vectors)
+            if self.mean is None:
+                self.mean = (vectors.mean(axis=0).astype(np.float32)
+                             if self.center else np.zeros((self.dim,), np.float32))
+            resid = vectors - self.mean if self.mean.any() else vectors
+            q, row_scales = np_quantize_rows_int8(resid)
             self._sh_rows[self.count : self.count + m] = q
             self._sh_scales[self.count : self.count + m] = row_scales
             qblock = np.zeros((rows, self.dim), np.int8)
@@ -311,7 +332,7 @@ class FlatIndex:
             if self.dtype == "int4":
                 from ..ops.fused_topk import np_quantize_rows_int4
 
-                p, _ = np_quantize_rows_int4(vectors)  # [D/2, m]; scales = s8*127/7
+                p, _ = np_quantize_rows_int4(resid)  # [D/2, m]; scales = s8*127/7
                 pblock = np.zeros((self.dim // 2, rows), np.int8)
                 pblock[:, :m] = p
                 self.buf = _write_block_cols(
@@ -355,6 +376,13 @@ class FlatIndex:
         valid — otherwise the shadow is invalidated and future checkpoints
         degrade to rows_skipped + SQL recovery."""
         assert self.dtype == "int8", "device insert is int8-only"
+        if self.mean is None:
+            # Caller-quantized rows are raw-space codes: pin a zero mean so
+            # later host adds stay in the same code space (device bulk
+            # loads keep today's exact semantics; centering is a host-path
+            # feature). Callers inserting into an ALREADY-centered index
+            # (fold paths) must quantize in that index's mean space.
+            self.mean = np.zeros((self.dim,), np.float32)
         m = int(codes_dev.shape[0])
         if n_valid is None:
             n_valid = m
@@ -420,6 +448,7 @@ class FlatIndex:
             self._sh_scales = np.zeros((self.capacity,), np.float32)
         self._sh_valid = True
         self._dead_rows = set()
+        self.mean = None  # re-pinned at the next quantized ingestion
         # Row numbering restarts: any incremental checkpoint prefix is
         # invalid, force the next save() to rewrite from scratch.
         self._generation += 1
@@ -442,11 +471,15 @@ class FlatIndex:
         return np.asarray(self.scales)[: self.count]
 
     def _dequantized(self) -> np.ndarray:
-        """Materialize live-prefix vectors as f32 (for compaction/saving)."""
+        """Materialize live-prefix vectors as f32 (for compaction/saving).
+        Mean-centered codes decode back to TRUE vectors (+mean)."""
         raw = self._raw_rows()
         scales = self._raw_scales()
         if scales is not None:
-            return raw.astype(np.float32) * scales[:, None]
+            out = raw.astype(np.float32) * scales[:, None]
+            if self.mean is not None and self.mean.any():
+                out += self.mean
+            return out
         return raw.astype(np.float32)
 
     def compact(self) -> None:
@@ -521,8 +554,14 @@ class FlatIndex:
             )
         from ..ops.host import fetch
 
+        # Centered codes: the kernels ranked by the (rank-equivalent)
+        # residual score q.delta; restore true cosines with the
+        # query-constant q.mean, on host, after the device top-k.
+        off = None
+        if self.mean is not None and self.mean.any():
+            off = queries @ self.mean
         vals, idx = fetch(vals, idx)
-        out = self._hits_from(vals, idx, queries.shape[0])
+        out = self._hits_from(vals, idx, queries.shape[0], off)
         if use_fused and self.dead:
             # Shortfall: fewer live hits than the index can provide means
             # tombstones crowded the candidate bank — re-run exactly (the
@@ -535,17 +574,19 @@ class FlatIndex:
                     buf, self.scales, self.alive, self.count,
                     jnp.asarray(queries), k_eff,
                 ))
-                out = self._hits_from(vals, idx, queries.shape[0])
+                out = self._hits_from(vals, idx, queries.shape[0], off)
         return out
 
-    def _hits_from(self, vals, idx, q_n: int) -> list[list[tuple[str, float]]]:
+    def _hits_from(self, vals, idx, q_n: int,
+                   off: np.ndarray | None = None) -> list[list[tuple[str, float]]]:
         out = []
         for qi in range(q_n):
             hits = []
             for v, r in zip(vals[qi], idx[qi]):
                 if v <= -1e29 or r >= self.count:
                     continue
-                hits.append((self.ids[r], float(v)))
+                hits.append((self.ids[r],
+                             float(v) + (float(off[qi]) if off is not None else 0.0)))
             out.append(hits)
         return out
 
@@ -575,6 +616,8 @@ class FlatIndex:
             self.remove_checkpoint(path)
             meta = {"format": 2, "dim": self.dim, "dtype": self.dtype,
                     "segments": [], "dead_ids": [], "rows_skipped": True}
+            if self.mean is not None:
+                meta["mean"] = [float(x) for x in self.mean]
             tmp = path + ".meta.json.tmp"
             with open(tmp, "w", encoding="utf-8") as fh:
                 json.dump(meta, fh)
@@ -616,6 +659,12 @@ class FlatIndex:
             "segments": self._segments,
             "dead_rows": sorted(self._dead_rows),
         }
+        if self.mean is not None:
+            # Segments hold centered codes; future adds and corrections
+            # must keep using exactly this mean (a pinned ZERO mean is
+            # also recorded: presence means "pinned", so a reload never
+            # re-pins a different center over existing codes).
+            meta["mean"] = [float(x) for x in self.mean]
         tmp = path + ".meta.json.tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(meta, fh)
@@ -681,6 +730,8 @@ class FlatIndex:
         base = os.path.dirname(path) or "."
         if meta.get("rows_skipped"):
             idx = cls(dim=meta["dim"], **kw)
+            if "mean" in meta:
+                idx.mean = np.asarray(meta["mean"], np.float32)
             idx.needs_recovery = True
             return idx
         for name in meta["segments"]:
@@ -693,6 +744,14 @@ class FlatIndex:
                 rows_l.append(arrs["vectors"])
         n_total = sum(len(a) for a in ids_l)
         idx = cls(dim=meta["dim"], capacity=max(MIN_CAPACITY, n_total + 1), **kw)
+        if "mean" in meta:
+            # Must land BEFORE rows: stored codes are centered at exactly
+            # this mean, and future adds must share it.
+            idx.mean = np.asarray(meta["mean"], np.float32)
+        elif idx.dtype in ("int8", "int4") and n_total:
+            # Pre-centering checkpoint: codes are raw — pin zero so later
+            # adds can never re-center over them.
+            idx.mean = np.zeros((idx.dim,), np.float32)
         if n_total:
             ids_arr = np.concatenate(ids_l)
             rows = np.concatenate(rows_l)

@@ -158,15 +158,26 @@ def _ivf_search_fused(centroids, data, rscales, sizes, queries,
                           banks=banks, interpret=interpret)
 
 
-def _topk_clusters(codes, scales, centroids, n, R, blk=1 << 18):
+def _topk_clusters(codes, scales, centroids, n, R, blk=1 << 18, mean=None):
     """Top-R candidate clusters per (padded) quantized row; [n, R] int32
-    on host. One bf16 matmul block at a time; the fetch is tiny."""
+    on host. One bf16 matmul block at a time; the fetch is tiny.
+
+    `mean`: when codes are mean-centered residuals, row-to-cluster scores
+    need + mean.centroids^T (a [C] vector) — unlike the query-side routing
+    shift this varies ACROSS clusters, so it does change the argmax. The
+    correction is exact whichever space the centroids live in (raw or
+    residual): the two differ per row only by a row-constant v.mean."""
     cent_t = centroids.astype(jnp.bfloat16).T
+    moff = (jnp.asarray(mean, jnp.bfloat16) @ cent_t
+            if mean is not None and np.asarray(mean).any() else None)
     tops = []
     for s in range(0, codes.shape[0], blk):
         x = (codes[s : s + blk].astype(jnp.bfloat16)
              * scales[s : s + blk, None].astype(jnp.bfloat16))
-        tops.append(jax.lax.top_k(x @ cent_t, R)[1].astype(jnp.int32))
+        sc = x @ cent_t
+        if moff is not None:
+            sc = sc + moff[None, :]
+        tops.append(jax.lax.top_k(sc, R)[1].astype(jnp.int32))
     return np.asarray(jnp.concatenate(tops) if len(tops) > 1 else tops[0])[:n]
 
 
@@ -280,6 +291,7 @@ class IVFIndex:
         use_fused: bool | None = None,
         scan_int4: bool = False,
         prune_margin: float | None = None,
+        center: bool | None = None,
     ):
         assert dtype in ("float32", "bfloat16", "int8"), dtype
         assert not (scan_int4 and dtype != "int8"), "int4 scan needs int8 storage"
@@ -305,7 +317,19 @@ class IVFIndex:
         self.rowids: np.ndarray | None = None  # [C, M] -> index into self.ids
         self._rowids_dev = None  # device rowid table (device-built indexes)
         self.ids: list[str] = []
-        self.spill = FlatIndex(dim, dtype=dtype)
+        # Anisotropy-corrected int8 (see FlatIndex.center): ONE mean per
+        # IVF index, pinned at the first HOST-quantized ingestion and
+        # shared with the spill so fold/rebuild move codes within a single
+        # code space. Device-built corpora (build_device/add_quantized)
+        # pin a zero mean — caller-quantized raw codes keep today's exact
+        # semantics. Query-side routing is shift-invariant (all centroid
+        # scores move by the same -q.mean, so probe selection and prune
+        # margins are untouched); row-side fold assignment gets the exact
+        # +mean.centroids correction in _topk_clusters.
+        self.center = (dtype == "int8") if center is None else bool(center)
+        self.mean: np.ndarray | None = None
+        # Spill never pins its own center: the IVF pins for both.
+        self.spill = FlatIndex(dim, dtype=dtype, center=False)
         self._deleted: set[str] = set()
         self._live: set[str] = set()
         # True once add() nulled stale table id entries on a delete->re-add;
@@ -356,6 +380,19 @@ class IVFIndex:
         if M ever changes (every table mutation already invalidates it)."""
         return 8 if self.data is not None and self.data.shape[1] % 1024 == 0 else 4
 
+    def _pin_mean(self, vectors: np.ndarray | None) -> None:
+        """Pin the shared quantization center (idempotent). Must run before
+        the first code lands in either the table or the spill."""
+        if self.mean is not None:
+            return
+        if self.dtype == "int8" and self.center and vectors is not None and len(vectors):
+            self.mean = np.asarray(vectors, np.float32).mean(axis=0)
+        else:
+            self.mean = np.zeros((self.dim,), np.float32)
+        assert self.spill.count == 0 or not self.mean.any(), \
+            "spill holds raw codes; cannot center after the fact"
+        self.spill.mean = self.mean.copy()
+
     # -- build ---------------------------------------------------------------
 
     def build(self, vectors: np.ndarray, ids: list[str]) -> None:
@@ -363,6 +400,7 @@ class IVFIndex:
         n = vectors.shape[0]
         assert n == len(ids)
         self._live.update(ids)
+        self._pin_mean(vectors)
         if n < self.C * 4:
             logger.info("ivf build: n=%d too small for C=%d, using spill only", n, self.C)
             self.spill.add(vectors, ids)
@@ -400,6 +438,11 @@ class IVFIndex:
         rowids[sorted_c[in_bucket], pos[in_bucket]] = rows_sel
         self.ids = list(ids)
         self._ids_nulled = False
+        if self.mean.any():
+            # Centered storage: padding rows (zeros) become -mean, which
+            # corrects to a true score of exactly 0 — identical standing
+            # to today's zero-padding in the in-kernel top-k.
+            data -= self.mean
         self._pack(data)
         self.sizes = jnp.asarray(np.minimum(counts, M).astype(np.int32))
         self.rowids = rowids
@@ -430,6 +473,8 @@ class IVFIndex:
             n_valid = n
         assert d == self.dim and n == len(ids)
         assert n_valid >= self.C * 4, f"n={n_valid} too small for C={self.C}"
+        if self.mean is None:
+            self._pin_mean(None)  # caller-quantized raw codes: zero mean
         self._live.update(i for i in ids[:n_valid] if i is not None)
 
         TRAIN_CAP = max(self.C * 64, 65536)
@@ -562,6 +607,7 @@ class IVFIndex:
                 return
             vectors = vectors[fresh]
             ids = [ids[i] for i in fresh]
+        self._pin_mean(vectors)
         self.spill.add(vectors, ids)
         self._live.update(ids)
 
@@ -608,7 +654,7 @@ class IVFIndex:
         # Top-R candidate clusters per row (device matmul, tiny fetch),
         # then the host-side greedy capacity fill.
         choice = _topk_clusters(codes, scales, self.centroids, n,
-                                min(self.FOLD_CHOICES, C))
+                                min(self.FOLD_CHOICES, C), mean=self.mean)
         a_final, slot_final, sizes_fill = _capacity_fill(
             choice, np.asarray(self.sizes), M)
         ok = a_final >= 0
@@ -665,6 +711,10 @@ class IVFIndex:
         left_ids = sids_sel[~folded_mask].tolist()
         old_buf, old_scales = self.spill.buf, self.spill.scales
         self.spill.delete_all()
+        # delete_all un-pins the spill's mean; the leftover codes (and all
+        # future spill adds) are still in THIS index's code space.
+        if self.mean is not None:
+            self.spill.mean = self.mean.copy()
         if len(left):
             lp = np.full((max(PAD, -(-len(left) // PAD) * PAD),),
                          old_buf.shape[0], np.int64)
@@ -691,10 +741,14 @@ class IVFIndex:
         """Fold the spill back into retrained partitions. int8 indexes with
         a resident cluster table rebuild ON DEVICE (gather + re-assign +
         re-scatter; the corpus never transits the device->host link);
-        others take the host path."""
+        others take the host path. Mean-centered indexes always rebuild on
+        the host: they were host-ingested (device bulk builds pin a zero
+        mean), so the corpus already lives in the host shadow, and the
+        host path re-pins a fresh mean for the post-churn distribution."""
         live = len(self._live)
         if (self.dtype == "int8" and self.data is not None
-                and live >= self.C * 4):
+                and live >= self.C * 4
+                and (self.mean is None or not self.mean.any())):
             self.rebuild_device()
             return
         vecs, ids = self._all_vectors()
@@ -741,6 +795,8 @@ class IVFIndex:
                 sel = data[valid].astype(np.float32)
                 if self.dtype == "int8":
                     sel *= np.asarray(self.rscales)[valid][:, None]
+                    if self.mean is not None and self.mean.any():
+                        sel += self.mean  # codes are centered residuals
                 parts_v.append(sel)
                 parts_i.extend(self._cluster_live_ids(valid))
         if self.spill.count:
@@ -917,6 +973,12 @@ class IVFIndex:
                 else:
                     vals, cl, sl = fetch(vals, cl, sl)
                     orig = None
+                # Centered codes: restore true cosines with the
+                # query-constant q.mean (the kernels ranked by the
+                # rank-equivalent residual score). Spill hits below come
+                # back already corrected (FlatIndex does its own).
+                off = (queries @ self.mean
+                       if self.mean is not None and self.mean.any() else None)
                 for qi in range(Q):
                     for j, (v, c, s) in enumerate(zip(vals[qi], cl[qi], sl[qi])):
                         if v <= -1e29:
@@ -927,7 +989,8 @@ class IVFIndex:
                         sid = self.ids[ridx]
                         if sid is None or sid in self._deleted:
                             continue
-                        merged[qi][sid] = float(v)
+                        merged[qi][sid] = float(v) + (
+                            float(off[qi]) if off is not None else 0.0)
         if self.spill.count:
             for qi, hits in enumerate(self.spill.search(queries, min(k, self.spill.count))):
                 for sid, v in hits:
@@ -1026,6 +1089,8 @@ class IVFIndex:
             "deleted": sorted(str(s) for s in self._deleted),
             "base_skipped": bool(skip_base),
         }
+        if self.mean is not None:
+            meta["mean"] = [float(x) for x in self.mean]
         tmp = path + ".meta.json.tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
             _json.dump(meta, fh)
@@ -1045,6 +1110,11 @@ class IVFIndex:
         idx = cls(dim=meta["dim"], **kw)
         if meta.get("format") != 2:
             return cls._load_legacy(idx, path, meta)
+        if "mean" in meta:
+            # Must land before any code is installed: the base and spill
+            # segments hold codes centered at exactly this mean.
+            idx.mean = np.asarray(meta["mean"], np.float32)
+            idx.spill.mean = idx.mean.copy()
         deleted = set(meta.get("deleted", []))
         import os as _os
 
@@ -1053,10 +1123,13 @@ class IVFIndex:
             # flag for SQL recovery (runtime.store() re-streams the rows).
             idx.needs_recovery = True
             if FlatIndex.exists(path + ".spill"):
-                idx.spill = FlatIndex.load(path + ".spill", dtype=idx.dtype)
+                idx.spill = FlatIndex.load(path + ".spill", dtype=idx.dtype,
+                                           center=False)
                 if deleted and idx.spill.count:
                     idx.spill.delete([s for s in idx.spill.ids if s in deleted])
                 idx._live.update(idx.spill._id_to_row)
+            if idx.mean is not None and idx.spill.mean is None:
+                idx.spill.mean = idx.mean.copy()
             idx._ckpt_path = path
             return idx
         arrs = np.load(path + ".npz")
@@ -1105,13 +1178,21 @@ class IVFIndex:
             idx.rowids = rowids
             idx._live.update(cids)
         if FlatIndex.exists(path + ".spill"):
-            idx.spill = FlatIndex.load(path + ".spill", dtype=idx.dtype)
+            idx.spill = FlatIndex.load(path + ".spill", dtype=idx.dtype,
+                                       center=False)
             if deleted and idx.spill.count:
                 idx.spill.delete([s for s in idx.spill.ids if s in deleted])
             idx._live.update(idx.spill._id_to_row)
             if idx.spill.needs_recovery:
                 # Device-built spill rows were policy-skipped at save time.
                 idx.needs_recovery = True
+        if idx.mean is None and idx.dtype == "int8" and (
+                idx.data is not None or idx.spill.count):
+            # Pre-centering checkpoint: codes are raw — pin zero so later
+            # ingestion can never re-center over them.
+            idx.mean = np.zeros((idx.dim,), np.float32)
+        if idx.mean is not None and idx.spill.mean is None:
+            idx.spill.mean = idx.mean.copy()
         idx._ckpt_path = path
         return idx
 
@@ -1196,6 +1277,7 @@ class IVFIndex:
         self._deleted.clear()
         self._live.clear()
         self.spill.delete_all()
+        self.mean = None  # re-pinned at the next ingestion
         self._base_dirty = True
         self._host_data = self._host_scales = None
         self._invalidate_int4()
@@ -1251,9 +1333,12 @@ def sample_corpus_queries(index, n: int, seed: int = 0) -> np.ndarray | None:
     flat = jnp.asarray(cl * M + sl)
     rows = jnp.take(index.data.reshape(-1, index.dim), flat,
                     axis=0).astype(jnp.float32)
+    mean = getattr(index, "mean", None)
     if index.rscales is not None:
         rows = rows * jnp.take(index.rscales.reshape(-1), flat)[:, None]
     q = np.asarray(jax.device_get(rows), np.float32)
+    if mean is not None and np.asarray(mean).any():
+        q = q + np.asarray(mean, np.float32)  # codes are centered residuals
     nrm = np.linalg.norm(q, axis=1, keepdims=True)
     return q / np.maximum(nrm, 1e-9)
 

@@ -118,7 +118,11 @@ class TestInt4Kernel:
             top = sorted(want.items(), key=lambda kv: -kv[1])[:k]
             got = c[qi] * M + s[qi]
             # per-lane slot banks may drop near-ties; top-1 is never lost
-            assert got[0] == top[0][0]
+            # EXCEPT to a genuine tie (oracle gap inside bf16 rounding:
+            # the kernel's bf16 dots may legally flip a <2e-3 gap).
+            assert (got[0] == top[0][0]
+                    or want.get(int(got[0]), -1.0) >= top[0][1] - 2e-3), (
+                got[0], top[0])
             overlap = len(set(got.tolist()) & {r for r, _ in top})
             assert overlap / k >= 0.8
             for j, r in enumerate(got.tolist()):
