@@ -814,14 +814,26 @@ def bench_realtext_ivf() -> dict:
 
     from memex_tpu.index.ivf import IVFIndex
 
+    # Corpus anisotropy diagnostic: random-weight MiniLM embeddings
+    # concentrate at pairwise cos ~0.99+ (all ranking information lives in
+    # a tiny residual), which is exactly the regime the centered storage +
+    # exact rerank exist for. Real pretrained weights spread much wider.
+    samp = vecs[rng.choice(NW, size=256, replace=False)]
+    cosm = samp @ samp.T
+    mean_cos = float((cosm.sum() - np.trace(cosm)) / (len(samp) ** 2 - len(samp)))
     out = {"windows": NW, "encode_s": round(encode_s, 1),
            "encode_windows_per_s": round(NW / encode_s, 1),
+           "mean_pairwise_cos": round(mean_cos, 4),
            "weights": weights}
     if reason:
         out["weights_fallback_reason"] = reason
     for dtype in ("int8", "float32"):
+        # rerank=64: centered storage fixes bf16 input resolution, and the
+        # exact top-64 re-score fixes the residual-gap ranking (this corpus
+        # packs 16k windows inside cos ~0.997 of each other — boundary gaps
+        # sit below ANY coarse storage format's score resolution).
         ivf = IVFIndex(dim=vecs.shape[1], n_clusters=64, nprobe=8,
-                       dtype=dtype)
+                       dtype=dtype, rerank=64)
         ivf.build(vecs, list(range(NW)))
         # Joint (nprobe, margin) calibration on corpus-sampled probe
         # queries; evaluated below on a DIFFERENT held-out sample, so the

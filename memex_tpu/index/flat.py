@@ -183,9 +183,14 @@ class FlatIndex:
         # first quantized ingestion (even a small first batch estimates it
         # well on exactly the concentrated corpora that need it) and only a
         # compact/rebuild re-pins it. Isotropic corpora pin a near-zero
-        # mean and behave as before. `center` defaults on for quantized
-        # tiers; float tiers have no rounding to correct.
-        self.center = (dtype in ("int8", "int4")) if center is None else bool(center)
+        # mean and behave as before. `center` defaults on for EVERY tier:
+        # float storage has no rounding step, but the scan kernels feed the
+        # MXU bf16 inputs (8-bit mantissa), and on concentrated corpora the
+        # informative score differences sit below bf16 resolution of values
+        # near 1.0 — storing the residual moves them back into range
+        # (measured: recall@10 vs exact 0.13 raw -> 0.92+ centered at
+        # pairwise cos 0.9985, bf16-simulated scoring).
+        self.center = True if center is None else bool(center)
         self.mean: np.ndarray | None = None  # None = not pinned yet
         capacity = max(MIN_CAPACITY, int(capacity))
         self.capacity = 1 << (capacity - 1).bit_length()  # power of two
@@ -310,19 +315,22 @@ class FlatIndex:
             return
         self._add_screened(vectors, ids)
 
-    def _add_screened(self, vectors: np.ndarray, ids: list[str]) -> None:
+    def _add_screened(self, vectors: np.ndarray, ids: list[str],
+                      precentered: bool = False) -> None:
         m = vectors.shape[0]
         rows = _bucket_rows(m)
         # +1 so padded rows never alias live data at exactly-full capacity.
         self._grow_to(self.count + rows + 1)
+        if self.mean is None:
+            self.mean = (vectors.mean(axis=0).astype(np.float32)
+                         if self.center and not precentered
+                         else np.zeros((self.dim,), np.float32))
+        resid = (vectors if precentered or not self.mean.any()
+                 else vectors - self.mean)
         if self.dtype in ("int8", "int4"):
             from ..native_lib import np_quantize_rows_int8
-
-            if self.mean is None:
-                self.mean = (vectors.mean(axis=0).astype(np.float32)
-                             if self.center else np.zeros((self.dim,), np.float32))
-            resid = vectors - self.mean if self.mean.any() else vectors
-            q, row_scales = np_quantize_rows_int8(resid)
+            q, row_scales = np_quantize_rows_int8(
+                np.ascontiguousarray(resid, np.float32))
             self._sh_rows[self.count : self.count + m] = q
             self._sh_scales[self.count : self.count + m] = row_scales
             qblock = np.zeros((rows, self.dim), np.int8)
@@ -345,9 +353,12 @@ class FlatIndex:
                 self.scales[:, None], jnp.asarray(sblock)[:, None], self.count, m
             )[:, 0]
         else:
-            self._sh_rows[self.count : self.count + m] = vectors
+            # Float tiers store the residual too (shadow mirrors storage
+            # space exactly, like int8 codes); search()/decode() restore
+            # the query-constant q.mean after the device top-k.
+            self._sh_rows[self.count : self.count + m] = resid
             block = np.zeros((rows, self.dim), np.float32)
-            block[:m] = vectors
+            block[:m] = resid
             self.buf = _write_block(
                 self.buf, jnp.asarray(block).astype(self._buf_dtype), self.count, m
             )
@@ -477,10 +488,11 @@ class FlatIndex:
         scales = self._raw_scales()
         if scales is not None:
             out = raw.astype(np.float32) * scales[:, None]
-            if self.mean is not None and self.mean.any():
-                out += self.mean
-            return out
-        return raw.astype(np.float32)
+        else:
+            out = raw.astype(np.float32)
+        if self.mean is not None and self.mean.any():
+            out = out + self.mean
+        return out
 
     def compact(self) -> None:
         """Drop tombstoned rows and repack (host-side; O(count))."""
@@ -748,8 +760,8 @@ class FlatIndex:
             # Must land BEFORE rows: stored codes are centered at exactly
             # this mean, and future adds must share it.
             idx.mean = np.asarray(meta["mean"], np.float32)
-        elif idx.dtype in ("int8", "int4") and n_total:
-            # Pre-centering checkpoint: codes are raw — pin zero so later
+        elif n_total:
+            # Pre-centering checkpoint: rows are raw — pin zero so later
             # adds can never re-center over them.
             idx.mean = np.zeros((idx.dim,), np.float32)
         if n_total:
@@ -772,7 +784,15 @@ class FlatIndex:
                     rows[keep], np.concatenate(scales_l)[keep], kept_ids
                 )
             elif kept_ids:
-                idx.add(rows[keep], kept_ids)
+                # Float segments hold rows in STORAGE space (residuals when
+                # centered): install without re-subtracting the mean so the
+                # restored buffer is byte-identical to what was saved.
+                kept_rows = np.asarray(rows[keep], np.float32)
+                idx._grow_to(idx.count + len(kept_ids) + 1)
+                for i in range(0, len(kept_ids), _ADD_CHUNK):
+                    idx._add_screened(kept_rows[i : i + _ADD_CHUNK],
+                                      kept_ids[i : i + _ADD_CHUNK],
+                                      precentered=True)
         if not dead_rows and not dead_ids:
             # Resume the segment log in place: the next save() appends
             # instead of rewriting (row numbering matches the segments

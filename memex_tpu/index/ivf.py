@@ -181,6 +181,26 @@ def _topk_clusters(codes, scales, centroids, n, R, blk=1 << 18, mean=None):
     return np.asarray(jnp.concatenate(tops) if len(tops) > 1 else tops[0])[:n]
 
 
+@partial(jax.jit, static_argnames=("keep",))
+def _exact_topk_rerank(data, rscales, queries, vals, cl, sl, keep: int):
+    """Exact re-scoring of the coarse scan's top-kk candidates, on device:
+    gather the stored rows ([Q, kk, D] — Q*kk*D bytes, negligible next to
+    the scan's probed-union read) and redo the dot at HIGHEST precision
+    (f32 multi-pass on the MXU; int8 codes dequantize exactly). The coarse
+    kernels feed the MXU bf16 inputs, so top-k boundary gaps below bf16
+    resolution rank arbitrarily there; this pass restores exact order
+    within the candidate set. Sentinel candidates (vals <= -1e29: fewer
+    live rows than kk) keep their sentinel so the host filter still drops
+    them. Returns (vals [Q,keep], cl [Q,keep], sl [Q,keep])."""
+    rows = data[cl, sl].astype(jnp.float32) * rscales[cl, sl][..., None]
+    scores = jnp.einsum("qd,qkd->qk", queries.astype(jnp.float32), rows,
+                        precision=jax.lax.Precision.HIGHEST)
+    scores = jnp.where(vals > -1e29, scores, vals)
+    top_v, top_j = jax.lax.top_k(scores, keep)
+    return (top_v, jnp.take_along_axis(cl, top_j, axis=1),
+            jnp.take_along_axis(sl, top_j, axis=1))
+
+
 def _capacity_fill(choice: np.ndarray, sizes: np.ndarray, M: int):
     """Greedy capacity-aware placement: round j sends each still-homeless
     row to its j-th-nearest cluster if that bucket has free slots. Rows
@@ -292,6 +312,7 @@ class IVFIndex:
         scan_int4: bool = False,
         prune_margin: float | None = None,
         center: bool | None = None,
+        rerank: int | None = None,
     ):
         assert dtype in ("float32", "bfloat16", "int8"), dtype
         assert not (scan_int4 and dtype != "int8"), "int4 scan needs int8 storage"
@@ -310,6 +331,17 @@ class IVFIndex:
         # union bytes, so skipped clusters convert ~1:1 into QPS. nprobe
         # stays the recall-side upper bound.
         self.prune_margin = prune_margin
+        # Opt-in exact re-scoring depth: the scan retrieves the top-`rerank`
+        # candidates instead of top-k, then _exact_topk_rerank gathers those
+        # rows and redoes the dot at full precision (HIGHEST-precision MXU
+        # passes; dequantized f32 for int8). The coarse kernels feed the MXU
+        # bf16 inputs, so on strongly anisotropic corpora the top-k boundary
+        # gaps sit below bf16 resolution even after centering; the gather
+        # costs Q*rerank*D bytes vs the scan's full probed-union read
+        # (measured sim: recall@10 vs exact 0.92 -> 0.997 at pairwise
+        # cos 0.9985 with rerank=50). Capped at 256 to stay inside every
+        # kernel's candidate-bank width.
+        self.rerank = None if rerank is None else min(int(rerank), 256)
         self.centroids: jnp.ndarray | None = None
         self.data: jnp.ndarray | None = None          # [C, M, D] storage dtype
         self.rscales: jnp.ndarray | None = None       # [C, M] f32 (int8 mode)
@@ -326,7 +358,11 @@ class IVFIndex:
         # scores move by the same -q.mean, so probe selection and prune
         # margins are untouched); row-side fold assignment gets the exact
         # +mean.centroids correction in _topk_clusters.
-        self.center = (dtype == "int8") if center is None else bool(center)
+        # Centering applies to float tiers too: the scan kernels feed the
+        # MXU bf16 inputs, and concentrated corpora (real sentence
+        # embeddings, pairwise cos 0.95+) put the informative score gaps
+        # below bf16 resolution near 1.0; residual storage restores them.
+        self.center = True if center is None else bool(center)
         self.mean: np.ndarray | None = None
         # Spill never pins its own center: the IVF pins for both.
         self.spill = FlatIndex(dim, dtype=dtype, center=False)
@@ -385,7 +421,7 @@ class IVFIndex:
         the first code lands in either the table or the spill."""
         if self.mean is not None:
             return
-        if self.dtype == "int8" and self.center and vectors is not None and len(vectors):
+        if self.center and vectors is not None and len(vectors):
             self.mean = np.asarray(vectors, np.float32).mean(axis=0)
         else:
             self.mean = np.zeros((self.dim,), np.float32)
@@ -899,7 +935,13 @@ class IVFIndex:
         results: list[list[tuple[str, float]]] = [[] for _ in range(Q)]
         merged: list[dict[str, float]] = [dict() for _ in range(Q)]
         if self.data is not None:
-            kk = min(k + len(self._deleted), int(np.asarray(self.sizes).sum()))
+            table_rows = int(np.asarray(self.sizes).sum())
+            kk = min(k + len(self._deleted), table_rows)
+            if self.rerank:
+                # Retrieve a wider candidate bank for the exact re-score;
+                # the post-scan top_k/gather shapes change but the Pallas
+                # scan executable does not (kk is outside the kernel).
+                kk = min(max(kk, self.rerank), table_rows)
             if kk > 0:
                 M = self.data.shape[1]
                 vmem_need = 2 * M * self.dim * self.data.dtype.itemsize
@@ -958,6 +1000,12 @@ class IVFIndex:
                         self.centroids, self.data, self.rscales, self.sizes,
                         jnp.asarray(queries), self.nprobe, kk,
                     )
+                keep = min(k + len(self._deleted), kk)
+                if self.rerank and kk > keep:
+                    vals, cl, sl = _exact_topk_rerank(
+                        self.data, self.rscales, jnp.asarray(queries),
+                        jnp.asarray(vals), jnp.asarray(cl), jnp.asarray(sl),
+                        keep)
                 from ..ops.host import fetch
 
                 if self._rowids_dev is not None:
@@ -1186,8 +1234,7 @@ class IVFIndex:
             if idx.spill.needs_recovery:
                 # Device-built spill rows were policy-skipped at save time.
                 idx.needs_recovery = True
-        if idx.mean is None and idx.dtype == "int8" and (
-                idx.data is not None or idx.spill.count):
+        if idx.mean is None and (idx.data is not None or idx.spill.count):
             # Pre-centering checkpoint: codes are raw — pin zero so later
             # ingestion can never re-center over them.
             idx.mean = np.zeros((idx.dim,), np.float32)

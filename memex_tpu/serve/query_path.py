@@ -47,23 +47,30 @@ def _bucket(n, buckets):
 @partial(jax.jit, static_argnames=("enc_cfg", "k", "dtype", "use_fused",
                                    "qquant", "block_n"))
 def _encode_and_search(params, ids, mask, buf, scales, alive, count, buf8,
-                       *, enc_cfg, k: int, dtype: str, use_fused: bool,
+                       mean, *, enc_cfg, k: int, dtype: str, use_fused: bool,
                        qquant: bool, block_n: int):
     queries = MiniLMEncoder(enc_cfg).apply(params, ids, mask)  # unit vectors
     if use_fused and dtype == "int4":
-        return _search_masked_fused_int4(
+        vals, rows = _search_masked_fused_int4(
             buf, scales, buf8, alive, count, queries, k, block_n=block_n,
             rerank=min(max(64, 2 * k), 1024),
         )
-    if use_fused and dtype == "int8":
-        return _search_masked_fused_int8(
+    elif use_fused and dtype == "int8":
+        vals, rows = _search_masked_fused_int8(
             buf, scales, alive, count, queries, k, block_n=block_n, qquant=qquant
         )
-    if use_fused:
-        return _search_masked_fused(buf, alive, count, queries, k)
-    if dtype == "int4":  # XLA fallback scores from the int8 rerank copy
-        return _search_xla(buf8, scales, alive, count, queries, k)
-    return _search_xla(buf, scales, alive, count, queries, k)
+    elif use_fused:
+        vals, rows = _search_masked_fused(buf, alive, count, queries, k)
+    elif dtype == "int4":  # XLA fallback scores from the int8 rerank copy
+        vals, rows = _search_xla(buf8, scales, alive, count, queries, k)
+    else:
+        vals, rows = _search_xla(buf, scales, alive, count, queries, k)
+    if mean is not None:
+        # Centered storage: the kernels ranked by the (rank-equivalent)
+        # residual score; restore true cosines with the query-constant
+        # q.mean — here it stays on device, fused into the same dispatch.
+        vals = vals + (queries @ mean)[:, None]
+    return vals, rows
 
 
 class FusedQueryPath:
@@ -119,9 +126,12 @@ class FusedQueryPath:
                 bn = min(32768, index.capacity)
             else:
                 bn = min(index.block_n, index.capacity)
+            mean = (jnp.asarray(index.mean)
+                    if index.mean is not None and index.mean.any() else None)
             vals, rows = _encode_and_search(
                 self.engine.params, jnp.asarray(ids), jnp.asarray(mask),
                 index.buf, index.scales, index.alive, count, index.buf8,
+                mean,
                 enc_cfg=self.engine.cfg, k=k_eff, dtype=index.dtype,
                 use_fused=use_fused, qquant=index.query_quantize, block_n=bn,
             )

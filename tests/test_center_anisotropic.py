@@ -1,0 +1,135 @@
+"""Centered float storage + exact rerank on strongly anisotropic corpora.
+
+Round-3 follow-through on verdict item 6 (operating point on
+embedding-distributed vectors): random- and pretrained-MiniLM corpora
+concentrate at pairwise cos 0.95-0.997, so the informative score gaps sit
+below bf16 input resolution near 1.0 — the regime every scan kernel (MXU
+bf16 inputs) and _search_xla (which mirrors them) operates in. Parity
+target: the reference scores in f32 end to end (hnsw_rs distance in
+lib/libmemex/src/storage/local.rs:76-101), so it never sees this cliff;
+centered residual storage + HIGHEST-precision rerank is the TPU-native
+equivalent. Fused kernels run in interpret mode, which executes the same
+bf16 casts, so the precision effect reproduces hermetically on CPU.
+"""
+
+import numpy as np
+import pytest
+
+from memex_tpu.index import FlatIndex, IVFIndex
+
+
+def aniso_corpus(rng, n, d, resid=0.002):
+    """Unit vectors packed around a common mean: pairwise cos ~0.998."""
+    m = rng.standard_normal(d).astype(np.float32)
+    m /= np.linalg.norm(m)
+    v = m[None, :] + resid * rng.standard_normal((n, d)).astype(np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def recall_at(hits, exact, k):
+    got = [{s for s, _ in h[:k]} for h in hits]
+    return float(np.mean([
+        len(got[i] & {str(j) for j in exact[i, :k].tolist()}) / k
+        for i in range(len(got))
+    ]))
+
+
+class TestCenteredFloatIVF:
+    def test_centered_rerank_recovers_exact_ranking(self, rng):
+        n, d, k = 4096, 384, 10
+        vecs = aniso_corpus(rng, n, d)
+        qs = vecs[rng.choice(n, 16, replace=False)]
+        exact = np.argsort(-(qs @ vecs.T), axis=1)[:, :k]
+
+        def build(**kw):
+            ivf = IVFIndex(dim=d, n_clusters=8, nprobe=8, dtype="float32",
+                           use_fused=True, **kw)
+            ivf._interpret = True
+            ivf.build(vecs, [str(i) for i in range(n)])
+            return ivf
+
+        raw = build(center=False)
+        r_raw = recall_at(raw.search(qs, k), exact, k)
+        cen = build(rerank=64)  # center defaults on
+        r_cen = recall_at(cen.search(qs, k), exact, k)
+        # Raw bf16 scoring collapses on this corpus; centered + exact
+        # rerank restores the exact-f32 ranking.
+        assert r_cen >= 0.95, r_cen
+        assert r_cen >= r_raw
+
+    def test_rerank_scores_are_true_cosines(self, rng):
+        n, d, k = 2048, 64, 5
+        vecs = aniso_corpus(rng, n, d, resid=0.05)
+        qs = vecs[:4]
+        ivf = IVFIndex(dim=d, n_clusters=8, nprobe=8, dtype="float32",
+                       use_fused=False, rerank=32)
+        ivf.build(vecs, [str(i) for i in range(n)])
+        for qi, hits in enumerate(ivf.search(qs, k)):
+            for sid, score in hits:
+                true = float(qs[qi] @ vecs[int(sid)])
+                assert abs(score - true) < 5e-3, (sid, score, true)
+
+    def test_rerank_with_deletes(self, rng):
+        n, d, k = 1024, 32, 5
+        vecs = aniso_corpus(rng, n, d, resid=0.1)
+        ivf = IVFIndex(dim=d, n_clusters=4, nprobe=4, dtype="float32",
+                       use_fused=False, rerank=32)
+        ivf.build(vecs, [str(i) for i in range(n)])
+        ivf.delete(["0", "1", "2"])
+        hits = ivf.search(vecs[:1], k)[0]
+        assert len(hits) == k
+        assert all(s not in ("0", "1", "2") for s, _ in hits)
+
+
+class TestCenteredFloatFlat:
+    def test_centered_flat_restores_true_scores(self, rng):
+        n, d, k = 512, 48, 5
+        vecs = aniso_corpus(rng, n, d, resid=0.05)
+        idx = FlatIndex(dim=d, dtype="float32", use_fused=False)
+        idx.add(vecs, [str(i) for i in range(n)])
+        assert idx.mean is not None and idx.mean.any()
+        for qi, hits in enumerate(idx.search(vecs[:3], k)):
+            assert hits[0][0] == str(qi)
+            for sid, score in hits:
+                true = float(vecs[qi] @ vecs[int(sid)])
+                assert abs(score - true) < 5e-3
+
+    def test_centered_float_checkpoint_roundtrip(self, rng, tmp_path):
+        n, d, k = 256, 32, 5
+        vecs = aniso_corpus(rng, n, d, resid=0.05)
+        idx = FlatIndex(dim=d, dtype="float32", use_fused=False)
+        idx.add(vecs, [str(i) for i in range(n)])
+        path = str(tmp_path / "cen")
+        idx.save(path)
+        back = FlatIndex.load(path, use_fused=False)
+        assert back.mean is not None
+        np.testing.assert_array_equal(back.mean, idx.mean)
+        # Restored residuals are byte-identical (no re-centering on load).
+        np.testing.assert_array_equal(back._raw_rows(), idx._raw_rows())
+        assert back.search(vecs[:3], k) == idx.search(vecs[:3], k)
+        # Adds after restore share the pinned mean (same code space).
+        more = aniso_corpus(rng, 64, d, resid=0.05)
+        back.add(more, [f"m{i}" for i in range(64)])
+        np.testing.assert_array_equal(back.mean, idx.mean)
+
+    def test_centered_ivf_spill_merge_consistent(self, rng):
+        """Main table and spill score in the same residual space; merged
+        absolute scores are true cosines from both sides."""
+        n, d, k = 1024, 32, 5
+        vecs = aniso_corpus(rng, n, d, resid=0.1)
+        ivf = IVFIndex(dim=d, n_clusters=4, nprobe=4, dtype="float32",
+                       use_fused=False)
+        ivf.build(vecs[:896], [str(i) for i in range(896)])
+        ivf.add(vecs[896:], [str(i) for i in range(896, n)])  # -> spill
+        assert ivf.spill.count > 0
+        qs = vecs[900:903]  # spill residents must surface as top-1
+        for qi, hits in enumerate(ivf.search(qs, k)):
+            assert hits[0][0] == str(900 + qi)
+            for sid, score in hits:
+                true = float(qs[qi] @ vecs[int(sid)])
+                assert abs(score - true) < 5e-3

@@ -43,13 +43,27 @@ class TestFlatIndex:
         d, k = 32, 5
         db = unit(rng, 300, d)
         ids = [f"v{i}" for i in range(300)]
-        a = FlatIndex(dim=d)
+        q = unit(rng, 3, d)
+        # center=False: byte-identical storage regardless of batch split.
+        a = FlatIndex(dim=d, center=False)
         a.add(db, ids)
-        b = FlatIndex(dim=d)
+        b = FlatIndex(dim=d, center=False)
         for s in range(0, 300, 37):  # uneven batches exercise padding
             b.add(db[s : s + 37], ids[s : s + 37])
-        q = unit(rng, 3, d)
         assert a.search(q, k) == b.search(q, k)
+        # Default (centered) storage pins the mean from the FIRST batch, so
+        # bulk and incremental residual spaces differ — ranking must still
+        # agree, and corrected scores match within bf16 scan rounding.
+        ac = FlatIndex(dim=d)
+        ac.add(db, ids)
+        bc = FlatIndex(dim=d)
+        for s in range(0, 300, 37):
+            bc.add(db[s : s + 37], ids[s : s + 37])
+        ra, rb = ac.search(q, k), bc.search(q, k)
+        for ha, hb in zip(ra, rb):
+            assert [s for s, _ in ha] == [s for s, _ in hb]
+            np.testing.assert_allclose([v for _, v in ha],
+                                       [v for _, v in hb], atol=2e-3)
 
     def test_growth(self, rng):
         d = 16
