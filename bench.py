@@ -810,7 +810,19 @@ def bench_realtext_ivf() -> dict:
         np.linalg.norm(vecs, axis=1, keepdims=True), 1e-9)
 
     qs = vecs[rng.choice(NW, size=64, replace=False)]
-    exact = np.argsort(-(qs @ vecs.T), axis=1)[:, :K]
+    # The windows oversample ~700 sentences, so ~23 windows share text
+    # modulo their "(window i)" suffix — the corpus is FULL of duplicate-
+    # grade ties whose gaps sit below the f32 oracle's own resolution
+    # (median top1-top10 gap 7e-5, many exact ties). recall@10 is scored
+    # two ways: id_recall (set overlap vs one arbitrary tie-break of the
+    # oracle) and the primary tie-aware score_recall (a returned row
+    # counts iff its TRUE f64 score >= the oracle's 10th-best; eps=0) —
+    # the standard ANN yardstick on tied corpora. Measured: the exact-scan
+    # f32 tier holds score_recall 1.0 while id_recall reads 0.917 purely
+    # on tie order.
+    scores_all = (qs @ vecs.T).astype(np.float64)
+    exact = np.argsort(-scores_all, axis=1)[:, :K]
+    kth = scores_all[np.arange(len(qs)), exact[:, K - 1]]
 
     from memex_tpu.index.ivf import IVFIndex
 
@@ -828,12 +840,18 @@ def bench_realtext_ivf() -> dict:
     if reason:
         out["weights_fallback_reason"] = reason
     for dtype in ("int8", "float32"):
-        # rerank=64: centered storage fixes bf16 input resolution, and the
-        # exact top-64 re-score fixes the residual-gap ranking (this corpus
-        # packs 16k windows inside cos ~0.997 of each other — boundary gaps
-        # sit below ANY coarse storage format's score resolution).
+        # Bank-wide exact rerank (clamped to S in search): centered storage
+        # fixes bf16 input resolution, and the full-bank re-score fixes the
+        # slot-fold's coarse ranking (this corpus packs 16k windows inside
+        # cos ~0.995 of each other — boundary gaps sit below ANY coarse
+        # storage format's score resolution, so the slot maxima are
+        # near-arbitrary picks that only an exact pass can order).
+        # f32 tier additionally scans at HIGHEST precision (free: the scan
+        # is HBM-bound), so the bank itself is selected by exact scores.
         ivf = IVFIndex(dim=vecs.shape[1], n_clusters=64, nprobe=8,
-                       dtype=dtype, rerank=64)
+                       dtype=dtype, rerank=1024,
+                       scan_precision=("highest" if dtype == "float32"
+                                       else "default"))
         ivf.build(vecs, list(range(NW)))
         # Joint (nprobe, margin) calibration on corpus-sampled probe
         # queries; evaluated below on a DIFFERENT held-out sample, so the
@@ -841,8 +859,13 @@ def bench_realtext_ivf() -> dict:
         # calibration fitting itself.
         pt = ivf.calibrate_operating_point(target_recall=0.95)
         hits = ivf.search(qs, K)
+        got = [[int(s) for s, _ in hits[i]] for i in range(len(qs))]
         rec = float(np.mean([
-            len({int(s) for s, _ in hits[i]} & set(exact[i].tolist())) / K
+            np.sum(scores_all[i, got[i]] >= kth[i]) / K
+            for i in range(len(qs))
+        ]))
+        rec_id = float(np.mean([
+            len(set(got[i]) & set(exact[i].tolist())) / K
             for i in range(len(qs))
         ]))
         from memex_tpu.ops.ivf_batch import route_union
@@ -856,8 +879,12 @@ def bench_realtext_ivf() -> dict:
         out[dtype] = {
             "operating_point": pt,
             # End-to-end vs the f32 exact oracle (routing + storage loss);
-            # pt["recall_vs_full"] isolates the routing part.
+            # pt["recall_vs_full"] isolates the routing part. Primary
+            # metric is tie-aware (returned row's true score >= the
+            # oracle's 10th-best, eps=0); id_recall additionally charges
+            # tie-break order on the duplicate-heavy windows.
             "recall_at_10_vs_exact_f32": round(rec, 4),
+            "id_recall_at_10": round(rec_id, 4),
             "union_clusters_full": int(na_full[0]),
             "union_clusters_pruned": int(na_pr[0]),
         }

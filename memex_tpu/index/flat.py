@@ -70,16 +70,18 @@ def _write_block(buf, block, start, nvalid):
     return jax.lax.dynamic_update_slice(buf, merged, (start, 0))
 
 
-@partial(jax.jit, static_argnames=("k", "kk", "interpret"))
+@partial(jax.jit, static_argnames=("k", "kk", "interpret", "exact"))
 def _search_masked_fused(buf, alive, count, queries, k: int, kk: int = 128,
-                         block_n: int = 1024, interpret: bool = False):
+                         block_n: int = 1024, interpret: bool = False,
+                         exact: bool = False):
     """Fused path with tombstones masked INSIDE the kernel (alive=None when
     the index has no deletes — skips the mask read): dead rows never claim
     candidate slots, so deletes cannot shadow live top-k rows."""
     from ..ops.fused_topk import fused_score_topk
 
     vals, idx = fused_score_topk(buf, queries, kk, count=count, alive=alive,
-                                 block_n=block_n, interpret=interpret)
+                                 block_n=block_n, interpret=interpret,
+                                 exact=exact)
     svals, order = jax.lax.top_k(vals, k)
     return svals, jnp.take_along_axis(idx, order, axis=1)
 
@@ -133,14 +135,38 @@ def _search_masked_fused_int4(buf4, scales, buf8, alive, count, queries, k: int,
     )
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _search_xla(buf, scales, alive, count, queries, k: int):
-    """Non-fused path for any storage dtype (CPU tests / fallback)."""
+@partial(jax.jit, static_argnames=("keep",))
+def _exact_flat_rerank(buf, scales, queries, vals, idx, keep: int):
+    """Exact re-scoring of a coarse search's top-kk rows, on device (the
+    flat-index twin of ivf._exact_topk_rerank): gather the candidate rows
+    and redo the dot at HIGHEST precision — the coarse paths feed the MXU
+    bf16 inputs, whose resolution near 1.0 scrambles top-k boundaries on
+    strongly anisotropic corpora. Sentinel candidates (vals <= -1e29)
+    keep their sentinel. Returns (vals [Q,keep], idx [Q,keep])."""
+    rows = buf[idx].astype(jnp.float32)  # [Q, kk, D]
+    if scales is not None:
+        rows = rows * scales[idx][..., None]
+    scores = jnp.einsum("qd,qkd->qk", queries.astype(jnp.float32), rows,
+                        precision=jax.lax.Precision.HIGHEST)
+    scores = jnp.where(vals > -1e29, scores, vals)
+    top_v, top_j = jax.lax.top_k(scores, keep)
+    return top_v, jnp.take_along_axis(idx, top_j, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k", "exact"))
+def _search_xla(buf, scales, alive, count, queries, k: int,
+                exact: bool = False):
+    """Non-fused path for any storage dtype (CPU tests / fallback). It
+    mirrors the fused kernels' bf16 MXU inputs so CPU tests see the same
+    score resolution; exact=True (f32 storage) keeps f32 inputs at
+    HIGHEST precision, mirroring the kernels' exact mode instead."""
     scores = jnp.einsum(
         "qd,nd->qn",
-        queries.astype(jnp.bfloat16),
-        buf.astype(jnp.bfloat16),
+        queries if exact else queries.astype(jnp.bfloat16),
+        buf if exact else buf.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST if exact
+                   else jax.lax.Precision.DEFAULT),
     )
     if scales is not None:
         scores = scores * scales[None, :]
@@ -158,7 +184,8 @@ class FlatIndex:
 
     def __init__(self, dim: int, capacity: int = MIN_CAPACITY, use_fused: bool | None = None,
                  block_n: int = 1024, dtype: str = "float32",
-                 query_quantize: bool = True, center: bool | None = None):
+                 query_quantize: bool = True, center: bool | None = None,
+                 rerank: int | None = None, scan_precision: str = "default"):
         """dtype selects storage precision: "float32" (exact), "bfloat16"
         (2x scan throughput, ~1e-3 score error), "int8" (4x throughput,
         ScaNN-style per-row scales, small recall cost), "int4" (8x-throughput
@@ -192,6 +219,17 @@ class FlatIndex:
         # pairwise cos 0.9985, bf16-simulated scoring).
         self.center = True if center is None else bool(center)
         self.mean: np.ndarray | None = None  # None = not pinned yet
+        # Opt-in exact re-scoring depth (see _exact_flat_rerank): retrieve
+        # the top-`rerank` coarse candidates, re-score them at HIGHEST
+        # precision on device, keep the true top-k. Capped at 128 (the
+        # fused kernels' k ceiling).
+        self.rerank = None if rerank is None else min(int(rerank), 128)
+        # scan_precision="highest" (f32 storage only): the scan keeps f32
+        # inputs and runs the MXU multi-pass decomposition — free when
+        # HBM-bound — so the candidate bank is selected by EXACT scores
+        # (see ops/fused_topk.py exact mode).
+        assert scan_precision in ("default", "highest"), scan_precision
+        self.scan_precision = scan_precision
         capacity = max(MIN_CAPACITY, int(capacity))
         self.capacity = 1 << (capacity - 1).bit_length()  # power of two
         self.count = 0
@@ -515,6 +553,10 @@ class FlatIndex:
         if self.count == 0:
             return [[] for _ in range(queries.shape[0])]
         k_eff = min(k, self.count)
+        # Exact-rerank over-fetch: retrieve a wider candidate set, then
+        # re-score it at HIGHEST precision below.
+        k_ret = (min(max(k_eff, self.rerank), self.count)
+                 if self.rerank else k_eff)
         # The fused kernel over-fetches into a 128-wide candidate bank
         # (kk <= 128); re-ranking k > 128 from it would crash, so wide
         # requests take the exact XLA path instead. With tombstones the
@@ -522,8 +564,8 @@ class FlatIndex:
         # candidates), and a post-filter shortfall falls back to the exact
         # path below — deletes adversarially concentrated in the true
         # top-k can exceed ANY bounded over-fetch.
-        use_fused = self.use_fused and k_eff <= 128
-        kk = min(4 * k_eff, 128)
+        use_fused = self.use_fused and k_ret <= 128
+        kk = min(max(4 * k_eff, k_ret), 128)
         # alive rides into the kernel only when tombstones exist (the mask
         # costs +4 bytes/row of HBM read).
         alive_arg = self.alive if self.dead else None
@@ -535,8 +577,8 @@ class FlatIndex:
             # where the doubled bf16 MXU time overtakes it.
             vals, idx = _search_masked_fused_int4(
                 self.buf, self.scales, self.buf8, alive_arg, self.count,
-                jnp.asarray(queries), k_eff, block_n=bn,
-                rerank=min(max(64, 2 * k_eff), 1024),
+                jnp.asarray(queries), k_ret, block_n=bn,
+                rerank=min(max(64, 2 * k_ret), 1024),
                 deferred=queries.shape[0] <= 64,
                 interpret=self._interpret,
             )
@@ -548,13 +590,14 @@ class FlatIndex:
                 self.block_n, self.capacity)
             vals, idx = _search_masked_fused_int8(
                 self.buf, self.scales, alive_arg, self.count,
-                jnp.asarray(queries), k_eff, kk=kk, block_n=bn,
+                jnp.asarray(queries), k_ret, kk=kk, block_n=bn,
                 qquant=self.query_quantize, interpret=self._interpret,
             )
         elif use_fused:
             vals, idx = _search_masked_fused(
-                self.buf, alive_arg, self.count, jnp.asarray(queries), k_eff,
+                self.buf, alive_arg, self.count, jnp.asarray(queries), k_ret,
                 kk=kk, interpret=self._interpret,
+                exact=self.scan_precision == "highest",
             )
         else:
             # int4's XLA fallback scores from the int8 rerank copy (the
@@ -562,8 +605,14 @@ class FlatIndex:
             buf = self.buf8 if self.dtype == "int4" else self.buf
             vals, idx = _search_xla(
                 buf, self.scales, self.alive, self.count,
-                jnp.asarray(queries), k_eff,
+                jnp.asarray(queries), k_ret,
+                exact=self.scan_precision == "highest",
             )
+        if self.rerank and k_ret > k_eff:
+            src = self.buf8 if self.dtype == "int4" else self.buf
+            vals, idx = _exact_flat_rerank(
+                src, self.scales, jnp.asarray(queries),
+                jnp.asarray(vals), jnp.asarray(idx), k_eff)
         from ..ops.host import fetch
 
         # Centered codes: the kernels ranked by the (rank-equivalent)
@@ -582,10 +631,17 @@ class FlatIndex:
             if any(len(h) < expect for h in out):
                 logger.info("fused search shortfall under deletes; exact rerun")
                 buf = self.buf8 if self.dtype == "int4" else self.buf
-                vals, idx = fetch(*_search_xla(
+                vals, idx = _search_xla(
                     buf, self.scales, self.alive, self.count,
-                    jnp.asarray(queries), k_eff,
-                ))
+                    jnp.asarray(queries), k_ret,
+                    exact=self.scan_precision == "highest",
+                )
+                if self.rerank and k_ret > k_eff:
+                    src = self.buf8 if self.dtype == "int4" else self.buf
+                    vals, idx = _exact_flat_rerank(
+                        src, self.scales, jnp.asarray(queries),
+                        jnp.asarray(vals), jnp.asarray(idx), k_eff)
+                vals, idx = fetch(vals, idx)
                 out = self._hits_from(vals, idx, queries.shape[0], off)
         return out
 

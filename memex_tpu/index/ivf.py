@@ -313,6 +313,7 @@ class IVFIndex:
         prune_margin: float | None = None,
         center: bool | None = None,
         rerank: int | None = None,
+        scan_precision: str = "default",
     ):
         assert dtype in ("float32", "bfloat16", "int8"), dtype
         assert not (scan_int4 and dtype != "int8"), "int4 scan needs int8 storage"
@@ -339,9 +340,21 @@ class IVFIndex:
         # gaps sit below bf16 resolution even after centering; the gather
         # costs Q*rerank*D bytes vs the scan's full probed-union read
         # (measured sim: recall@10 vs exact 0.92 -> 0.997 at pairwise
-        # cos 0.9985 with rerank=50). Capped at 256 to stay inside every
-        # kernel's candidate-bank width.
-        self.rerank = None if rerank is None else min(int(rerank), 256)
+        # cos 0.9985 with rerank=50). Depths up to the scan's full
+        # candidate-bank width (S = banks*128, clamped per path in
+        # search()) rescue rows the slot-maxima fold would otherwise rank
+        # by collapsed coarse scores — on near-tie corpora rerank=S is the
+        # right setting (measured on hardware: 0.917 at 64, 0.98 at S).
+        self.rerank = None if rerank is None else min(int(rerank), 1024)
+        # scan_precision="highest" (f32 storage only): the batch scan keeps
+        # f32 inputs and runs the MXU multi-pass decomposition, so the slot
+        # fold selects candidates by EXACT scores. The scan is HBM-bound at
+        # ~18% compute peak, so the extra passes ride in the bandwidth
+        # shadow; use for near-tie corpora where even centered bf16 inputs
+        # misrank the candidate bank itself (rerank can only reorder what
+        # the bank kept).
+        assert scan_precision in ("default", "highest"), scan_precision
+        self.scan_precision = scan_precision
         self.centroids: jnp.ndarray | None = None
         self.data: jnp.ndarray | None = None          # [C, M, D] storage dtype
         self.rscales: jnp.ndarray | None = None       # [C, M] f32 (int8 mode)
@@ -364,8 +377,12 @@ class IVFIndex:
         # below bf16 resolution near 1.0; residual storage restores them.
         self.center = True if center is None else bool(center)
         self.mean: np.ndarray | None = None
-        # Spill never pins its own center: the IVF pins for both.
-        self.spill = FlatIndex(dim, dtype=dtype, center=False)
+        # Spill never pins its own center: the IVF pins for both. It shares
+        # the rerank depth too — merged scores must come from the same
+        # precision tier, or spill-resident near-ties rank arbitrarily.
+        self.spill = FlatIndex(dim, dtype=dtype, center=False,
+                               rerank=self.rerank,
+                               scan_precision=scan_precision)
         self._deleted: set[str] = set()
         self._live: set[str] = set()
         # True once add() nulled stale table id entries on a delete->re-add;
@@ -950,6 +967,12 @@ class IVFIndex:
                 # picked from the bucket alignment (_batch_banks).
                 banks = self._batch_banks()
                 S = banks * 128
+                if self.rerank and kk > S:
+                    # The batch kernel's candidate bank is S wide — a
+                    # wider rerank depth than the bank holds is moot, and
+                    # falling off the batch path over it would cost far
+                    # more than the extra candidates buy.
+                    kk = S
                 # M//S <= 256: the batch kernels' precomputed chunk walk
                 # packs the chunk index into 8 bits (ops/ivf_batch.py).
                 batch_ok = (self.use_fused and kk <= S and M % S == 0
@@ -979,6 +1002,7 @@ class IVFIndex:
                                 self.nprobe, kk,
                                 banks=banks, prune_margin=self.prune_margin,
                                 interpret=self._interpret,
+                                exact=self.scan_precision == "highest",
                             )
                         fused_ok = True
                     except Exception:
@@ -1172,7 +1196,8 @@ class IVFIndex:
             idx.needs_recovery = True
             if FlatIndex.exists(path + ".spill"):
                 idx.spill = FlatIndex.load(path + ".spill", dtype=idx.dtype,
-                                           center=False)
+                                           center=False, rerank=idx.rerank,
+                                           scan_precision=idx.scan_precision)
                 if deleted and idx.spill.count:
                     idx.spill.delete([s for s in idx.spill.ids if s in deleted])
                 idx._live.update(idx.spill._id_to_row)
@@ -1227,7 +1252,8 @@ class IVFIndex:
             idx._live.update(cids)
         if FlatIndex.exists(path + ".spill"):
             idx.spill = FlatIndex.load(path + ".spill", dtype=idx.dtype,
-                                       center=False)
+                                       center=False, rerank=idx.rerank,
+                                       scan_precision=idx.scan_precision)
             if deleted and idx.spill.count:
                 idx.spill.delete([s for s in idx.spill.ids if s in deleted])
             idx._live.update(idx.spill._id_to_row)

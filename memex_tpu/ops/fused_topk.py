@@ -38,6 +38,7 @@ _LANES = 128
 
 
 def _fused_kernel(count_ref, q_ref, db_ref, *rest, block_n: int, banks: int,
+                  exact: bool,
                   has_alive: bool = False):
     if has_alive:
         alive_ref, out_vals_ref, out_idx_ref, vals_acc, idx_acc = rest
@@ -57,11 +58,18 @@ def _fused_kernel(count_ref, q_ref, db_ref, *rest, block_n: int, banks: int,
 
     # [Q, block_n] scores on the MXU, f32 accumulation. db may be stored
     # f32 or bf16 (bf16 halves HBM bytes -> ~2x scan throughput).
+    # exact mode (f32 storage): keep f32 inputs + MXU multi-pass — the
+    # scan is HBM-bound, so the extra passes ride in the bandwidth shadow
+    # and the slot fold selects candidates by EXACT scores (bf16 inputs
+    # misrank near-tie corpora whose top-k gaps undercut an 8-bit
+    # mantissa).
     scores = jax.lax.dot_general(
-        q_ref[:].astype(jnp.bfloat16),
-        db_ref[:].astype(jnp.bfloat16),
+        q_ref[:] if exact else q_ref[:].astype(jnp.bfloat16),
+        db_ref[:] if exact else db_ref[:].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST if exact
+                   else jax.lax.Precision.DEFAULT),
     )
 
     # Mask unfilled rows: global column = i*block_n + col.
@@ -97,7 +105,8 @@ def _fused_kernel(count_ref, q_ref, db_ref, *rest, block_n: int, banks: int,
         out_idx_ref[:] = idx_acc[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_n", "banks", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "block_n", "banks", "interpret",
+                                              "exact"))
 def fused_score_topk(
     db: jnp.ndarray,
     queries: jnp.ndarray,
@@ -108,6 +117,7 @@ def fused_score_topk(
     block_n: int = 2048,
     banks: int = 8,
     interpret: bool = False,
+    exact: bool = False,
 ):
     """Fused brute-force MIPS top-k: ([N,D], [Q,D]) -> (vals [Q,k], idx [Q,k]).
 
@@ -154,8 +164,9 @@ def fused_score_topk(
             pltpu.VMEM((q_pad, S), jnp.int32),
         ],
     )
+    exact = exact and db.dtype == jnp.float32  # exact mode needs f32 rows
     kernel = functools.partial(_fused_kernel, block_n=block_n, banks=banks,
-                               has_alive=has_alive)
+                               has_alive=has_alive, exact=exact)
     cand_vals, cand_idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -107,7 +107,8 @@ def _chunk_walk(sizes32, cluster_list, n_active, M: int, S: int):
 
 def _kernel(walk_ref, nchunk_ref, sizes_ref, q_ref, db_hbm, rs_hbm,
             out_v_ref, out_i_ref, buf, rsbuf, acc_v, acc_i,
-            db_sems, rs_sems, *, M: int, banks: int, scaled: bool):
+            db_sems, rs_sems, *, M: int, banks: int, scaled: bool,
+            exact: bool = False):
     """Chunked variable-length streaming: each active cluster is read in
     CHUNK(=S)-row pieces, stopping at ceil(size/CHUNK) — scan bytes track
     LIVE rows, not the padded bucket M, so bucket_factor stops costing
@@ -159,12 +160,19 @@ def _kernel(walk_ref, nchunk_ref, sizes_ref, q_ref, db_hbm, rs_hbm,
         cid = w >> 8
         j = w & 255
         csize = sizes_ref[cid]
-        # [Q, S] on the MXU: the whole query block vs one chunk.
+        # [Q, S] on the MXU: the whole query block vs one chunk. exact
+        # mode (f32 storage only) keeps f32 inputs and runs the MXU
+        # multi-pass decomposition — the scan is HBM-bound at ~18% compute
+        # peak, so the extra passes ride in the bandwidth shadow, and the
+        # slot fold then selects by EXACT scores (bf16 inputs misrank
+        # near-tie corpora whose top-k gaps undercut an 8-bit mantissa).
         scores = jax.lax.dot_general(
-            q_ref[:],                             # [Q, D] bf16
-            buf[slot].astype(jnp.bfloat16),       # [S, D]
+            q_ref[:],                             # [Q, D] bf16 (f32: exact)
+            buf[slot] if exact else buf[slot].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.HIGHEST if exact
+                       else jax.lax.Precision.DEFAULT),
         )
         if scaled:
             scores = scores * rsbuf[slot]
@@ -184,9 +192,11 @@ def _kernel(walk_ref, nchunk_ref, sizes_ref, q_ref, db_hbm, rs_hbm,
     out_i_ref[:] = acc_i[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "banks", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "banks", "interpret",
+                                              "exact"))
 def ivf_batch_topk(data, rscales, sizes, cluster_list, n_active, queries,
-                   k: int, *, banks: int = 4, interpret: bool = False):
+                   k: int, *, banks: int = 4, interpret: bool = False,
+                   exact: bool = False):
     """(data [C,M,D] (f32/bf16/int8), rscales [C,M] f32, sizes [C] int32,
     cluster_list [C] int32 actives-first, n_active [1] int32, queries
     [Q,D] f32) -> (vals [Q,k], cluster [Q,k], slot [Q,k])."""
@@ -195,11 +205,12 @@ def ivf_batch_topk(data, rscales, sizes, cluster_list, n_active, queries,
     S = banks * _LANES  # chunk rows
     assert M % S == 0, f"cluster bucket M={M} must be a multiple of {S}"
     scaled = data.dtype == jnp.int8
+    exact = exact and data.dtype == jnp.float32  # exact mode needs f32 rows
 
     q_pad = max(8, -(-Q // 8) * 8)
     if q_pad != Q:
         queries = jnp.pad(queries, ((0, q_pad - Q), (0, 0)))
-    q16 = queries.astype(jnp.bfloat16)
+    q16 = queries.astype(jnp.float32 if exact else jnp.bfloat16)
     rscales3 = rscales.reshape(C, 1, M)
 
     # Flattened chunk walk, precomputed: ceil(size/S) chunks per active
@@ -233,7 +244,8 @@ def ivf_batch_topk(data, rscales, sizes, cluster_list, n_active, queries,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_kernel, M=M, banks=banks, scaled=scaled)
+    kernel = functools.partial(_kernel, M=M, banks=banks, scaled=scaled,
+                               exact=exact)
     cand_v, cand_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -256,20 +268,20 @@ def ivf_batch_topk(data, rscales, sizes, cluster_list, n_active, queries,
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "k", "banks",
-                                              "interpret"))
+                                              "interpret", "exact"))
 def _ivf_batch_search(centroids, data, rscales, sizes, queries, prune_margin,
                       nprobe: int, k: int, banks: int = 4,
-                      interpret: bool = False):
+                      interpret: bool = False, exact: bool = False):
     clist, nact = route_union(centroids, queries, nprobe,
                               prune_margin=prune_margin)
     return ivf_batch_topk(data, rscales, sizes, clist, nact, queries, k,
-                          banks=banks, interpret=interpret)
+                          banks=banks, interpret=interpret, exact=exact)
 
 
 def ivf_batch_search(centroids, data, rscales, sizes, queries,
                      nprobe: int, k: int, banks: int = 4,
                      prune_margin: float | None = None,
-                     interpret: bool = False):
+                     interpret: bool = False, exact: bool = False):
     """Routing + dedupe + the batch-union kernel in one jit.
 
     `prune_margin` enters the executable as a DYNAMIC f32 scalar (None ->
@@ -279,4 +291,4 @@ def ivf_batch_search(centroids, data, rscales, sizes, queries,
     margin = 4.0 if prune_margin is None else prune_margin
     return _ivf_batch_search(centroids, data, rscales, sizes, queries,
                              margin, nprobe=nprobe, k=k, banks=banks,
-                             interpret=interpret)
+                             interpret=interpret, exact=exact)

@@ -62,6 +62,22 @@ class TestCenteredFloatIVF:
         assert r_cen >= 0.95, r_cen
         assert r_cen >= r_raw
 
+    def test_exact_scan_precision_recovers_bank(self, rng):
+        """scan_precision=highest: the slot fold selects by exact f32
+        scores, so the candidate bank itself keeps the true top-k even
+        when boundary gaps undercut bf16 input resolution."""
+        n, d, k = 4096, 384, 10
+        vecs = aniso_corpus(rng, n, d)
+        qs = vecs[rng.choice(n, 16, replace=False)]
+        exact = np.argsort(-(qs @ vecs.T), axis=1)[:, :k]
+        ivf = IVFIndex(dim=d, n_clusters=8, nprobe=8, dtype="float32",
+                       use_fused=True, rerank=1024,
+                       scan_precision="highest")
+        ivf._interpret = True
+        ivf.build(vecs, [str(i) for i in range(n)])
+        r = recall_at(ivf.search(qs, k), exact, k)
+        assert r >= 0.97, r
+
     def test_rerank_scores_are_true_cosines(self, rng):
         n, d, k = 2048, 64, 5
         vecs = aniso_corpus(rng, n, d, resid=0.05)
@@ -84,6 +100,37 @@ class TestCenteredFloatIVF:
         hits = ivf.search(vecs[:1], k)[0]
         assert len(hits) == k
         assert all(s not in ("0", "1", "2") for s, _ in hits)
+
+
+class TestFlatRerank:
+    def test_flat_rerank_recovers_exact_ranking(self, rng):
+        n, d, k = 4096, 384, 10
+        vecs = aniso_corpus(rng, n, d)
+        qs = vecs[rng.choice(n, 16, replace=False)]
+        exact = np.argsort(-(qs @ vecs.T), axis=1)[:, :k]
+        idx = FlatIndex(dim=d, dtype="float32", use_fused=True, rerank=64)
+        idx._interpret = True
+        idx.add(vecs, [str(i) for i in range(n)])
+        r = recall_at(idx.search(qs, k), exact, k)
+        assert r >= 0.95, r
+
+    def test_ivf_spill_shares_rerank_precision(self, rng):
+        """The spill FlatIndex must rerank too: merged scores from main
+        table and spill come from the same precision tier."""
+        n, d, k = 4096, 384, 10
+        vecs = aniso_corpus(rng, n, d)
+        qs = vecs[rng.choice(n, 16, replace=False)]
+        exact = np.argsort(-(qs @ vecs.T), axis=1)[:, :k]
+        ivf = IVFIndex(dim=d, n_clusters=8, nprobe=8, dtype="float32",
+                       use_fused=True, rerank=64)
+        ivf._interpret = True
+        ivf.build(vecs, [str(i) for i in range(n)])
+        assert ivf.spill.rerank == 64
+        # k-means on a cos~0.998 corpus is unbalanced: a large spill is
+        # the point of this fixture.
+        assert ivf.spill.count > 0
+        r = recall_at(ivf.search(qs, k), exact, k)
+        assert r >= 0.95, r
 
 
 class TestCenteredFloatFlat:
