@@ -132,6 +132,15 @@ def fused_score_topk(
     S = banks * _LANES
     assert block_n % S == 0, f"block_n {block_n} must be a multiple of banks*128 {S}"
     assert n % block_n == 0, f"N {n} must be a multiple of block_n {block_n}"
+    exact = exact and db.dtype == jnp.float32  # exact mode needs f32 rows
+    if db.dtype == jnp.float32:
+        # f32 storage streams f32 blocks through VMEM (the bf16 downcast
+        # happens after the load): block 32768 x 384 f32 blew the 100MB
+        # scoped VMEM limit by 3.7MB (measured, either precision mode).
+        # Halve to fit — pow2 capacities keep n % block_n == 0, and the
+        # scan stays HBM-bound so QPS is unchanged.
+        while block_n > S and block_n * d * 4 > 26 * 2**20:
+            block_n //= 2
     if count is None:
         count = n
     count_arr = jnp.full((1,), count, jnp.int32)
@@ -164,7 +173,6 @@ def fused_score_topk(
             pltpu.VMEM((q_pad, S), jnp.int32),
         ],
     )
-    exact = exact and db.dtype == jnp.float32  # exact mode needs f32 rows
     kernel = functools.partial(_fused_kernel, block_n=block_n, banks=banks,
                                has_alive=has_alive, exact=exact)
     cand_vals, cand_idx = pl.pallas_call(
