@@ -83,9 +83,15 @@ def _roofline(name: str, qb: int, seconds: float, n_rows: int = N) -> dict:
 
 
 class Reporter:
-    """Holds the result document and re-prints the FULL JSON line after
-    every tier/stage. The driver keeps the last parseable stdout line, so
-    partial coverage still lands driver-verified numbers."""
+    """Holds the result document and re-prints it after every tier/stage.
+
+    The driver keeps only a ~2000-char TAIL of stdout and parses the last
+    JSON line it finds there. Round 3's full doc grew past that buffer and
+    the headline keys (front of the dict) were exactly what got truncated
+    off — so every emit() now prints the full doc (human/debug artifact)
+    followed by a COMPACT summary line guaranteed < 1500 chars (driver
+    artifact). The compact line is always last, so it is always the line
+    the driver parses."""
 
     def __init__(self) -> None:
         self.doc = {
@@ -123,8 +129,56 @@ class Reporter:
             for k, v in results.items()
         }
 
+    def compact(self) -> dict:
+        """Headline digest, guaranteed to fit the driver's tail buffer.
+
+        Pulls the round-gating numbers (verdict r03 item 1): headline QPS
+        + recall, 10M-tier operating point, realtext tie-aware recall for
+        f32/int8, LLM stream throughput, HNSW comparisons, skip count."""
+        e2e = self.doc.get("e2e", {})
+        c: dict = {
+            "metric": self.doc["metric"],
+            "value": self.doc["value"],
+            "unit": self.doc["unit"],
+            "vs_baseline": self.doc["vs_baseline"],
+            "storage_tier": self.doc.get("storage_tier"),
+            "recall_at_10_vs_exact": self.doc.get("recall_at_10_vs_exact"),
+            "query_batch": self.doc.get("query_batch"),
+            "backend": self.doc.get("backend"),
+        }
+        s10 = e2e.get("scale_10M") or {}
+        if s10:
+            best95 = (s10.get("ivf_pruned") or {}).get("best_at_95") or {}
+            c["qps_10M_q32"] = best95.get(
+                "qps_q32", s10.get("ivf_nprobe64_qps_q32"))
+            c["recall_10M"] = best95.get(
+                "recall_at_10", s10.get("ivf_recall_at_10_vs_int8_exact"))
+        rt = e2e.get("ivf_prune_realtext") or {}
+        for tier in ("float32", "int8"):
+            row = rt.get(tier) or {}
+            if row:
+                c[f"realtext_{tier}_tie_recall"] = row.get(
+                    "recall_at_10_vs_exact_f32")
+        hnsw = e2e.get("recall_vs_hnsw") or {}
+        for k in ("exact_tiers_beat_hnsw", "int8q_beats_hnsw"):
+            if k in hnsw:
+                c[k] = hnsw[k]
+        llm = e2e.get("llm_decode") or {}
+        if "stream_tok_per_s" in llm:
+            c["llm_stream_tok_per_s"] = llm["stream_tok_per_s"]
+        c["skipped_stages"] = len(self.doc.get("skipped_stages", []))
+        c["elapsed_s"] = self.doc.get("elapsed_s", 0)
+        # Belt and braces: never let the driver artifact outgrow its
+        # buffer — drop trailing optional keys (everything after the
+        # headline four) until it fits.
+        while len(json.dumps(c)) > 1500 and len(c) > 4:
+            c.pop(list(c.keys())[-1])
+        return c
+
     def emit(self) -> None:
         print(json.dumps(self.doc), flush=True)
+        # Driver-parsed line: must be LAST and must fit a 2000-char tail.
+        print(json.dumps(self.compact()), flush=True)
 
 
 def _enable_compile_cache() -> None:
