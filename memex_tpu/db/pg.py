@@ -292,6 +292,7 @@ class PgDatabase:
 
         conn = self._acquire()
         cur = conn.cursor()
+        broken = False
         try:
             cur.execute(
                 "CREATE TABLE IF NOT EXISTS schema_migrations ("
@@ -316,11 +317,22 @@ class PgDatabase:
                     )
                     conn.commit()
             finally:
-                cur.execute("SELECT pg_advisory_unlock(588231)")
-                conn.commit()
+                # A failed migration statement leaves the transaction
+                # aborted; unlocking on it would itself raise ("current
+                # transaction is aborted") and the session-level advisory
+                # lock would ride the pooled connection forever, blocking
+                # every other booting process. Roll back first, and if the
+                # unlock still fails, poison the connection so _release
+                # closes it (dropping the lock with the session).
+                conn.rollback()
+                try:
+                    cur.execute("SELECT pg_advisory_unlock(588231)")
+                    conn.commit()
+                except Exception:
+                    broken = True
         except Exception:
             conn.rollback()
             raise
         finally:
             cur.close()
-            self._release(conn)
+            self._release(conn, broken=broken)

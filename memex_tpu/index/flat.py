@@ -229,6 +229,12 @@ class FlatIndex:
         # HBM-bound — so the candidate bank is selected by EXACT scores
         # (see ops/fused_topk.py exact mode).
         assert scan_precision in ("default", "highest"), scan_precision
+        # Documented contract: exact scan needs f32 storage. Quantized
+        # tiers would silently ignore the flag on the fused path while the
+        # XLA fallback applied HIGHEST anyway — two score resolutions for
+        # one config (advisor r3, low). Fail loud at construction instead.
+        assert scan_precision == "default" or dtype == "float32", (
+            f"scan_precision='highest' requires float32 storage, got {dtype}")
         self.scan_precision = scan_precision
         capacity = max(MIN_CAPACITY, int(capacity))
         self.capacity = 1 << (capacity - 1).bit_length()  # power of two
@@ -536,9 +542,18 @@ class FlatIndex:
         """Drop tombstoned rows and repack (host-side; O(count))."""
         alive = np.asarray(self.alive)[: self.count] > 0
         keep = np.nonzero(alive)[0]
-        vecs = self._dequantized()[keep]
+        vecs = self._dequantized()[keep]  # decoded back to RAW space
         kept_ids = [self.ids[i] for i in keep]
+        # Preserve an externally pinned mean (an owning IVFIndex shares
+        # its code space with this spill via `spill.mean = ivf.mean`, and
+        # the spill is built center=False): delete_all() clears it, and
+        # letting the re-add pin a ZERO mean would leave raw-space codes
+        # that fold_spill() later scatters into the residual-space table,
+        # falsely inflating their scores by ~q*mean (advisor r3, medium).
+        kept_mean = self.mean
         self.delete_all()
+        if kept_mean is not None and kept_mean.any():
+            self.mean = kept_mean.copy()  # add() re-centers against this
         if len(kept_ids):
             self.add(vecs, kept_ids)
 

@@ -354,6 +354,11 @@ class IVFIndex:
         # misrank the candidate bank itself (rerank can only reorder what
         # the bank kept).
         assert scan_precision in ("default", "highest"), scan_precision
+        # Same contract as FlatIndex: exact scan is f32-storage-only
+        # (quantized tiers would get inconsistent resolution between the
+        # fused path and the XLA/shortfall fallbacks).
+        assert scan_precision == "default" or dtype == "float32", (
+            f"scan_precision='highest' requires float32 storage, got {dtype}")
         self.scan_precision = scan_precision
         self.centroids: jnp.ndarray | None = None
         self.data: jnp.ndarray | None = None          # [C, M, D] storage dtype
@@ -848,8 +853,13 @@ class IVFIndex:
                 sel = data[valid].astype(np.float32)
                 if self.dtype == "int8":
                     sel *= np.asarray(self.rscales)[valid][:, None]
-                    if self.mean is not None and self.mean.any():
-                        sel += self.mean  # codes are centered residuals
+                # build() centers EVERY host-built table (float tiers
+                # store v - mean too, not just int8) — decode back to raw
+                # space for any dtype or rebuild() re-centers a mixture of
+                # residual-space table rows and raw-space spill rows,
+                # losing true top-1s by ~q*mean (advisor r3, high).
+                if self.mean is not None and self.mean.any():
+                    sel += self.mean  # rows are centered residuals
                 parts_v.append(sel)
                 parts_i.extend(self._cluster_live_ids(valid))
         if self.spill.count:
@@ -1535,22 +1545,30 @@ def calibrate_operating_point(index, queries: np.ndarray | None = None,
     if not ladder:
         ladder = [index.C]
     sweep: list[dict] = []
-    for cand in ladder:
-        index.nprobe = cand
-        if cand == index.C:
-            rec = 1.0  # the baseline itself
-        else:
-            hits = index.search(queries, k)
-            rec = float(np.mean([
-                len(base_sets[i] & {sid for sid, _ in hits[i]}) / denom[i]
-                for i in range(len(base_sets))
-            ]))
-        sweep.append({"nprobe": cand, "recall_vs_full": round(rec, 4)})
-        if rec >= target_recall:
-            break
-    margin = calibrate_prune_margin(
-        index, queries=queries, k=k, target_overlap=target_recall,
-        margins=margins, target_metric="recall")
+    # A transient failure mid-sweep (OOM, tunnel hiccup) must not leave
+    # the serving operating point at an arbitrary ladder rung (possibly
+    # nprobe=C full-probe) with the margin cleared — restore the previous
+    # point before re-raising, like the baseline guard above (advisor r3).
+    try:
+        for cand in ladder:
+            index.nprobe = cand
+            if cand == index.C:
+                rec = 1.0  # the baseline itself
+            else:
+                hits = index.search(queries, k)
+                rec = float(np.mean([
+                    len(base_sets[i] & {sid for sid, _ in hits[i]}) / denom[i]
+                    for i in range(len(base_sets))
+                ]))
+            sweep.append({"nprobe": cand, "recall_vs_full": round(rec, 4)})
+            if rec >= target_recall:
+                break
+        margin = calibrate_prune_margin(
+            index, queries=queries, k=k, target_overlap=target_recall,
+            margins=margins, target_metric="recall")
+    except Exception:
+        index.nprobe, index.prune_margin = prev_nprobe, prev_margin
+        raise
     point = {"nprobe": index.nprobe, "prune_margin": margin,
              "recall_vs_full": sweep[-1]["recall_vs_full"], "sweep": sweep}
     logger.info("operating point calibrated: nprobe=%d margin=%s "

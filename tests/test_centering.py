@@ -190,3 +190,69 @@ class TestIVFCentering:
         r_raw = _recall(raw.search(qs, 10), exact)
         r_cen = _recall(cen.search(qs, 10), exact)
         assert r_cen >= 0.95 and r_cen > r_raw, (r_raw, r_cen)
+
+
+class TestCenteredLifecycleRegressions:
+    """Advisor r3 findings: the centered code space must survive every
+    lifecycle transition — rebuild() of FLOAT tiers (high) and spill
+    compact() under an externally pinned mean (medium)."""
+
+    def test_float32_rebuild_keeps_code_space(self, concentrated):
+        """build() centers float tables too; rebuild() decodes the table
+        via _all_vectors, which formerly added the mean back only for
+        int8 — float rows re-entered rebuild in RESIDUAL space, were
+        re-centered as a mixture with raw spill rows, and true top-1s
+        scored ~q*mean too low afterwards."""
+        db, qs = concentrated
+        n0 = 3072
+        idx = IVFIndex(dim=64, n_clusters=16, nprobe=16, dtype="float32",
+                       use_fused=False)
+        idx.build(db[:n0], [f"r{i}" for i in range(n0)])
+        assert idx.mean is not None and idx.mean.any()
+        idx.add(db[n0:], [f"r{i}" for i in range(n0, len(db))])  # spill
+        idx.rebuild()  # mixes table + spill rows through _all_vectors
+
+        exact = np.argsort(-(qs @ db.T), axis=1)[:, :10]
+        rec = _recall(idx.search(qs, 10), exact)
+        assert rec >= 0.95, rec
+        # Scores must be true cosines (a residual-space row would sit
+        # ~q*mean ~ 0.99 below its true score on this corpus).
+        hits = idx.search(qs[:4], 5)
+        for qi in range(4):
+            for sid, score in hits[qi]:
+                true = float(qs[qi] @ db[int(sid[1:])])
+                assert abs(score - true) < 5e-3, (sid, score, true)
+
+    def test_spill_compact_preserves_pinned_mean(self, concentrated):
+        """IVF spill is built center=False with ivf.mean pinned onto it;
+        compact() (auto at >25% dead) formerly went through delete_all(),
+        which cleared the mean — surviving rows were re-coded in RAW
+        space while search kept adding +q*mean, inflating them by ~1.0."""
+        db, qs = concentrated
+        n0 = 3072
+        idx = IVFIndex(dim=64, n_clusters=16, nprobe=16, dtype="int8",
+                       use_fused=False)
+        idx.build(db[:n0], [f"r{i}" for i in range(n0)])
+        idx.add(db[n0:], [f"r{i}" for i in range(n0, len(db))])
+        assert idx.spill.count > 0
+        # Delete >25% of the spill to force FlatIndex.compact().
+        spill_ids = [f"r{i}" for i in range(n0, n0 + 600)]
+        idx.delete(spill_ids)
+        assert idx.spill.dead == 0  # compact ran
+        np.testing.assert_allclose(idx.spill.mean, idx.mean)
+
+        live = np.ones(len(db), dtype=bool)
+        live[n0:n0 + 600] = False
+        live_rows = np.nonzero(live)[0]
+        exact_local = np.argsort(-(qs @ db[live_rows].T), axis=1)[:, :10]
+        exact = live_rows[exact_local]
+        rec = _recall(idx.search(qs, 10), exact)
+        assert rec >= 0.95, rec
+        # fold_spill scatters the compacted codes into the table: they
+        # must land in the shared residual space (true cosines after).
+        idx.fold_spill()
+        hits = idx.search(qs[:4], 5)
+        for qi in range(4):
+            for sid, score in hits[qi]:
+                true = float(qs[qi] @ db[int(sid[1:])])
+                assert abs(score - true) < 5e-3, (sid, score, true)

@@ -462,3 +462,44 @@ def test_store_recall_target_calibrates(clustered, tmp_path):
     assert store._calibrated and store.index.nprobe > 1
     store.rebuild()
     assert not store._calibrated
+
+
+def test_operating_point_restores_on_midsweep_failure(clustered, monkeypatch):
+    """Advisor r3 (low): a transient failure mid-sweep must not leave the
+    SERVING operating point at an arbitrary ladder rung (possibly full
+    probe) with the margin cleared — restore and re-raise."""
+    db, qs = clustered
+    n = db.shape[0]
+    idx = IVFIndex(dim=32, n_clusters=64, nprobe=2, dtype="float32",
+                   use_fused=False)
+    idx.build(db, [f"r{i}" for i in range(n)])
+    idx.prune_margin = 0.123
+    calls = {"n": 0}
+    orig = type(idx).search
+
+    def flaky(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 1:  # let the full-probe baseline through
+            raise RuntimeError("tunnel hiccup")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(type(idx), "search", flaky)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="tunnel hiccup"):
+        idx.calibrate_operating_point(queries=qs, target_recall=0.95)
+    assert idx.nprobe == 2 and idx.prune_margin == 0.123
+
+
+def test_scan_precision_highest_requires_f32():
+    """Advisor r3 (low): quantized tiers silently ignored the exact flag
+    on the fused path but applied it on the XLA fallback — two score
+    resolutions for one config. The contract is now enforced loudly."""
+    import pytest as _pytest
+
+    from memex_tpu.index import FlatIndex
+    FlatIndex(dim=32, dtype="float32", scan_precision="highest")  # ok
+    with _pytest.raises(AssertionError, match="float32"):
+        FlatIndex(dim=32, dtype="int8", scan_precision="highest")
+    with _pytest.raises(AssertionError, match="float32"):
+        IVFIndex(dim=32, n_clusters=8, dtype="int8",
+                 scan_precision="highest")
