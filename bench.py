@@ -154,11 +154,16 @@ class Reporter:
             c["recall_10M"] = best95.get(
                 "recall_at_10", s10.get("ivf_recall_at_10_vs_int8_exact"))
         rt = e2e.get("ivf_prune_realtext") or {}
-        for tier in ("float32", "int8"):
+        for tier in ("float32", "int8", "int8_refine"):
             row = rt.get(tier) or {}
             if row:
                 c[f"realtext_{tier}_tie_recall"] = row.get(
                     "recall_at_10_vs_exact_f32")
+        for tier in ("int8q_refine", "int4_refine"):
+            row = self.doc.get("tiers", {}).get(tier) or {}
+            if row:
+                c[tier] = {"qps": row.get("qps"),
+                           "recall": row.get("recall")}
         hnsw = e2e.get("recall_vs_hnsw") or {}
         for k in ("exact_tiers_beat_hnsw", "int8q_beats_hnsw"):
             if k in hnsw:
@@ -230,6 +235,7 @@ def bench_kernels(rpc: float, on_tier=None) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
+    from memex_tpu.index.flat import _exact_flat_rerank
     from memex_tpu.ops.fused_topk import (
         fused_score_topk,
         fused_score_topk_int4_rerank,
@@ -237,14 +243,33 @@ def bench_kernels(rpc: float, on_tier=None) -> dict:
         fused_score_topk_int8q,
         quantize_rows_int4,
         quantize_rows_int8,
+        quantize_rows_int8_refine,
     )
     from memex_tpu.ops.topk import score_topk
 
     db = jax.random.normal(jax.random.PRNGKey(0), (N, D), jnp.float32)
     db = db / jnp.linalg.norm(db, axis=1, keepdims=True)
     db16 = db.astype(jnp.bfloat16)
-    db8, scales = quantize_rows_int8(db)
+    db8, scales, rq8, rsc2 = quantize_rows_int8_refine(db)
     db4t, _ = quantize_rows_int4(db)
+
+    # Residual-refinement tiers (r3 verdict items 2/7): coarse kernel
+    # over-fetches a 128-wide bank, then the refine rerank reconstructs
+    # candidates at ~14 effective bits (coarse + residual codes) and
+    # re-scores at HIGHEST precision. The scan kernel and its bytes are
+    # IDENTICAL to the plain tier — the delta is one [Q, 128, D] gather.
+    def _int8q_refine(q, block_n=8192):
+        vals, idx = fused_score_topk_int8q(db8, scales, q, 128, count=N,
+                                           block_n=block_n, banks=4)
+        return _exact_flat_rerank(db8, scales, q, vals, idx, K,
+                                  rbuf=rq8, rbuf_scales=rsc2)
+
+    def _int4_refine(q, block_n=32768, deferred=True):
+        vals, idx = fused_score_topk_int4_rerank(
+            db4t, scales, db8, q, 128, count=N, rerank=256,
+            block_n=block_n, deferred=deferred)
+        return _exact_flat_rerank(db8, scales, q, vals, idx, K,
+                                  rbuf=rq8, rbuf_scales=rsc2)
 
     # Tier rows: (name, query_batch, fn). Bigger-Q rows exist because the
     # scan is HBM-bound and Q-independent until the slot fold saturates
@@ -261,6 +286,8 @@ def bench_kernels(rpc: float, on_tier=None) -> dict:
         ("int4", Q, lambda q: fused_score_topk_int4_rerank(
             db4t, scales, db8, q, K, count=N, rerank=64, block_n=32768,
             deferred=True)),  # hi-only unpack: 2.6x at Q=32 (VPU-bound)
+        ("int8q_refine", Q, _int8q_refine),
+        ("int4_refine", Q, _int4_refine),
         ("int8q_q128", 128, lambda q: fused_score_topk_int8q(
             db8, scales, q, K, count=N, block_n=32768, banks=4)),
         ("int8q_q256", 256, lambda q: fused_score_topk_int8q(
@@ -303,7 +330,8 @@ def bench_kernels(rpc: float, on_tier=None) -> dict:
     # close over them, so the list must go too or nothing frees — and the
     # loop variable `fn` still references the LAST tier's lambda (pinning
     # its closure: db4t + db8 + scales), so it must go as well.
-    del tiers, db, db16, db8, db4t, scales, fn, outs, qs
+    del tiers, db, db16, db8, db4t, scales, rq8, rsc2, fn, outs, qs
+    del _int8q_refine, _int4_refine  # closures pin db8/rq8/scales
     return results
 
 
@@ -893,7 +921,8 @@ def bench_realtext_ivf() -> dict:
            "weights": weights}
     if reason:
         out["weights_fallback_reason"] = reason
-    for dtype in ("int8", "float32"):
+    for tier in ("int8", "int8_refine", "float32"):
+        dtype = "int8" if tier.startswith("int8") else tier
         # Bank-wide exact rerank (clamped to S in search): centered storage
         # fixes bf16 input resolution, and the full-bank re-score fixes the
         # slot-fold's coarse ranking (this corpus packs 16k windows inside
@@ -902,8 +931,13 @@ def bench_realtext_ivf() -> dict:
         # near-arbitrary picks that only an exact pass can order).
         # f32 tier additionally scans at HIGHEST precision (free: the scan
         # is HBM-bound), so the bank itself is selected by exact scores.
+        # int8_refine (r3 verdict item 2): same int8 scan, but the rerank
+        # reconstructs candidates from coarse+residual codes (~14 bits) —
+        # the fix for the tier's quantization recall floor (0.744 here),
+        # which re-dequantizing the same 8-bit codes cannot lift.
         ivf = IVFIndex(dim=vecs.shape[1], n_clusters=64, nprobe=8,
                        dtype=dtype, rerank=1024,
+                       refine=tier == "int8_refine",
                        scan_precision=("highest" if dtype == "float32"
                                        else "default"))
         ivf.build(vecs, list(range(NW)))
@@ -930,7 +964,7 @@ def bench_realtext_ivf() -> dict:
         if ivf.prune_margin is not None:
             _, na_pr = route_union(ivf.centroids, jnp.asarray(qs),
                                    ivf.nprobe, prune_margin=ivf.prune_margin)
-        out[dtype] = {
+        out[tier] = {
             "operating_point": pt,
             # End-to-end vs the f32 exact oracle (routing + storage loss);
             # pt["recall_vs_full"] isolates the routing part. Primary
@@ -1283,7 +1317,7 @@ def main() -> None:
         ("sharded_ivf_1M", 240, lambda: bench_sharded_ivf(rpc)),
         ("recall_vs_hnsw", 300, lambda: bench_recall_vs_hnsw(rpc)),
         ("llm_decode", 420, bench_llm),
-        ("ivf_prune_realtext", 300, bench_realtext_ivf),
+        ("ivf_prune_realtext", 360, bench_realtext_ivf),
         ("sotu_e2e", 240, bench_sotu),
         ("e2e", 300, _e2e_merge),
         ("bulk_load_1M_s", 150, lambda: round(bench_bulk_load(), 2)),

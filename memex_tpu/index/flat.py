@@ -136,16 +136,24 @@ def _search_masked_fused_int4(buf4, scales, buf8, alive, count, queries, k: int,
 
 
 @partial(jax.jit, static_argnames=("keep",))
-def _exact_flat_rerank(buf, scales, queries, vals, idx, keep: int):
+def _exact_flat_rerank(buf, scales, queries, vals, idx, keep: int,
+                       rbuf=None, rbuf_scales=None):
     """Exact re-scoring of a coarse search's top-kk rows, on device (the
     flat-index twin of ivf._exact_topk_rerank): gather the candidate rows
     and redo the dot at HIGHEST precision — the coarse paths feed the MXU
     bf16 inputs, whose resolution near 1.0 scrambles top-k boundaries on
-    strongly anisotropic corpora. Sentinel candidates (vals <= -1e29)
-    keep their sentinel. Returns (vals [Q,keep], idx [Q,keep])."""
+    strongly anisotropic corpora. With a refinement store (rbuf: int8
+    codes of the quantization residual, per-row rbuf_scales) the gather
+    also reads the residual codes and reconstructs at ~14 effective bits
+    — int8 storage then reranks at near-f32 fidelity, which dequantizing
+    the same coarse codes can never do (r3 verdict item 2; reference bar:
+    HNSW scores original f32 rows, local.rs:71-91). Sentinel candidates
+    (vals <= -1e29) keep their sentinel. Returns (vals, idx) [Q,keep]."""
     rows = buf[idx].astype(jnp.float32)  # [Q, kk, D]
     if scales is not None:
         rows = rows * scales[idx][..., None]
+    if rbuf is not None:
+        rows = rows + rbuf[idx].astype(jnp.float32) * rbuf_scales[idx][..., None]
     scores = jnp.einsum("qd,qkd->qk", queries.astype(jnp.float32), rows,
                         precision=jax.lax.Precision.HIGHEST)
     scores = jnp.where(vals > -1e29, scores, vals)
@@ -185,7 +193,8 @@ class FlatIndex:
     def __init__(self, dim: int, capacity: int = MIN_CAPACITY, use_fused: bool | None = None,
                  block_n: int = 1024, dtype: str = "float32",
                  query_quantize: bool = True, center: bool | None = None,
-                 rerank: int | None = None, scan_precision: str = "default"):
+                 rerank: int | None = None, scan_precision: str = "default",
+                 refine: bool = False):
         """dtype selects storage precision: "float32" (exact), "bfloat16"
         (2x scan throughput, ~1e-3 score error), "int8" (4x throughput,
         ScaNN-style per-row scales, small recall cost), "int4" (8x-throughput
@@ -219,6 +228,21 @@ class FlatIndex:
         # pairwise cos 0.9985, bf16-simulated scoring).
         self.center = True if center is None else bool(center)
         self.mean: np.ndarray | None = None  # None = not pinned yet
+        # Residual-refinement store (quantized tiers): alongside each int8
+        # code, keep an int8 code of the QUANTIZATION RESIDUAL
+        # (v - code*scale) with its own per-row scale. The coarse scan
+        # never reads it (zero QPS cost on the hot path); the exact-rerank
+        # gather reads both codes and reconstructs rows at ~14 effective
+        # bits, so the rerank ranks by near-f32 scores instead of
+        # re-deriving the same 8-bit values. Costs +N*(D+4) bytes of HBM.
+        # Implies rerank (a refinement store without a rerank pass is
+        # dead weight): defaults the depth to the fused kernels' ceiling.
+        assert not refine or dtype in ("int8", "int4"), \
+            "refine stores a residual of the quantization error; " \
+            f"{dtype} storage has none"
+        self.refine = bool(refine)
+        if self.refine and rerank is None:
+            rerank = 128
         # Opt-in exact re-scoring depth (see _exact_flat_rerank): retrieve
         # the top-`rerank` coarse candidates, re-score them at HIGHEST
         # precision on device, keep the true top-k. Capped at 128 (the
@@ -264,6 +288,13 @@ class FlatIndex:
             jnp.zeros((self.capacity,), jnp.float32)
             if dtype in ("int8", "int4") else None
         )
+        # Refinement store: residual codes + scales (see `refine` above).
+        # Device-built rows (add_quantized without host residuals) keep
+        # scale 0 — their reconstruction degrades gracefully to coarse.
+        self.rbuf = (jnp.zeros((self.capacity, dim), jnp.int8)
+                     if self.refine else None)
+        self.rbuf_scales = (jnp.zeros((self.capacity,), jnp.float32)
+                            if self.refine else None)
         self.alive = jnp.zeros((self.capacity,), jnp.float32)
         # Write-through host shadow: every serving-path row passes through
         # the host in add() (quantization happens there), so mirroring it
@@ -280,6 +311,10 @@ class FlatIndex:
             np.zeros((self.capacity,), np.float32)
             if dtype in ("int8", "int4") else None
         )
+        self._sh_resid = (np.zeros((self.capacity, dim), np.int8)
+                          if self.refine else None)
+        self._sh_resid_scales = (np.zeros((self.capacity,), np.float32)
+                                 if self.refine else None)
         self._sh_valid = True
         # Incremental-checkpoint state (see save()). Dead rows are tracked
         # by ROW INDEX (stable within a generation), not by id: an id-based
@@ -315,6 +350,11 @@ class FlatIndex:
             self.buf8 = jnp.concatenate([self.buf8, jnp.zeros((pad, self.dim), jnp.int8)])
         if self.scales is not None:
             self.scales = jnp.concatenate([self.scales, jnp.zeros((pad,), jnp.float32)])
+        if self.rbuf is not None:
+            self.rbuf = jnp.concatenate(
+                [self.rbuf, jnp.zeros((pad, self.dim), jnp.int8)])
+            self.rbuf_scales = jnp.concatenate(
+                [self.rbuf_scales, jnp.zeros((pad,), jnp.float32)])
         self.alive = jnp.concatenate([self.alive, jnp.zeros((pad,), jnp.float32)])
         self._sh_rows = np.concatenate(
             [self._sh_rows, np.zeros((pad, self.dim), self._sh_dtype)]
@@ -323,6 +363,11 @@ class FlatIndex:
             self._sh_scales = np.concatenate(
                 [self._sh_scales, np.zeros((pad,), np.float32)]
             )
+        if self._sh_resid is not None:
+            self._sh_resid = np.concatenate(
+                [self._sh_resid, np.zeros((pad, self.dim), np.int8)])
+            self._sh_resid_scales = np.concatenate(
+                [self._sh_resid_scales, np.zeros((pad,), np.float32)])
         self.capacity = new_cap
 
     def add(self, vectors: np.ndarray, ids: list[str]) -> None:
@@ -372,9 +417,25 @@ class FlatIndex:
         resid = (vectors if precentered or not self.mean.any()
                  else vectors - self.mean)
         if self.dtype in ("int8", "int4"):
-            from ..native_lib import np_quantize_rows_int8
-            q, row_scales = np_quantize_rows_int8(
-                np.ascontiguousarray(resid, np.float32))
+            if self.refine:
+                from ..native_lib import np_quantize_rows_int8_refine
+                q, row_scales, rq, rq_scales = np_quantize_rows_int8_refine(
+                    np.ascontiguousarray(resid, np.float32))
+                self._sh_resid[self.count : self.count + m] = rq
+                self._sh_resid_scales[self.count : self.count + m] = rq_scales
+                rqblock = np.zeros((rows, self.dim), np.int8)
+                rqblock[:m] = rq
+                rsblock = np.zeros((rows,), np.float32)
+                rsblock[:m] = rq_scales
+                self.rbuf = _write_block(
+                    self.rbuf, jnp.asarray(rqblock), self.count, m)
+                self.rbuf_scales = _write_block(
+                    self.rbuf_scales[:, None], jnp.asarray(rsblock)[:, None],
+                    self.count, m)[:, 0]
+            else:
+                from ..native_lib import np_quantize_rows_int8
+                q, row_scales = np_quantize_rows_int8(
+                    np.ascontiguousarray(resid, np.float32))
             self._sh_rows[self.count : self.count + m] = q
             self._sh_scales[self.count : self.count + m] = row_scales
             qblock = np.zeros((rows, self.dim), np.int8)
@@ -419,7 +480,10 @@ class FlatIndex:
     def add_quantized(self, codes_dev, scales_dev, ids: list[str],
                       n_valid: int | None = None,
                       host_codes: np.ndarray | None = None,
-                      host_scales: np.ndarray | None = None) -> None:
+                      host_scales: np.ndarray | None = None,
+                      resid_dev=None, resid_scales_dev=None,
+                      host_resid: np.ndarray | None = None,
+                      host_resid_scales: np.ndarray | None = None) -> None:
         """Device-to-device bulk insert of already-quantized int8 rows —
         no host transit (the tunnel's device->host path is ~2 MB/s, so
         fetch-then-re-add costs seconds per 100k rows). Builder-internal:
@@ -457,6 +521,25 @@ class FlatIndex:
         self.scales = _write_block(
             self.scales[:, None], sblock[:, None], self.count, n_valid
         )[:, 0]
+        if self.refine:
+            # Residual codes ride along when the caller has them (fold /
+            # rebuild paths moving rows within one refined index); rows
+            # inserted without them keep scale 0 — reconstruction
+            # degrades gracefully to the coarse code.
+            if resid_dev is not None:
+                rqblock = jnp.pad(resid_dev, ((0, pad), (0, 0)))
+                rsblock = jnp.pad(resid_scales_dev.astype(jnp.float32),
+                                  ((0, pad),))
+                self.rbuf = _write_block(self.rbuf, rqblock, self.count,
+                                         n_valid)
+                self.rbuf_scales = _write_block(
+                    self.rbuf_scales[:, None], rsblock[:, None], self.count,
+                    n_valid)[:, 0]
+            if host_resid is not None and host_resid_scales is not None:
+                self._sh_resid[self.count : self.count + n_valid] = (
+                    host_resid[:n_valid])
+                self._sh_resid_scales[self.count : self.count + n_valid] = (
+                    host_resid_scales[:n_valid])
         self.alive = _write_block(
             self.alive[:, None], jnp.ones((rows, 1), jnp.float32), self.count,
             n_valid,
@@ -497,10 +580,16 @@ class FlatIndex:
             self.buf8 = jnp.zeros((self.capacity, self.dim), jnp.int8)
         if self.scales is not None:
             self.scales = jnp.zeros((self.capacity,), jnp.float32)
+        if self.rbuf is not None:
+            self.rbuf = jnp.zeros((self.capacity, self.dim), jnp.int8)
+            self.rbuf_scales = jnp.zeros((self.capacity,), jnp.float32)
         self.alive = jnp.zeros((self.capacity,), jnp.float32)
         self._sh_rows = np.zeros((self.capacity, self.dim), self._sh_dtype)
         if self._sh_scales is not None:
             self._sh_scales = np.zeros((self.capacity,), np.float32)
+        if self._sh_resid is not None:
+            self._sh_resid = np.zeros((self.capacity, self.dim), np.int8)
+            self._sh_resid_scales = np.zeros((self.capacity,), np.float32)
         self._sh_valid = True
         self._dead_rows = set()
         self.mean = None  # re-pinned at the next quantized ingestion
@@ -534,9 +623,27 @@ class FlatIndex:
             out = raw.astype(np.float32) * scales[:, None]
         else:
             out = raw.astype(np.float32)
+        if self.refine:
+            # Residual codes restore ~14-bit fidelity for compaction /
+            # rebuild round-trips (re-quantizing a coarse-only decode
+            # would compound rounding error every cycle).
+            rq, rs = self._raw_resid()
+            if rq is not None:
+                out = out + rq.astype(np.float32) * rs[:, None]
         if self.mean is not None and self.mean.any():
             out = out + self.mean
         return out
+
+    def _raw_resid(self) -> tuple[np.ndarray | None, np.ndarray | None]:
+        """Live-prefix residual codes + scales (refine mode), shadow-first
+        like _raw_rows."""
+        if not self.refine:
+            return None, None
+        if self._sh_valid:
+            return (self._sh_resid[: self.count],
+                    self._sh_resid_scales[: self.count])
+        return (np.asarray(self.rbuf)[: self.count],
+                np.asarray(self.rbuf_scales)[: self.count])
 
     def compact(self) -> None:
         """Drop tombstoned rows and repack (host-side; O(count))."""
@@ -627,7 +734,8 @@ class FlatIndex:
             src = self.buf8 if self.dtype == "int4" else self.buf
             vals, idx = _exact_flat_rerank(
                 src, self.scales, jnp.asarray(queries),
-                jnp.asarray(vals), jnp.asarray(idx), k_eff)
+                jnp.asarray(vals), jnp.asarray(idx), k_eff,
+                rbuf=self.rbuf, rbuf_scales=self.rbuf_scales)
         from ..ops.host import fetch
 
         # Centered codes: the kernels ranked by the (rank-equivalent)
@@ -655,7 +763,8 @@ class FlatIndex:
                     src = self.buf8 if self.dtype == "int4" else self.buf
                     vals, idx = _exact_flat_rerank(
                         src, self.scales, jnp.asarray(queries),
-                        jnp.asarray(vals), jnp.asarray(idx), k_eff)
+                        jnp.asarray(vals), jnp.asarray(idx), k_eff,
+                        rbuf=self.rbuf, rbuf_scales=self.rbuf_scales)
                 vals, idx = fetch(vals, idx)
                 out = self._hits_from(vals, idx, queries.shape[0], off)
         return out
@@ -732,6 +841,10 @@ class FlatIndex:
                 arrs["scales"] = scales[a:b]
             else:
                 arrs["vectors"] = rows.astype(np.float32)
+            if self.refine:
+                rq, rs = self._raw_resid()
+                arrs["rcodes"] = rq[a:b]
+                arrs["rscales"] = rs[a:b]
             np.savez(self._seg_path(path, name), **arrs)
             self._segments.append(name)
             self._saved_count = b
@@ -739,6 +852,7 @@ class FlatIndex:
             "format": 2,
             "dim": self.dim,
             "dtype": self.dtype,
+            "refine": self.refine,
             "segments": self._segments,
             "dead_rows": sorted(self._dead_rows),
         }
@@ -754,7 +868,9 @@ class FlatIndex:
         os.replace(tmp, path + ".meta.json")  # atomic vs crash mid-write
 
     def _install_prequantized(self, codes: np.ndarray, scales: np.ndarray,
-                              ids: list[str]) -> None:
+                              ids: list[str],
+                              rcodes: np.ndarray | None = None,
+                              rscales: np.ndarray | None = None) -> None:
         """Bulk insert of already-int8-quantized rows (checkpoint restore):
         skips the quantization pass and keeps the exact stored codes. int4
         mode re-derives the packed nibbles from the int8 codes (coarse
@@ -785,6 +901,18 @@ class FlatIndex:
         self.scales = _write_block(
             self.scales[:, None], jnp.asarray(sblock)[:, None], self.count, m
         )[:, 0]
+        if self.refine and rcodes is not None:
+            self._sh_resid[self.count : self.count + m] = rcodes
+            self._sh_resid_scales[self.count : self.count + m] = rscales
+            rqblock = np.zeros((rows, self.dim), np.int8)
+            rqblock[:m] = rcodes
+            rsblock = np.zeros((rows,), np.float32)
+            rsblock[:m] = rscales
+            self.rbuf = _write_block(
+                self.rbuf, jnp.asarray(rqblock), self.count, m)
+            self.rbuf_scales = _write_block(
+                self.rbuf_scales[:, None], jnp.asarray(rsblock)[:, None],
+                self.count, m)[:, 0]
         ones = np.zeros((rows,), np.float32)
         ones[:m] = 1.0
         self.alive = _write_block(
@@ -800,6 +928,7 @@ class FlatIndex:
         with open(path + ".meta.json", "r", encoding="utf-8") as fh:
             meta = json.load(fh)
         kw.setdefault("dtype", meta.get("dtype", "float32"))
+        kw.setdefault("refine", meta.get("refine", False))
         if meta.get("format") != 2:  # legacy single-npz checkpoints
             vectors = np.load(path + ".npz")["vectors"]
             idx = cls(dim=meta["dim"],
@@ -810,6 +939,7 @@ class FlatIndex:
         dead_rows = set(meta.get("dead_rows", []))
         dead_ids = set(meta.get("dead_ids", []))  # pre-round-2 checkpoints
         ids_l, rows_l, scales_l = [], [], []
+        rcodes_l, rscales_l = [], []
         base = os.path.dirname(path) or "."
         if meta.get("rows_skipped"):
             idx = cls(dim=meta["dim"], **kw)
@@ -825,6 +955,9 @@ class FlatIndex:
                 scales_l.append(arrs["scales"])
             else:
                 rows_l.append(arrs["vectors"])
+            if "rcodes" in arrs:
+                rcodes_l.append(arrs["rcodes"])
+                rscales_l.append(arrs["rscales"])
         n_total = sum(len(a) for a in ids_l)
         idx = cls(dim=meta["dim"], capacity=max(MIN_CAPACITY, n_total + 1), **kw)
         if "mean" in meta:
@@ -851,8 +984,13 @@ class FlatIndex:
                 keep = slice(None)
             kept_ids = [str(s) for s in ids_arr[keep]]
             if scales_l:
+                has_resid = idx.refine and len(rcodes_l) == len(meta["segments"])
                 idx._install_prequantized(
-                    rows[keep], np.concatenate(scales_l)[keep], kept_ids
+                    rows[keep], np.concatenate(scales_l)[keep], kept_ids,
+                    rcodes=(np.concatenate(rcodes_l)[keep]
+                            if has_resid else None),
+                    rscales=(np.concatenate(rscales_l)[keep]
+                             if has_resid else None),
                 )
             elif kept_ids:
                 # Float segments hold rows in STORAGE space (residuals when

@@ -182,17 +182,26 @@ def _topk_clusters(codes, scales, centroids, n, R, blk=1 << 18, mean=None):
 
 
 @partial(jax.jit, static_argnames=("keep",))
-def _exact_topk_rerank(data, rscales, queries, vals, cl, sl, keep: int):
+def _exact_topk_rerank(data, rscales, queries, vals, cl, sl, keep: int,
+                       resid=None, resid_scales=None):
     """Exact re-scoring of the coarse scan's top-kk candidates, on device:
     gather the stored rows ([Q, kk, D] — Q*kk*D bytes, negligible next to
     the scan's probed-union read) and redo the dot at HIGHEST precision
     (f32 multi-pass on the MXU; int8 codes dequantize exactly). The coarse
     kernels feed the MXU bf16 inputs, so top-k boundary gaps below bf16
     resolution rank arbitrarily there; this pass restores exact order
-    within the candidate set. Sentinel candidates (vals <= -1e29: fewer
-    live rows than kk) keep their sentinel so the host filter still drops
-    them. Returns (vals [Q,keep], cl [Q,keep], sl [Q,keep])."""
+    within the candidate set. With a refinement store (resid: [C, M, D]
+    int8 codes of the quantization residual + per-row resid_scales) the
+    gather also reads the residual codes and reconstructs candidates at
+    ~14 effective bits, so int8 storage reranks by near-f32 scores —
+    dequantizing the same coarse codes cannot recover what rounding
+    destroyed (r3 verdict item 2). Sentinel candidates (vals <= -1e29:
+    fewer live rows than kk) keep their sentinel so the host filter still
+    drops them. Returns (vals [Q,keep], cl [Q,keep], sl [Q,keep])."""
     rows = data[cl, sl].astype(jnp.float32) * rscales[cl, sl][..., None]
+    if resid is not None:
+        rows = rows + (resid[cl, sl].astype(jnp.float32)
+                       * resid_scales[cl, sl][..., None])
     scores = jnp.einsum("qd,qkd->qk", queries.astype(jnp.float32), rows,
                         precision=jax.lax.Precision.HIGHEST)
     scores = jnp.where(vals > -1e29, scores, vals)
@@ -293,6 +302,18 @@ def _fold_scatter(data, rsc, rid, codes, scales, dest, rid_new):
     return data, rsc, rid
 
 
+@partial(jax.jit, donate_argnums=(0, 1))
+def _fold_scatter_resid(resid, rsc2, rcodes, rscales, dest):
+    """Refinement-table twin of _fold_scatter: residual codes follow
+    their coarse codes slot-for-slot (one code space, two tables)."""
+    C, M, D_ = resid.shape
+    resid = resid.reshape(C * M, D_).at[dest].set(
+        rcodes, mode="drop").reshape(C, M, D_)
+    rsc2 = rsc2.reshape(C * M).at[dest].set(
+        rscales, mode="drop").reshape(C, M)
+    return resid, rsc2
+
+
 class IVFIndex:
     """k-means inverted-file index with exact in-cluster scoring.
 
@@ -314,9 +335,24 @@ class IVFIndex:
         center: bool | None = None,
         rerank: int | None = None,
         scan_precision: str = "default",
+        refine: bool = False,
     ):
         assert dtype in ("float32", "bfloat16", "int8"), dtype
         assert not (scan_int4 and dtype != "int8"), "int4 scan needs int8 storage"
+        # Residual-refinement store (see FlatIndex.refine / native quant
+        # two-stage pass): a parallel [C, M, D] int8 table of quantization
+        # residuals, read ONLY by the exact-rerank gather — the coarse
+        # scan's bytes/QPS are untouched; the rerank reconstructs
+        # candidates at ~14 effective bits and restores near-f32 ranking
+        # on corpora where the int8 tier's recall floor is quantization
+        # itself (realtext tie-aware 0.744 -> the f32 bar). Costs one more
+        # N*D int8 table of HBM; host-ingest only (device bulk builds have
+        # no f32 source to derive residuals from).
+        assert not refine or dtype == "int8", \
+            "refine needs int8 storage (float tiers have no quantization residual)"
+        self.refine = bool(refine)
+        if self.refine and rerank is None:
+            rerank = 256
         if use_fused is None:
             use_fused = jax.default_backend() == "tpu"
         self.use_fused = use_fused
@@ -363,6 +399,8 @@ class IVFIndex:
         self.centroids: jnp.ndarray | None = None
         self.data: jnp.ndarray | None = None          # [C, M, D] storage dtype
         self.rscales: jnp.ndarray | None = None       # [C, M] f32 (int8 mode)
+        self.resid: jnp.ndarray | None = None         # [C, M, D] int8 (refine)
+        self.resid_scales: jnp.ndarray | None = None  # [C, M] f32 (refine)
         self.sizes: jnp.ndarray | None = None
         self.rowids: np.ndarray | None = None  # [C, M] -> index into self.ids
         self._rowids_dev = None  # device rowid table (device-built indexes)
@@ -387,7 +425,8 @@ class IVFIndex:
         # precision tier, or spill-resident near-ties rank arbitrarily.
         self.spill = FlatIndex(dim, dtype=dtype, center=False,
                                rerank=self.rerank,
-                               scan_precision=scan_precision)
+                               scan_precision=scan_precision,
+                               refine=self.refine)
         self._deleted: set[str] = set()
         self._live: set[str] = set()
         # True once add() nulled stale table id entries on a delete->re-add;
@@ -401,6 +440,8 @@ class IVFIndex:
         self._ckpt_path: str | None = None
         self._host_data: np.ndarray | None = None  # packed-table shadow
         self._host_scales: np.ndarray | None = None
+        self._host_resid: np.ndarray | None = None  # refine-table shadow
+        self._host_resid_scales: np.ndarray | None = None
         self.needs_recovery = False  # set by load() when the base was skipped
         # int4 scan tier (ops/ivf_batch4.py): a packed [C, D/2, M] mirror of
         # the AUTHORITATIVE int8 table, rebuilt lazily after any table
@@ -526,6 +567,9 @@ class IVFIndex:
         excluded from training/packing and never land in a bucket.
         """
         assert self.dtype == "int8", "device build packs int8 storage"
+        assert not self.refine, (
+            "refine needs host-derived residual codes; device bulk builds "
+            "receive caller-quantized int8 only (no f32 source)")
         n, d = vecs_q.shape
         if n_valid is None:
             n_valid = n
@@ -625,9 +669,22 @@ class IVFIndex:
         the slow device->host path (mirrors FlatIndex's shadow)."""
         C, M, D = data.shape
         if self.dtype == "int8":
-            from ..native_lib import np_quantize_rows_int8
+            if self.refine:
+                # One fused C++ pass over the packed table: coarse codes
+                # AND residual codes (the host has one core; a separate
+                # dequant+subtract+requant in numpy is ~100s at 1M rows).
+                from ..native_lib import np_quantize_rows_int8_refine
 
-            q, s = np_quantize_rows_int8(data.reshape(C * M, D))
+                q, s, rq, rs = np_quantize_rows_int8_refine(
+                    data.reshape(C * M, D))
+                self.resid = jnp.asarray(rq.reshape(C, M, D))
+                self.resid_scales = jnp.asarray(rs.reshape(C, M))
+                self._host_resid = rq.reshape(C, M, D)
+                self._host_resid_scales = rs.reshape(C, M)
+            else:
+                from ..native_lib import np_quantize_rows_int8
+
+                q, s = np_quantize_rows_int8(data.reshape(C * M, D))
             self.data = jnp.asarray(q.reshape(C, M, D))
             self.rscales = jnp.asarray(s.reshape(C, M))
             self._host_data = q.reshape(C, M, D)
@@ -728,9 +785,17 @@ class IVFIndex:
 
         rid_dev = (self._rowids_dev if self._rowids_dev is not None
                    else jnp.asarray(self._rowids_host().astype(np.int32)))
+        dest_dev = jnp.asarray(dest)
         self.data, self.rscales, self._rowids_dev = _fold_scatter(
             self.data, self.rscales, rid_dev, codes, scales,
-            jnp.asarray(dest), jnp.asarray(rid_new))
+            dest_dev, jnp.asarray(rid_new))
+        if self.refine and self.resid is not None:
+            rcodes = jnp.take(self.spill.rbuf, psel_d, axis=0, mode="fill",
+                              fill_value=0)
+            rscales2 = jnp.take(self.spill.rbuf_scales, psel_d, mode="fill",
+                                fill_value=0.0)
+            self.resid, self.resid_scales = _fold_scatter_resid(
+                self.resid, self.resid_scales, rcodes, rscales2, dest_dev)
         if self.rowids is not None:
             # Host-built index: dest/rid_new are host values — mirror the
             # scatter instead of discarding the cache (a discarded cache
@@ -749,18 +814,28 @@ class IVFIndex:
         # Host shadows: capture the spill's shadow rows BEFORE delete_all
         # replaces its arrays; mirror the scatter into the table shadow when
         # both sides are intact, else degrade to device-built semantics.
-        sh_codes = sh_scales = None
+        sh_codes = sh_scales = sh_resid = sh_resid_sc = None
         if self.spill._sh_valid:
             sh_codes = self.spill._sh_rows[: self.spill.count][ssel]
             sh_scales = self.spill._sh_scales[: self.spill.count][ssel]
+            if self.refine and self.spill._sh_resid is not None:
+                sh_resid = self.spill._sh_resid[: self.spill.count][ssel]
+                sh_resid_sc = (
+                    self.spill._sh_resid_scales[: self.spill.count][ssel])
         if self._host_data is not None and sh_codes is not None:
             flat = self._host_data.reshape(C * M, D)
             fsc = self._host_scales.reshape(C * M)
             d_ok = dest[:n][folded_mask]
             flat[d_ok] = sh_codes[folded_mask]
             fsc[d_ok] = sh_scales[folded_mask]
+            if self._host_resid is not None and sh_resid is not None:
+                self._host_resid.reshape(C * M, D)[d_ok] = (
+                    sh_resid[folded_mask])
+                self._host_resid_scales.reshape(C * M)[d_ok] = (
+                    sh_resid_sc[folded_mask])
         elif self._host_data is not None:
             self._host_data = self._host_scales = None
+            self._host_resid = self._host_resid_scales = None
         # Rebuild the spill with only the leftover rows (device-to-device).
         # NOTE: ids whose spill copies were dropped here stay in `_deleted`:
         # the same id can also hold a (deleted) cluster-table row, and
@@ -768,6 +843,7 @@ class IVFIndex:
         left = ssel[~folded_mask]
         left_ids = sids_sel[~folded_mask].tolist()
         old_buf, old_scales = self.spill.buf, self.spill.scales
+        old_rbuf, old_rbuf_sc = self.spill.rbuf, self.spill.rbuf_scales
         self.spill.delete_all()
         # delete_all un-pins the spill's mean; the leftover codes (and all
         # future spill adds) are still in THIS index's code space.
@@ -791,6 +867,17 @@ class IVFIndex:
                             if sh_codes is not None else None),
                 host_scales=(sh_scales[~folded_mask]
                              if sh_scales is not None else None),
+                resid_dev=(jnp.take(old_rbuf, lp_d, axis=0, mode="fill",
+                                    fill_value=0)
+                           if self.refine and old_rbuf is not None else None),
+                resid_scales_dev=(jnp.take(old_rbuf_sc, lp_d, mode="fill",
+                                           fill_value=0.0)
+                                  if self.refine and old_rbuf_sc is not None
+                                  else None),
+                host_resid=(sh_resid[~folded_mask]
+                            if sh_resid is not None else None),
+                host_resid_scales=(sh_resid_sc[~folded_mask]
+                                   if sh_resid_sc is not None else None),
             )
         self._base_dirty = True
         return n_fold
@@ -805,8 +892,12 @@ class IVFIndex:
         host path re-pins a fresh mean for the post-churn distribution."""
         live = len(self._live)
         if (self.dtype == "int8" and self.data is not None
-                and live >= self.C * 4
+                and live >= self.C * 4 and not self.refine
                 and (self.mean is None or not self.mean.any())):
+            # refine tables always rebuild on the host: they are
+            # host-ingested by construction (build_device refuses refine),
+            # and the device path would re-derive codes from coarse-only
+            # reconstructions, silently discarding the residual store.
             self.rebuild_device()
             return
         vecs, ids = self._all_vectors()
@@ -853,6 +944,16 @@ class IVFIndex:
                 sel = data[valid].astype(np.float32)
                 if self.dtype == "int8":
                     sel *= np.asarray(self.rscales)[valid][:, None]
+                    if self.refine and self.resid is not None:
+                        # ~14-bit reconstruction: rebuild() re-quantizes
+                        # from this, so fidelity must not degrade per cycle.
+                        rq = (self._host_resid if self._host_resid is not None
+                              else np.asarray(self.resid, dtype=np.int8))
+                        rs = (self._host_resid_scales
+                              if self._host_resid_scales is not None
+                              else np.asarray(self.resid_scales))
+                        sel += (rq[valid].astype(np.float32)
+                                * rs[valid][:, None])
                 # build() centers EVERY host-built table (float tiers
                 # store v - mean too, not just int8) — decode back to raw
                 # space for any dtype or rebuild() re-centers a mixture of
@@ -1039,7 +1140,8 @@ class IVFIndex:
                     vals, cl, sl = _exact_topk_rerank(
                         self.data, self.rscales, jnp.asarray(queries),
                         jnp.asarray(vals), jnp.asarray(cl), jnp.asarray(sl),
-                        keep)
+                        keep, resid=self.resid,
+                        resid_scales=self.resid_scales)
                 from ..ops.host import fetch
 
                 if self._rowids_dev is not None:
@@ -1142,6 +1244,10 @@ class IVFIndex:
                     arrs[arrs_key] = self._host_data[valid]
                     if self.dtype == "int8":
                         arrs["cluster_scales"] = self._host_scales[valid]
+                    if self.refine and self._host_resid is not None:
+                        arrs["cluster_resid"] = self._host_resid[valid]
+                        arrs["cluster_resid_scales"] = (
+                            self._host_resid_scales[valid])
                 elif self.dtype == "int8":
                     # Device-built table: compact live rows ON DEVICE first
                     # so the (slow) fetch moves only int8 codes, no bucket
@@ -1168,6 +1274,7 @@ class IVFIndex:
             "nprobe": self.nprobe,
             "bucket_factor": self.bucket_factor,
             "dtype": self.dtype,
+            "refine": self.refine,
             "deleted": sorted(str(s) for s in self._deleted),
             "base_skipped": bool(skip_base),
         }
@@ -1189,6 +1296,7 @@ class IVFIndex:
         kw.setdefault("nprobe", meta["nprobe"])
         kw.setdefault("bucket_factor", meta["bucket_factor"])
         kw.setdefault("dtype", meta.get("dtype", "float32"))
+        kw.setdefault("refine", meta.get("refine", False))
         idx = cls(dim=meta["dim"], **kw)
         if meta.get("format") != 2:
             return cls._load_legacy(idx, path, meta)
@@ -1207,7 +1315,8 @@ class IVFIndex:
             if FlatIndex.exists(path + ".spill"):
                 idx.spill = FlatIndex.load(path + ".spill", dtype=idx.dtype,
                                            center=False, rerank=idx.rerank,
-                                           scan_precision=idx.scan_precision)
+                                           scan_precision=idx.scan_precision,
+                                           refine=idx.refine)
                 if deleted and idx.spill.count:
                     idx.spill.delete([s for s in idx.spill.ids if s in deleted])
                 idx._live.update(idx.spill._id_to_row)
@@ -1253,6 +1362,14 @@ class IVFIndex:
                 idx.data = jnp.asarray(codes)
                 idx.rscales = jnp.asarray(rsc)
                 idx._host_data, idx._host_scales = codes, rsc
+                if idx.refine and "cluster_resid" in arrs:
+                    rq = np.zeros((idx.C, M, idx.dim), np.int8)
+                    rs2 = np.zeros((idx.C, M), np.float32)
+                    rq[assign, pos] = arrs["cluster_resid"][keep]
+                    rs2[assign, pos] = arrs["cluster_resid_scales"][keep]
+                    idx.resid = jnp.asarray(rq)
+                    idx.resid_scales = jnp.asarray(rs2)
+                    idx._host_resid, idx._host_resid_scales = rq, rs2
             else:
                 data = np.zeros((idx.C, M, idx.dim), np.float32)
                 data[assign, pos] = arrs["cluster_vecs"][keep]
@@ -1263,7 +1380,8 @@ class IVFIndex:
         if FlatIndex.exists(path + ".spill"):
             idx.spill = FlatIndex.load(path + ".spill", dtype=idx.dtype,
                                        center=False, rerank=idx.rerank,
-                                       scan_precision=idx.scan_precision)
+                                       scan_precision=idx.scan_precision,
+                                       refine=idx.refine)
             if deleted and idx.spill.count:
                 idx.spill.delete([s for s in idx.spill.ids if s in deleted])
             idx._live.update(idx.spill._id_to_row)
@@ -1352,6 +1470,8 @@ class IVFIndex:
     def delete_all(self) -> None:
         self.centroids = None
         self.data = None
+        self.resid = None
+        self.resid_scales = None
         self.sizes = None
         self.rowids = None
         self._rowids_dev = None
@@ -1363,6 +1483,7 @@ class IVFIndex:
         self.mean = None  # re-pinned at the next ingestion
         self._base_dirty = True
         self._host_data = self._host_scales = None
+        self._host_resid = self._host_resid_scales = None
         self._invalidate_int4()
 
     def calibrate_margin(self, queries: np.ndarray | None = None,

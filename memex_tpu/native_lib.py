@@ -101,6 +101,11 @@ def quant_lib() -> ctypes.CDLL:
             c.POINTER(c.c_float), c.c_int64, c.c_int64,
             c.POINTER(c.c_int8), c.POINTER(c.c_float),
         ]
+        lib.quantize_rows_int8_refine.argtypes = [
+            c.POINTER(c.c_float), c.c_int64, c.c_int64,
+            c.POINTER(c.c_int8), c.POINTER(c.c_float),
+            c.POINTER(c.c_int8), c.POINTER(c.c_float),
+        ]
         lib._sigs_set = True
     return lib
 
@@ -132,6 +137,42 @@ def np_quantize_rows_int8(vectors):
     scales[:] = absmax / 127.0
     out = np.clip(np.round(vectors / scales[:, None]), -127, 127).astype(np.int8)
     return out, scales
+
+
+def np_quantize_rows_int8_refine(vectors):
+    """Two-stage row quantizer (C++ one-pass, numpy fallback): coarse int8
+    codes + int8 codes of the quantization residual, each per-row scaled.
+    Reconstruction q*s + rq*rs carries ~14 effective bits — the storage
+    for the refine rerank tier (index/flat.py, index/ivf.py refine=True).
+    vectors: contiguous f32 [n, d] -> (int8 [n,d], f32 [n], int8 [n,d],
+    f32 [n])."""
+    import numpy as np
+
+    n, d = vectors.shape
+    out = np.empty((n, d), np.int8)
+    scales = np.empty((n,), np.float32)
+    rout = np.empty((n, d), np.int8)
+    rscales = np.empty((n,), np.float32)
+    if not os.environ.get("MEMEX_NO_NATIVE"):
+        try:
+            lib = quant_lib()
+            vecs = np.ascontiguousarray(vectors, np.float32)
+            lib.quantize_rows_int8_refine(
+                vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, d,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                rout.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                rscales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+            return out, scales, rout, rscales
+        except Exception:
+            logger.warning("native refine quantizer unavailable; numpy fallback")
+    out, scales = np_quantize_rows_int8(vectors)
+    resid = np.asarray(vectors, np.float32) - out.astype(np.float32) * scales[:, None]
+    rmax = np.maximum(np.abs(resid).max(axis=1), 1e-14)
+    rscales[:] = rmax / 127.0
+    rout = np.clip(np.round(resid / rscales[:, None]), -127, 127).astype(np.int8)
+    return out, scales, rout, rscales
 
 
 def np_normalize_rows(vectors):

@@ -216,6 +216,25 @@ def quantize_rows_int8(db: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q, scales.astype(jnp.float32)
 
 
+@jax.jit
+def quantize_rows_int8_refine(db: jnp.ndarray):
+    """Device twin of native_lib.np_quantize_rows_int8_refine: coarse int8
+    codes PLUS int8 codes of the quantization residual (each per-row
+    scaled) in one jitted pass — f32 temporaries free inside the jit
+    instead of doubling resident HBM. Reconstruction q*s + rq*rs carries
+    ~14 effective bits; only the refine-rerank gather ever reads rq/rs
+    (index/flat.py, index/ivf.py refine=True), so the coarse scan's
+    bytes are untouched. [N, D] f32 -> (int8 [N,D], f32 [N], int8 [N,D],
+    f32 [N])."""
+    q, scales = quantize_rows_int8(db)
+    resid = db - q.astype(jnp.float32) * scales[:, None]
+    rmax = jnp.maximum(jnp.max(jnp.abs(resid), axis=1), 1e-14)
+    rscales = (rmax / 127.0).astype(jnp.float32)
+    rq = jnp.clip(jnp.round(resid / rscales[:, None]), -127, 127
+                  ).astype(jnp.int8)
+    return q, scales, rq, rscales
+
+
 def _fused_kernel_int8(count_ref, q_ref, db_ref, scale_ref, *rest,
                        block_n: int, banks: int, has_alive: bool = False):
     if has_alive:

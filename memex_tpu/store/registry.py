@@ -54,7 +54,7 @@ def get_vector_storage(uri: str, collection: str, dim: int = DEFAULT_DIM) -> Vec
 
 _INT_OPTS = {"capacity", "n_clusters", "nprobe", "M", "ef_construction",
              "ef_search", "capacity_per_shard", "block_n", "rerank"}
-_BOOL_OPTS = {"query_quantize", "use_fused", "scan_int4", "center"}
+_BOOL_OPTS = {"query_quantize", "use_fused", "scan_int4", "center", "refine"}
 _FLOAT_OPTS = {"prune_margin", "prune_target", "recall_target", "bucket_factor"}
 
 

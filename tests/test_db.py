@@ -511,3 +511,118 @@ def test_pg_multiprocess_claim_race():
     row = db.query_one("SELECT COUNT(*) AS n FROM queue WHERE status != 'Completed'")
     assert row["n"] == 0
     db.close()
+
+
+class TestPgMigrationsHermetic:
+    """run_migrations against a fake driver that MODELS postgres
+    transaction semantics (after a failed statement every execute raises
+    'current transaction is aborted' until rollback) — pins the advisory-
+    lock lifecycle: happy path unlocks and re-pools the connection; a
+    failed migration must roll back BEFORE unlocking, and if the unlock
+    itself fails the connection must be closed, not pooled, or the
+    session-level pg_advisory_lock(588231) blocks every other booting
+    process forever (advisor r3 low)."""
+
+    def _fake_pg(self, monkeypatch, fail_on=None, unlock_dies=False):
+        import memex_tpu.db.pg as pgmod
+
+        state = {"sql": [], "closed": 0, "pooled_back": [],
+                 "rollbacks": 0}
+
+        class FakeCursor:
+            description = None
+            rowcount = 0
+
+            def __init__(self, conn):
+                self._conn = conn
+
+            def execute(self, sql, params=()):
+                if self._conn.aborted:
+                    raise RuntimeError(
+                        "current transaction is aborted, commands ignored")
+                state["sql"].append(sql)
+                if fail_on and fail_on in sql:
+                    self._conn.aborted = True
+                    raise RuntimeError(f"syntax error near {fail_on!r}")
+                if unlock_dies and "pg_advisory_unlock" in sql:
+                    self._conn.aborted = True
+                    raise RuntimeError("server closed the connection")
+
+            def fetchall(self):
+                return []
+
+            def close(self):
+                pass
+
+        class FakeConn:
+            def __init__(self):
+                self.aborted = False
+
+            def cursor(self):
+                return FakeCursor(self)
+
+            def commit(self):
+                if self.aborted:
+                    raise RuntimeError("current transaction is aborted")
+
+            def rollback(self):
+                state["rollbacks"] += 1
+                self.aborted = False
+
+            def close(self):
+                state["closed"] += 1
+
+        class FakeDriver:
+            @staticmethod
+            def connect(uri):
+                return FakeConn()
+
+        monkeypatch.setattr(pgmod, "load_pg_driver",
+                            lambda: ("psycopg", FakeDriver))
+        return pgmod, state
+
+    def test_happy_path_unlocks_and_repools(self, monkeypatch):
+        pgmod, state = self._fake_pg(monkeypatch)
+        db = pgmod.PgDatabase("postgres://u@h/db", pool_min=1)
+        db.run_migrations()
+        joined = "\n".join(state["sql"])
+        assert "pg_advisory_lock(588231)" in joined
+        assert "pg_advisory_unlock(588231)" in joined
+        # The shared migration list ran through the dialect transform.
+        assert "AUTOINCREMENT" not in joined
+        assert "BIGSERIAL" in joined
+        assert state["closed"] == 0  # connection survived into the pool
+        db.close()
+
+    def test_failed_migration_rolls_back_then_unlocks(self, monkeypatch):
+        import pytest as _pytest
+
+        # Fail the first real DDL statement (any CREATE TABLE beyond the
+        # bookkeeping table).
+        pgmod, state = self._fake_pg(monkeypatch, fail_on="CREATE TABLE IF NOT EXISTS documents")
+        db = pgmod.PgDatabase("postgres://u@h/db", pool_min=1)
+        with _pytest.raises(RuntimeError, match="syntax error"):
+            db.run_migrations()
+        # rollback must precede the unlock, or the unlock raises on the
+        # aborted transaction and the advisory lock leaks into the pool.
+        unlock_pos = next(i for i, s in enumerate(state["sql"])
+                          if "pg_advisory_unlock" in s)
+        assert state["rollbacks"] >= 1
+        assert "pg_advisory_unlock(588231)" in state["sql"][unlock_pos]
+        assert state["closed"] == 0  # unlock succeeded -> safe to pool
+        db.close()
+
+    def test_unlock_failure_poisons_connection(self, monkeypatch):
+        import pytest as _pytest
+
+        pgmod, state = self._fake_pg(
+            monkeypatch, fail_on="CREATE TABLE IF NOT EXISTS documents",
+            unlock_dies=True)
+        db = pgmod.PgDatabase("postgres://u@h/db", pool_min=1)
+        with _pytest.raises(RuntimeError, match="syntax error"):
+            db.run_migrations()
+        # The unlock died: the session still HOLDS the advisory lock, so
+        # the connection must be closed (dropping the lock with the
+        # session), never returned to the pool.
+        assert state["closed"] == 1
+        db.close()
