@@ -239,11 +239,25 @@ class LocalLLM:
         prefix_off = 0
         read_off = 0
         done = False
+        # One-chunk lookahead pipeline: dispatch chunk i+1 BEFORE fetching
+        # chunk i's tokens. Device execution is in-order and dispatch is
+        # async, so the ~30ms tunnel RPC of each token fetch overlaps the
+        # next chunk's compute instead of stalling it — without this,
+        # streaming ran at 0.62x the batch path's tok/s (r3 verdict item
+        # 5; BENCH_r03: 175.8 stream vs 285.8 batch) purely on fetch
+        # stalls. An eos inside chunk i wastes chunk i+1's <=STREAM_CHUNK
+        # speculative tokens — harmless, the carry is discarded.
+        pending = decode_chunk(
+            self.cfg, self.params, carry, self.sampler, self.STREAM_CHUNK,
+            eos_id=eos,
+        )
         while not done and len(out) < max_new:
-            carry, toks, was_done = decode_chunk(
-                self.cfg, self.params, carry, self.sampler, self.STREAM_CHUNK,
-                eos_id=eos,
-            )
+            carry, toks, was_done = pending
+            if len(out) + self.STREAM_CHUNK < max_new:
+                pending = decode_chunk(
+                    self.cfg, self.params, carry, self.sampler,
+                    self.STREAM_CHUNK, eos_id=eos,
+                )
             toks, wd = np.asarray(toks), np.asarray(was_done)
             for t, d in zip(toks, wd):
                 if d or len(out) >= max_new:

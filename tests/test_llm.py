@@ -178,8 +178,12 @@ class TestTrueStreaming:
             on_token=lambda s: seen_at.append(dispatches["n"]), max_new=16,
         )
         assert dispatches["n"] >= 2, "expected multiple chunked dispatches"
-        # first token surfaced after the FIRST chunk, before later chunks ran
-        assert seen_at[0] == 1 and seen_at[0] < dispatches["n"]
+        # First token surfaced while generation was still in flight: after
+        # the FIRST chunk's fetch, with at most the one-chunk lookahead
+        # dispatch outstanding (the pipeline that hides the ~30ms tunnel
+        # RPC per fetch), and strictly before the later chunks ran.
+        assert seen_at[0] <= 2 and seen_at[0] < dispatches["n"], (
+            seen_at[0], dispatches["n"])
 
 
 class TestParamStorageDtypes:
