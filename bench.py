@@ -171,6 +171,10 @@ class Reporter:
         llm = e2e.get("llm_decode") or {}
         if "stream_tok_per_s" in llm:
             c["llm_stream_tok_per_s"] = llm["stream_tok_per_s"]
+        s1m = e2e.get("serve_1M") or {}
+        if "qps" in s1m:
+            c["serve_1M"] = {"qps": s1m["qps"], "p50_ms": s1m["p50_ms"],
+                             "vs_capability": s1m["qps_vs_capability"]}
         c["skipped_stages"] = len(self.doc.get("skipped_stages", []))
         c["elapsed_s"] = self.doc.get("elapsed_s", 0)
         # Belt and braces: never let the driver artifact outgrow its
@@ -1211,6 +1215,129 @@ def bench_e2e() -> dict:
     }
 
 
+def bench_serve_1m() -> dict:
+    """Concurrent serving against a 1M-row store (r3 verdict item 3): the
+    192-row e2e stage measures RPC overhead, not the serving stack. Here
+    64 synchronous API-like clients drive rt.search_batcher over a 1M x
+    384 int8 FlatIndex; the microbatcher coalesces them into fused
+    encode+scan dispatches (query_path.py — ONE device call, ONE fetch
+    per window). Reported against the device-capability yardstick (the
+    same fused executable driven directly at Q=128): e2e must land within
+    ~2x of capability, or the serving layers are the bottleneck.
+    Reference analogue: the search handler stack
+    /root/reference/lib/api/src/endpoints/collections/handlers.rs:55-109,
+    which re-reads the HNSW file per query."""
+    import tempfile
+    import threading
+
+    import numpy as np
+
+    from memex_tpu.config import Settings
+    from memex_tpu.metrics import METRICS
+    from memex_tpu.native_lib import np_normalize_rows
+    from memex_tpu.runtime import Runtime
+
+    tmp = tempfile.mkdtemp(prefix="memex_serve1m_")
+    settings = Settings.from_env(
+        db_uri=f"sqlite://{tmp}/serve.db",
+        vector_uri=f"tpu://{tmp}/vec?dtype=int8&capacity={N}",
+        embedding_model="random",
+    )
+    rt = Runtime(settings)
+    store = rt.store("big")
+    rng = np.random.default_rng(0)
+    vecs = np_normalize_rows(rng.standard_normal((N, D)).astype(np.float32))
+    t0 = time.perf_counter()
+    store.index.add(vecs, [f"r{i}" for i in range(N)])
+    load_s = time.perf_counter() - t0
+    del vecs
+
+    # Warm the fused executables for every Q bucket this stage hits
+    # (1 for the serial latency loop, search_max_batch for the loaded
+    # windows) — compiles are minutes through the tunnel and must not
+    # land inside a timing.
+    rt.search_batcher.search("big", "warm the single-query bucket", K)
+    warm_threads = [
+        threading.Thread(target=rt.search_batcher.search,
+                         args=("big", f"warm bucket fill {i}", K))
+        for i in range(settings.search_max_batch)
+    ]
+    for th in warm_threads:
+        th.start()
+    for th in warm_threads:
+        th.join()
+
+    # Serial p50/p99: unloaded single-query latency (window wait + fused
+    # dispatch + fetch + hydration).
+    lat = []
+    for i in range(64):
+        t0 = time.perf_counter()
+        rt.search_batcher.search("big", f"serial latency probe {i}", K)
+        lat.append(time.perf_counter() - t0)
+    lat = np.sort(np.array(lat))
+
+    # Device-capability yardstick: the same fused encode+scan executable
+    # driven back-to-back at the batcher's own max batch.
+    from memex_tpu.serve.query_path import FusedQueryPath
+
+    fused = FusedQueryPath(rt.engine)
+    QB = settings.search_max_batch
+    probe = [f"capability probe {i}" for i in range(QB)]
+    fused.search_texts(store, probe, K)  # warm (shared with batcher)
+    t0 = time.perf_counter()
+    reps = 8
+    for _ in range(reps):
+        fused.search_texts(store, probe, K)
+    cap_qps = QB * reps / (time.perf_counter() - t0)
+
+    # Loaded throughput: 64 concurrent synchronous clients.
+    n_threads, per = 64, 24
+    errs: list[BaseException] = []
+    c0 = METRICS.snapshot()["counters"]
+    b0 = c0.get("batcher.search.batches", 0)
+    i0 = c0.get("batcher.search.items", 0)
+
+    def _client(t: int) -> None:
+        try:
+            for i in range(per):
+                rt.search_batcher.search("big", f"client {t} wants {i}", K)
+        except BaseException as exc:  # noqa: BLE001 — surfaced below
+            errs.append(exc)
+
+    threads = [threading.Thread(target=_client, args=(t,))
+               for t in range(n_threads)]
+    t0 = time.perf_counter()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wall = time.perf_counter() - t0
+    if errs:
+        raise errs[0]
+    c1 = METRICS.snapshot()["counters"]
+    batches = c1.get("batcher.search.batches", 0) - b0
+    items = c1.get("batcher.search.items", 0) - i0
+    qps = n_threads * per / wall
+    out = {
+        "rows": int(store.index.count),
+        "load_1M_s": round(load_s, 1),
+        "concurrent_clients": n_threads,
+        "qps": round(qps, 1),
+        "p50_ms": float(round(lat[31] * 1e3, 1)),
+        "p99_ms": float(round(lat[62] * 1e3, 1)),
+        "device_capability_qps": round(cap_qps, 1),
+        "qps_vs_capability": round(qps / cap_qps, 3),
+        "mean_batch_fill": round(items / max(batches, 1), 1),
+    }
+    # Free the 1M-row store's HBM before the next stage (the registry
+    # would otherwise keep the index alive for the process lifetime).
+    from memex_tpu.store.registry import _REGISTRY
+
+    _REGISTRY.drop(settings.vector_uri, "big")
+    rt.search_batcher.close()
+    return out
+
+
 def _measure_rpc() -> float:
     """Tunnel RPC roundtrip, median of many samples. The rpc estimate is
     subtracted once per timing chain, so with R-batch chains an error of E
@@ -1320,6 +1447,7 @@ def main() -> None:
         ("ivf_prune_realtext", 360, bench_realtext_ivf),
         ("sotu_e2e", 240, bench_sotu),
         ("e2e", 300, _e2e_merge),
+        ("serve_1M", 420, bench_serve_1m),
         ("bulk_load_1M_s", 150, lambda: round(bench_bulk_load(), 2)),
     ]
     for key, est, fn in stages:
