@@ -62,6 +62,11 @@ TIER_ROOFLINE = {
     "int8q_q512": (D + 4,     PEAK_INT8_TOPS),
     "int4":       (D // 2 + 4, PEAK_BF16_TFLOPS),
     "int4_q128":  (D // 2 + 4, PEAK_BF16_TFLOPS),
+    # refine tiers: the SCAN reads the same bytes as their coarse tier
+    # (the residual table is touched only by the [Q, 128, D] rerank
+    # gather — noise next to the corpus read).
+    "int8q_refine": (D + 4,      PEAK_INT8_TOPS),
+    "int4_refine":  (D // 2 + 4, PEAK_BF16_TFLOPS),
 }
 
 
@@ -491,6 +496,43 @@ def bench_scale_10m(rpc: float) -> dict:
         for i in range(Q)
     ]))
 
+    # Tie-aware recall (r3 verdict item 6; same yardstick the realtext
+    # stage uses): a returned row counts iff its TRUE score >= the
+    # oracle's K-th best, eps=0. Clustered corpora tie at int8 resolution
+    # (many rows from one center), so id-recall charges tie-break order.
+    # Both sides score from the SAME dequantized table rows (HIGHEST
+    # precision) so the comparison is self-consistent; the handful of
+    # spill-resident rows (capacity-aware fold leaves ~200 of 10M) fall
+    # out as misses — a <1e-4 bias.
+    Cb, Mb = int(ivf.data.shape[0]), int(ivf.data.shape[1])
+    rid_flat = ivf._rowids_dev.reshape(-1)
+    pos_of_row = (jnp.full((N10 + 1,), Cb * Mb, jnp.int32)
+                  .at[jnp.where(rid_flat >= 0, rid_flat, N10)]
+                  .set(jnp.arange(Cb * Mb, dtype=jnp.int32), mode="drop"))
+
+    @jax.jit
+    def _score_rows(q, row_ids):
+        p = pos_of_row[row_ids]
+        r = jnp.take(ivf.data.reshape(-1, D), p, axis=0, mode="fill",
+                     fill_value=0).astype(jnp.float32)
+        s = jnp.take(ivf.rscales.reshape(-1), p, mode="fill", fill_value=0.0)
+        valid = (p < Cb * Mb)
+        scores = jnp.einsum("qd,qkd->qk", q, r * s[..., None],
+                            precision=jax.lax.Precision.HIGHEST)
+        return jnp.where(valid, scores, -jnp.inf)
+
+    def _tie_recall(hits_list) -> float:
+        got = np.full((Q, K), N10, np.int64)  # N10 = sentinel (empty)
+        for qi in range(Q):
+            for j, (sid, _) in enumerate(hits_list[qi][:K]):
+                got[qi, j] = int(sid)
+        o_sc = np.asarray(_score_rows(qs32[0], jnp.asarray(ei)), np.float64)
+        kth = np.sort(o_sc, axis=1)[:, -K]  # K-th best oracle score
+        g_sc = np.asarray(_score_rows(qs32[0], jnp.asarray(got)), np.float64)
+        return float(np.mean(np.sum(g_sc >= kth[:, None], axis=1) / K))
+
+    tie_rec = _tie_recall(hits)
+
     # --- margin-pruned routing (ops/ivf_batch.route_union prune_margin):
     # Q=32 is HBM-bound on the probed-union read, so dropping the long
     # tail of low-scoring probes converts ~1:1 into QPS. Report the union
@@ -523,16 +565,24 @@ def bench_scale_10m(rpc: float) -> dict:
             "margin": margin,
             "qps_q32": round(Q / bestp, 1),
             "recall_at_10": round(rec_pruned, 4),
+            "tie_recall_at_10": round(_tie_recall(hits_p), 4),
             "union_clusters": int(na_p[0]),
         })
     ivf.prune_margin = None
-    ok95 = [r for r in sweep if r["recall_at_10"] >= 0.95]
+    # Selection floor 0.96, reported bar 0.95 (r3 verdict item 6): the
+    # recorded operating point must not sit ON the bar — 13.2k @ 0.953
+    # cleared it by 0.003, inside driver-run variance. Picking the
+    # fastest margin holding >=0.96 leaves headroom; the driver artifact
+    # still judges against >=0.95.
+    SELECTION_FLOOR = 0.96
+    ok_floor = [r for r in sweep if r["recall_at_10"] >= SELECTION_FLOOR]
     pruned_row = {
         "union_clusters_full": union_full,
         "sweep": sweep,
-        # Fastest operating point holding the >=0.95 recall floor (falls
+        "selection_floor": SELECTION_FLOOR,
+        # Fastest operating point holding the selection floor (falls
         # back to the most-accurate margin if none holds it).
-        "best_at_95": (max(ok95, key=lambda r: r["qps_q32"]) if ok95
+        "best_at_95": (max(ok_floor, key=lambda r: r["qps_q32"]) if ok_floor
                        else max(sweep, key=lambda r: r["recall_at_10"])),
     }
     # Q=128 at the chosen operating point: pruning and batch-union
@@ -659,6 +709,7 @@ def bench_scale_10m(rpc: float) -> dict:
         "ivf_roofline_q32": ivf_rows["q32"]["roofline"],
         "ivf_roofline_q128": ivf_rows["q128"]["roofline"],
         "ivf_recall_at_10_vs_int8_exact": round(rec, 4),
+        "ivf_tie_recall_at_10": round(tie_rec, 4),
         "ivf_pruned": pruned_row,
         "ivf_int4_pack_s": round(pack4_s, 2),
         "ivf_int4_qps_q32": ivf4_rows["q32"],
@@ -885,15 +936,66 @@ def bench_realtext_ivf() -> dict:
                        f"(window {i})")
 
     model_arg, weights, reason = _resolve_weights()
-    engine = EmbeddingEngine(model_dir=model_arg)
+    # float16 fetch: the device->host link (~2 MB/s on the tunnel) is the
+    # ingest ceiling, not the forward pass — see EmbeddingEngine.fetch_dtype.
+    engine = EmbeddingEngine(model_dir=model_arg, fetch_dtype="float16")
+    # Ingest roofline (r3 verdict item 4): split host-tokenize vs
+    # device-forward vs result-fetch, and report encoder MFU. All chunks
+    # are dispatched before any fetch (in-order device execution), so
+    # "device_s" is a scalar-fetch sync on the LAST chunk and "fetch_s"
+    # is pure transfer of already-computed outputs.
+    import jax.numpy as _jnp
+
     t0 = time.perf_counter()
-    vecs = np.concatenate([
-        engine.encode_batch(windows[lo:lo + 256])
-        for lo in range(0, NW, 256)
-    ])
-    encode_s = time.perf_counter() - t0
+    from memex_tpu.text import encode_windows as _enc_win
+
+    ids_all, mask_all = _enc_win(windows, engine.tokenizer,
+                                 engine.max_seq_length)
+    tokenize_s = time.perf_counter() - t0
+    jit_fn = engine._jit_apply()
+    B = engine.max_batch
+    t0 = time.perf_counter()
+    chunks = []
+    for lo in range(0, NW, B):
+        ci, cm = ids_all[lo:lo + B], mask_all[lo:lo + B]
+        if len(ci) < B:  # pad the tail chunk to the compiled shape
+            pad = B - len(ci)
+            ci = np.concatenate([ci, np.zeros((pad, ci.shape[1]), np.int32)])
+            cm = np.concatenate([cm, np.zeros((pad, cm.shape[1]), np.int32)])
+            cm[len(cm) - pad:, 0] = 1
+        chunks.append(jit_fn(engine.params, _jnp.asarray(ci),
+                             _jnp.asarray(cm)))
+    float(chunks[-1][0, 0])  # device completion sync (execution in-order)
+    device_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    vecs = np.concatenate([np.asarray(c).astype(np.float32, copy=False)
+                           for c in chunks])[:NW]
+    fetch_s = time.perf_counter() - t0
+    del chunks
+    encode_s = tokenize_s + device_s + fetch_s
     vecs = vecs / np.maximum(
         np.linalg.norm(vecs, axis=1, keepdims=True), 1e-9)
+    # Encoder FLOPs: 12 layers x (QKV+out projections 4*D^2, FFN 2*D*I)
+    # matmul MACs per token + attention score/value matmuls 2*L*D per
+    # token per layer; x2 flops/MAC.
+    cfg = engine.cfg
+    L = engine.max_seq_length
+    per_tok = (2 * cfg.num_layers
+               * (4 * cfg.hidden_size ** 2
+                  + 2 * cfg.hidden_size * cfg.intermediate_size)
+               + 4 * cfg.num_layers * L * cfg.hidden_size)
+    tflops = NW * L * per_tok / max(device_s, 1e-9) / 1e12
+    encode_roofline = {
+        "tokenize_s": round(tokenize_s, 2),
+        "device_s": round(device_s, 2),
+        "fetch_s": round(fetch_s, 2),
+        "fetch_dtype": engine.fetch_dtype,
+        "windows_per_s_device": round(NW / max(device_s, 1e-9), 1),
+        "achieved_tflops": round(tflops, 1),
+        "pct_peak_mxu": round(100.0 * tflops / PEAK_BF16_TFLOPS, 1),
+        "bound": max((("tokenize", tokenize_s), ("device", device_s),
+                      ("fetch", fetch_s)), key=lambda kv: kv[1])[0],
+    }
 
     qs = vecs[rng.choice(NW, size=64, replace=False)]
     # The windows oversample ~700 sentences, so ~23 windows share text
@@ -921,6 +1023,7 @@ def bench_realtext_ivf() -> dict:
     mean_cos = float((cosm.sum() - np.trace(cosm)) / (len(samp) ** 2 - len(samp)))
     out = {"windows": NW, "encode_s": round(encode_s, 1),
            "encode_windows_per_s": round(NW / encode_s, 1),
+           "encode_roofline": encode_roofline,
            "mean_pairwise_cos": round(mean_cos, 4),
            "weights": weights}
     if reason:

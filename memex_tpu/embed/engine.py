@@ -18,6 +18,7 @@ cached XLA executable.
 
 from __future__ import annotations
 
+import os
 import threading
 
 import jax
@@ -80,6 +81,7 @@ class EmbeddingEngine:
         mesh: Mesh | None = None,
         data_axis: str = "data",
         seed: int = 0,
+        fetch_dtype: str | None = None,
     ):
         self.max_seq_length = max_seq_length
         self.window_stride = window_stride
@@ -87,6 +89,19 @@ class EmbeddingEngine:
         self.mesh = mesh
         self.data_axis = data_axis
         self._lock = threading.Lock()
+        # Device->host transfer precision for the pooled vectors. On
+        # remote-attached TPUs the fetch link runs ~2 MB/s (15x slower
+        # than host->device) and the [B, D] f32 fetch — 1.5 KB/window —
+        # IS the ingest ceiling (~1300 windows/s), not the forward pass.
+        # float16 halves the bytes; unit-norm embeddings round-trip f16
+        # with ~2.4e-4 relative error, an order below the int8 storage
+        # tier's own quantization noise. Default stays float32 (bit-exact
+        # golden parity); opt in per engine or via
+        # MEMEX_ENCODE_FETCH_DTYPE=float16 for ingest-heavy deployments.
+        if fetch_dtype is None:
+            fetch_dtype = os.environ.get("MEMEX_ENCODE_FETCH_DTYPE", "float32")
+        assert fetch_dtype in ("float32", "float16", "bfloat16"), fetch_dtype
+        self.fetch_dtype = fetch_dtype
 
         if model_dir and model_dir != "random":
             self.cfg, params = load_params(model_dir)
@@ -120,28 +135,47 @@ class EmbeddingEngine:
         a per-shape dict of fresh jit wrappers bought nothing."""
         fn = getattr(self, "_jit_fn", None)
         if fn is None:
+            apply = self.encoder.apply
+            if self.fetch_dtype != "float32":
+                dt = jnp.dtype(self.fetch_dtype)
+
+                def apply(p, i, m, _a=self.encoder.apply, _dt=dt):
+                    # Cast ON DEVICE so the host fetch moves half the
+                    # bytes (see fetch_dtype above).
+                    return _a(p, i, m).astype(_dt)
+
             if self.mesh is not None:
                 fn = jax.jit(
-                    self.encoder.apply,
+                    apply,
                     in_shardings=(None, self._in_sharding, self._in_sharding),
                     out_shardings=self._out_sharding,
                 )
             else:
-                fn = jax.jit(self.encoder.apply)
+                fn = jax.jit(apply)
             self._jit_fn = fn
         return fn
 
     def _run(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
         """Run one fixed-shape batch; returns float32 [B, D]."""
         out = self._jit_apply()(self.params, jnp.asarray(ids), jnp.asarray(mask))
-        return np.asarray(out, dtype=np.float32)
+        return np.asarray(out).astype(np.float32, copy=False)
 
     # -- batching ------------------------------------------------------------
 
     def _encode_padded(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
-        """Encode [N, L] in bucketed chunks of at most max_batch rows."""
+        """Encode [N, L] in bucketed chunks of at most max_batch rows.
+
+        All chunks are DISPATCHED before any result is fetched: dispatch
+        is async and device execution is in-order, so the per-chunk
+        device->host fetch (the serving bottleneck on remote-attached
+        TPUs, ~2 MB/s) overlaps the remaining chunks' forward passes
+        instead of serializing with them. In-flight outputs are [B, D]
+        each — a few hundred KB — so lookahead depth is not a memory
+        concern."""
         N, L = ids.shape
         out = np.empty((N, self.dim), dtype=np.float32)
+        jit_fn = self._jit_apply()
+        pending: list[tuple[int, int, object]] = []
         start = 0
         while start < N:
             take = min(self.max_batch, N - start)
@@ -156,9 +190,12 @@ class EmbeddingEngine:
             # Pad rows must still have >=1 unmasked token to avoid 0/0 in
             # pooling; [CLS]-only rows are discarded below anyway.
             chunk_mask[take:, 0] = 1
-            vecs = self._run(chunk_ids, chunk_mask)
-            out[start : start + take] = vecs[:take]
+            pending.append((start, take, jit_fn(
+                self.params, jnp.asarray(chunk_ids), jnp.asarray(chunk_mask))))
             start += take
+        for s, take, dev in pending:
+            out[s : s + take] = np.asarray(dev)[:take].astype(
+                np.float32, copy=False)
         return out
 
     # -- public API ----------------------------------------------------------

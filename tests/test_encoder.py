@@ -23,6 +23,7 @@ def tiny_engine(mesh=None, **kw):
     eng.max_seq_length = kw.get("max_seq_length", 64)
     eng.window_stride = kw.get("window_stride", 16)
     eng.max_batch = kw.get("max_batch", 32)
+    eng.fetch_dtype = kw.get("fetch_dtype", "float32")
     eng.mesh = mesh
     eng.data_axis = "data"
     eng._lock = threading.Lock()
@@ -110,3 +111,24 @@ def test_encode_many_matches_encode():
         segs1, vecs1 = tiny_engine().encode(text)  # fresh engine, same seed
         assert segs == segs1
         np.testing.assert_allclose(vecs, vecs1, atol=2e-3)
+
+
+def test_fetch_dtype_f16_close_and_pipelined_chunks_ordered():
+    """fetch_dtype=float16 halves the device->host bytes (the ingest
+    ceiling on remote-attached TPUs); vectors must round-trip within f16
+    resolution, and the dispatch-all-then-fetch pipeline must keep chunk
+    results in their original row order."""
+    import numpy as np
+
+    a = tiny_engine(max_batch=8)
+    b = tiny_engine(max_batch=8, fetch_dtype="float16")
+    texts = [f"pipeline order row {i} with some extra words" for i in range(37)]
+    va = a.encode_batch(texts)   # 5 chunks of <=8: exercises the pipeline
+    vb = b.encode_batch(texts)
+    assert va.dtype == np.float32 and vb.dtype == np.float32
+    # f16 cast error on unit-ish vectors; also proves rows didn't permute
+    # (a swapped chunk would differ at O(1), not O(1e-3)).
+    assert np.max(np.abs(va - vb)) < 2e-3
+    # single-chunk path agrees with the multi-chunk pipeline
+    one = tiny_engine(max_batch=64).encode_batch(texts)
+    np.testing.assert_allclose(one, va, atol=1e-5)
