@@ -244,7 +244,6 @@ def bench_kernels(rpc: float, on_tier=None) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
-    from memex_tpu.index.flat import _exact_flat_rerank
     from memex_tpu.ops.fused_topk import (
         fused_score_topk,
         fused_score_topk_int4_rerank,
@@ -263,22 +262,25 @@ def bench_kernels(rpc: float, on_tier=None) -> dict:
     db4t, _ = quantize_rows_int4(db)
 
     # Residual-refinement tiers (r3 verdict items 2/7): coarse kernel
-    # over-fetches a 128-wide bank, then the refine rerank reconstructs
+    # over-fetches a candidate bank, then the refine rerank reconstructs
     # candidates at ~14 effective bits (coarse + residual codes) and
-    # re-scores at HIGHEST precision. The scan kernel and its bytes are
-    # IDENTICAL to the plain tier — the delta is one [Q, 128, D] gather.
-    def _int8q_refine(q, block_n=8192):
-        vals, idx = fused_score_topk_int8q(db8, scales, q, 128, count=N,
-                                           block_n=block_n, banks=4)
-        return _exact_flat_rerank(db8, scales, q, vals, idx, K,
-                                  rbuf=rq8, rbuf_scales=rsc2)
+    # re-scores at HIGHEST precision — composed into ONE executable
+    # (_search_rerank_fused, the production path: the two-call form paid
+    # a ~0.1ms second dispatch per batch, ~20% of the int8q batch time).
+    # kk=64: the true-f32 oracle reads 0.9906 at kk=32 already (the old
+    # 0.9844 "plateau" was bf16 ORACLE noise, not tier error); 64 buys
+    # corpus-shift margin for ~2% QPS.
+    from memex_tpu.index.flat import _search_rerank_fused
 
-    def _int4_refine(q, block_n=32768, deferred=True):
-        vals, idx = fused_score_topk_int4_rerank(
-            db4t, scales, db8, q, 128, count=N, rerank=256,
-            block_n=block_n, deferred=deferred)
-        return _exact_flat_rerank(db8, scales, q, vals, idx, K,
-                                  rbuf=rq8, rbuf_scales=rsc2)
+    def _int8q_refine(q):
+        return _search_rerank_fused(
+            db8, scales, None, rq8, rsc2, None, N, q, K, 64, 64, 8192,
+            True, False, "int8", False, False)
+
+    def _int4_refine(q):
+        return _search_rerank_fused(
+            db4t, scales, db8, rq8, rsc2, None, N, q, K, 64, 128, 32768,
+            True, True, "int4", False, False)
 
     # Tier rows: (name, query_batch, fn). Bigger-Q rows exist because the
     # scan is HBM-bound and Q-independent until the slot fold saturates
@@ -311,7 +313,13 @@ def bench_kernels(rpc: float, on_tier=None) -> dict:
             deferred=False)),
     ]
     oracle_q = jax.random.normal(jax.random.PRNGKey(2), (Q, D), jnp.float32)
-    _, ei = score_topk(db, oracle_q, K, method="exact")
+    # exact_f32 (HIGHEST), not the bf16 "exact" path: the bf16 oracle's
+    # ~8e-4 score noise exceeds real rank-10/11 gaps (1e-3 min here), so
+    # it disagreed with TRUE top-10 answers on ~1.5% of rows — the refine
+    # tiers plateaued at 0.9844 measured when they were returning the
+    # genuine top-10 (round 4 diagnosis: f32-exact rerank of a bank with
+    # 0.9906 coverage also "scored" 0.9844 vs that oracle).
+    _, ei = score_topk(db, oracle_q, K, method="exact_f32")
     ei = np.asarray(ei)
 
     results = {}

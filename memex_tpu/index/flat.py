@@ -161,6 +161,40 @@ def _exact_flat_rerank(buf, scales, queries, vals, idx, keep: int,
     return top_v, jnp.take_along_axis(idx, top_j, axis=1)
 
 
+@partial(jax.jit, static_argnames=("k", "k_ret", "kk", "block_n", "qquant",
+                                   "deferred", "dtype", "interpret", "exact"))
+def _search_rerank_fused(buf, scales, buf8, rbuf, rscales, alive, count,
+                         queries, k: int, k_ret: int, kk: int, block_n: int,
+                         qquant: bool, deferred: bool, dtype: str,
+                         interpret: bool, exact: bool):
+    """Coarse fused scan + exact rerank composed into ONE executable.
+
+    The two-call form (kernel dispatch, then _exact_flat_rerank dispatch)
+    pays a second host->device dispatch per batch — measured ~0.1ms at
+    Q=32 through the tunnel, i.e. ~20% of the whole int8q batch time,
+    while the rerank's actual device work (a [Q, kk, D] gather + one
+    HIGHEST einsum) is microseconds. Static dtype selects the coarse
+    kernel; the branches mirror FlatIndex.search exactly."""
+    if dtype == "int4":
+        vals, idx = _search_masked_fused_int4(
+            buf, scales, buf8, alive, count, queries, k_ret,
+            block_n=block_n, rerank=kk, deferred=deferred,
+            interpret=interpret)
+        src = buf8
+    elif dtype == "int8":
+        vals, idx = _search_masked_fused_int8(
+            buf, scales, alive, count, queries, k_ret, kk=kk,
+            block_n=block_n, qquant=qquant, interpret=interpret)
+        src = buf
+    else:
+        vals, idx = _search_masked_fused(
+            buf, alive, count, queries, k_ret, kk=kk, interpret=interpret,
+            exact=exact)
+        src = buf
+    return _exact_flat_rerank(src, scales, queries, vals, idx, k,
+                              rbuf=rbuf, rbuf_scales=rscales)
+
+
 @partial(jax.jit, static_argnames=("k", "exact"))
 def _search_xla(buf, scales, alive, count, queries, k: int,
                 exact: bool = False):
@@ -552,6 +586,9 @@ class FlatIndex:
     def delete(self, ids: list[str]) -> int:
         """Tombstone rows by id (the reference leaves this unimplemented,
         local.rs:29-32). Compacts when >25% of rows are dead."""
+        if isinstance(ids, str):
+            # A bare string would iterate CHARACTERS and silently no-op.
+            ids = [ids]
         removed = 0
         alive = np.array(self.alive)  # writable copy
         for sid in ids:
@@ -691,7 +728,28 @@ class FlatIndex:
         # alive rides into the kernel only when tombstones exist (the mask
         # costs +4 bytes/row of HBM read).
         alive_arg = self.alive if self.dead else None
-        if use_fused and self.dtype == "int4":
+        if use_fused and self.rerank and k_ret > k_eff:
+            # Scan + exact/refine rerank in ONE executable (the two-call
+            # form pays a second dispatch per batch — ~0.1ms at Q=32,
+            # ~20% of an int8q batch, for microseconds of device work).
+            if self.dtype == "int4":
+                bn = min(32768, self.capacity)
+                kk_arg = min(max(64, 2 * k_ret), 1024)
+                deferred = queries.shape[0] <= 64
+            elif self.dtype == "int8":
+                bn = min(32768, self.capacity) if self.query_quantize \
+                    else min(self.block_n, self.capacity)
+                kk_arg, deferred = kk, False
+            else:
+                bn, kk_arg, deferred = self.block_n, kk, False
+            vals, idx = _search_rerank_fused(
+                self.buf, self.scales,
+                self.buf8 if self.dtype == "int4" else None,
+                self.rbuf, self.rbuf_scales, alive_arg, self.count,
+                jnp.asarray(queries), k_eff, k_ret, kk_arg, bn,
+                self.query_quantize, deferred, self.dtype,
+                self._interpret, self.scan_precision == "highest")
+        elif use_fused and self.dtype == "int4":
             bn = min(32768, self.capacity)
             # Unpack strategy by batch size (measured on v5e): deferred
             # (hi-only extraction + bf16 dots) wins ~2.6x at Q<=32 where
@@ -730,7 +788,9 @@ class FlatIndex:
                 jnp.asarray(queries), k_ret,
                 exact=self.scan_precision == "highest",
             )
-        if self.rerank and k_ret > k_eff:
+        if not use_fused and self.rerank and k_ret > k_eff:
+            # XLA fallback path: rerank as a second call (cold path; the
+            # fused branches compose it into the scan executable above).
             src = self.buf8 if self.dtype == "int4" else self.buf
             vals, idx = _exact_flat_rerank(
                 src, self.scales, jnp.asarray(queries),

@@ -1455,6 +1455,8 @@ class IVFIndex:
                 pass
 
     def delete(self, ids: list[str]) -> int:
+        if isinstance(ids, str):
+            ids = [ids]  # a bare string would iterate characters and no-op
         # `_live` is exactly (table ids ∪ spill ids) − deleted, maintained
         # by build/add/delete — an O(batch) membership test instead of the
         # old O(corpus) scan over self.ids per delete call.

@@ -499,6 +499,8 @@ class ShardedFlatIndex:
         return raw
 
     def delete(self, ids: list[str]) -> int:
+        if isinstance(ids, str):
+            ids = [ids]  # a bare string would iterate characters and no-op
         grows = []
         for sid in ids:
             row = self._id_to_row.pop(sid, None)

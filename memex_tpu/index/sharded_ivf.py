@@ -431,6 +431,8 @@ class ShardedIVFIndex:
         self._live.update(ids)
 
     def delete(self, ids: list) -> int:
+        if isinstance(ids, str):
+            ids = [ids]  # a bare string would iterate characters and no-op
         # `_live` is exactly (table ids ∪ spill ids) − deleted (see
         # IVFIndex.delete) — O(batch), no O(corpus) scan over self.ids.
         removed = 0

@@ -88,9 +88,15 @@ def score_topk(
     tests quantifies this.
     """
     if method == "exact_f32":
-        # full-precision scoring for ground-truth oracles
+        # Full-precision scoring for ground-truth oracles. HIGHEST is
+        # load-bearing on TPU: a DEFAULT-precision f32 einsum downcasts
+        # inputs to bf16 on the MXU, which made this "exact" oracle
+        # ~8e-4-noisy at unit-norm — above real rank-10/11 boundary gaps
+        # (measured 1e-3 min at 1M random), so true-top-10 answers from
+        # the f32/refine tiers were being scored as misses (round 4).
         scores = jnp.einsum("qd,nd->qn", queries, db,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
         return exact_topk(scores, k, count)
     scores = jnp.einsum(
         "qd,nd->qn",
