@@ -176,6 +176,17 @@ class Reporter:
         llm = e2e.get("llm_decode") or {}
         if "stream_tok_per_s" in llm:
             c["llm_stream_tok_per_s"] = llm["stream_tok_per_s"]
+            # stream/batch ratio: the r3 verdict item-5 target is >=0.9x
+            # (per-token RPC fetches previously cost 38%).
+            if llm.get("batch_tok_per_s"):
+                c["llm_stream_ratio"] = round(
+                    llm["stream_tok_per_s"] / llm["batch_tok_per_s"], 3)
+            if "first_token_ms" in llm:
+                c["llm_first_token_ms"] = llm["first_token_ms"]
+        enc = rt.get("encode_roofline") or {}
+        if rt.get("encode_windows_per_s"):
+            c["encode_windows_per_s"] = rt["encode_windows_per_s"]
+            c["encode_bound"] = enc.get("bound")
         s1m = e2e.get("serve_1M") or {}
         if "qps" in s1m:
             c["serve_1M"] = {"qps": s1m["qps"], "p50_ms": s1m["p50_ms"],
@@ -193,6 +204,20 @@ class Reporter:
         print(json.dumps(self.doc), flush=True)
         # Driver-parsed line: must be LAST and must fit a 2000-char tail.
         print(json.dumps(self.compact()), flush=True)
+        # Full-doc sidecar: the driver artifact keeps only the compact
+        # line, so the complete evidence doc (per-tier rooflines, 10M
+        # sweep, serve percentiles, ...) is persisted to disk where the
+        # end-of-round snapshot commit picks it up. main() sets the path;
+        # unit tests that drive Reporter directly never write files.
+        path = os.environ.get("MEMEX_BENCH_DOC_PATH")
+        if path:
+            try:
+                tmp = path + ".tmp"
+                with open(tmp, "w", encoding="utf-8") as fh:
+                    json.dump(self.doc, fh, indent=1)
+                os.replace(tmp, path)
+            except OSError:
+                pass  # evidence sidecar must never kill the bench
 
 
 def _enable_compile_cache() -> None:
@@ -1506,6 +1531,10 @@ def _hbm_report(tag: str) -> None:
 
 def main() -> None:
     t_start = time.monotonic()
+    os.environ.setdefault(
+        "MEMEX_BENCH_DOC_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_FULL.json"))
     budget_s = float(os.environ.get("MEMEX_BENCH_BUDGET_S", "3000"))
     deadline = t_start + budget_s
     rep = Reporter()

@@ -101,6 +101,44 @@ def test_resolve_weights_prefers_local_checkpoint(monkeypatch, tmp_path):
     assert arg == str(mdir) and kind == "real" and reason is None
 
 
+def test_full_doc_sidecar_and_compact_telemetry(monkeypatch, tmp_path,
+                                                capsys):
+    """emit() persists the FULL doc to MEMEX_BENCH_DOC_PATH (the driver
+    keeps only the compact tail line; the sidecar is the judge's complete
+    evidence) and the compact line carries the r3-verdict telemetry:
+    stream/batch ratio and encoder throughput/binding stage."""
+    doc_path = tmp_path / "BENCH_FULL.json"
+    monkeypatch.setenv("MEMEX_BENCH_DOC_PATH", str(doc_path))
+    rep = bench.Reporter()
+    rep.set_headline(_fake_results())
+    rep.doc["e2e"]["llm_decode"] = {
+        "stream_tok_per_s": 270.0, "batch_tok_per_s": 290.0,
+        "first_token_ms": 120.5}
+    rep.doc["e2e"]["ivf_prune_realtext"] = {
+        "encode_windows_per_s": 2500.0,
+        "encode_roofline": {"bound": "fetch", "pct_peak_mxu": 22.0}}
+    rep.emit()
+    lines = capsys.readouterr().out.strip().splitlines()
+    compact = json.loads(lines[-1])
+    assert compact["llm_stream_ratio"] == round(270.0 / 290.0, 3)
+    assert compact["llm_first_token_ms"] == 120.5
+    assert compact["encode_windows_per_s"] == 2500.0
+    assert compact["encode_bound"] == "fetch"
+    assert len(lines[-1]) < 1500
+    sidecar = json.loads(doc_path.read_text())
+    assert sidecar["storage_tier"] == "int8q_q512"
+    assert sidecar["e2e"]["llm_decode"]["batch_tok_per_s"] == 290.0
+
+
+def test_emit_without_doc_path_writes_nothing(monkeypatch, tmp_path,
+                                              capsys):
+    monkeypatch.delenv("MEMEX_BENCH_DOC_PATH", raising=False)
+    monkeypatch.chdir(tmp_path)
+    bench.Reporter().emit()
+    capsys.readouterr()
+    assert list(tmp_path.iterdir()) == []
+
+
 def test_stage_budget_skips_recorded(monkeypatch, capsys):
     """A stage whose estimate exceeds the remaining budget is skipped and
     recorded — the driver artifact says WHAT is missing and why."""
