@@ -86,21 +86,31 @@ def _search_masked_fused(buf, alive, count, queries, k: int, kk: int = 128,
     return svals, jnp.take_along_axis(idx, order, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k", "kk", "block_n", "qquant", "interpret"))
+@partial(jax.jit, static_argnames=("k", "kk", "block_n", "qquant", "keep2",
+                                   "interpret"))
 def _search_masked_fused_int8(buf, scales, alive, count, queries, k: int,
                               kk: int = 128, block_n: int = 1024,
-                              qquant: bool = True, interpret: bool = False):
+                              qquant: bool = True, keep2: bool = False,
+                              interpret: bool = False):
     """int8 fused path, tombstones masked in-kernel (see above). qquant=True
     additionally quantizes the queries so the dot rides the MXU's
     s8xs8->s32 path — measured 61k vs 46k QPS/chip at 1M x 384 (the bf16
     dot at Q=32 runs the systolic array 1/4 full and dominates once int8
-    storage drops HBM time below it)."""
+    storage drops HBM time below it). keep2 (qquant only) keeps the best
+    TWO rows per candidate slot, removing mod-S position-collision losses
+    on the recall-sensitive rerank path (ops/fused_topk._fold_chunks)."""
     from ..ops.fused_topk import fused_score_topk_int8, fused_score_topk_int8q
 
-    fn = fused_score_topk_int8q if qquant else fused_score_topk_int8
-    vals, idx = fn(buf, scales, queries, kk, count=count, alive=alive,
-                   block_n=block_n, banks=4 if qquant else 8,
-                   interpret=interpret)
+    if qquant:
+        vals, idx = fused_score_topk_int8q(
+            buf, scales, queries, kk, count=count, alive=alive,
+            block_n=block_n, banks=max(1, min(4, block_n // 128)),
+            keep2=keep2, interpret=interpret)
+    else:
+        vals, idx = fused_score_topk_int8(
+            buf, scales, queries, kk, count=count, alive=alive,
+            block_n=block_n, banks=max(1, min(8, block_n // 128)),
+            interpret=interpret)
     svals, order = jax.lax.top_k(vals, k)
     return svals, jnp.take_along_axis(idx, order, axis=1)
 
@@ -118,20 +128,25 @@ def _write_block_cols(buf, block, start, nvalid):
 
 
 @partial(jax.jit, static_argnames=("k", "block_n", "rerank", "deferred",
-                              "interpret"))
+                              "banks", "keep2", "interpret"))
 def _search_masked_fused_int4(buf4, scales, buf8, alive, count, queries, k: int,
                               block_n: int = 8192, rerank: int = 64,
-                              deferred: bool = False,
-                              interpret: bool = False):
+                              deferred: bool = False, banks: int = 8,
+                              keep2: bool = False, interpret: bool = False):
     """int4 packed coarse scan + exact int8 rerank (ops/fused_topk.py).
     Tombstones are filtered inside the rerank (alive gather on the
-    candidate set), so no separate over-fetch pass is needed."""
+    candidate set), so no separate over-fetch pass is needed. banks sizes
+    the coarse candidate bank (S = banks*128 slots): two true top-k rows
+    whose positions collide mod S shadow each other in the fold, so
+    recall-sensitive callers (the refine path) run banks=16 — measured
+    0.9812 -> 0.9906 recall@10 at 1M AND faster (wider per-chunk dots
+    halve the fold merge count)."""
     from ..ops.fused_topk import fused_score_topk_int4_rerank
 
     return fused_score_topk_int4_rerank(
         buf4, scales, buf8, queries, k, count=count, alive=alive,
-        rerank=rerank, block_n=block_n, deferred=deferred,
-        interpret=interpret,
+        rerank=rerank, block_n=block_n, deferred=deferred, banks=banks,
+        keep2=keep2, interpret=interpret,
     )
 
 
@@ -162,11 +177,13 @@ def _exact_flat_rerank(buf, scales, queries, vals, idx, keep: int,
 
 
 @partial(jax.jit, static_argnames=("k", "k_ret", "kk", "block_n", "qquant",
-                                   "deferred", "dtype", "interpret", "exact"))
+                                   "deferred", "dtype", "interpret", "exact",
+                                   "banks4", "keep2"))
 def _search_rerank_fused(buf, scales, buf8, rbuf, rscales, alive, count,
                          queries, k: int, k_ret: int, kk: int, block_n: int,
                          qquant: bool, deferred: bool, dtype: str,
-                         interpret: bool, exact: bool):
+                         interpret: bool, exact: bool, banks4: int = 16,
+                         keep2: bool = True):
     """Coarse fused scan + exact rerank composed into ONE executable.
 
     The two-call form (kernel dispatch, then _exact_flat_rerank dispatch)
@@ -179,12 +196,14 @@ def _search_rerank_fused(buf, scales, buf8, rbuf, rscales, alive, count,
         vals, idx = _search_masked_fused_int4(
             buf, scales, buf8, alive, count, queries, k_ret,
             block_n=block_n, rerank=kk, deferred=deferred,
+            banks=min(banks4, max(1, block_n // 128)), keep2=keep2,
             interpret=interpret)
         src = buf8
     elif dtype == "int8":
         vals, idx = _search_masked_fused_int8(
             buf, scales, alive, count, queries, k_ret, kk=kk,
-            block_n=block_n, qquant=qquant, interpret=interpret)
+            block_n=block_n, qquant=qquant, keep2=keep2 and qquant,
+            interpret=interpret)
         src = buf
     else:
         vals, idx = _search_masked_fused(

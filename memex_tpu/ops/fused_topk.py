@@ -37,6 +37,46 @@ NEG_INF = -1e30  # plain float: jnp scalars would be captured consts in the kern
 _LANES = 128
 
 
+def _fold_chunks(scores, base, S: int, G: int, accs, keep2: bool):
+    """Merge one block's G chunks of S scores into the slot accumulators.
+
+    accs = [vals_acc, idx_acc] or, with keep2, [vals_acc, idx_acc,
+    vals2_acc, idx2_acc] scratch refs. keep2 keeps the best TWO rows per
+    slot: each chunk contributes exactly one candidate per slot, so the
+    (best, second) pair per slot is maintained EXACTLY under single
+    insertions — a tournament property. This removes the two-winners-
+    one-slot loss that caps refine-tier recall: two true top-k rows
+    whose positions collide mod S shadow each other in the single-winner
+    fold, and no bank width or rerank depth recovers the loser (measured
+    at 1M x 384: the same 3/320 oracle rows lost at S=512 through 4096,
+    each ≡ another top-10 row mod S). With keep2 a loss needs THREE
+    top-k rows in one slot: P ~ C(k,3)/S^2, negligible. Cost: ~2.7x the
+    fold's VPU selects — invisible where the scan is HBM-bound (Q<=64),
+    measurable at the large-Q MXU-bound operating points, which keep the
+    single-winner fold."""
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    acc_v, acc_i = accs[0][:], accs[1][:]
+    if keep2:
+        acc_v2, acc_i2 = accs[2][:], accs[3][:]
+    for g in range(G):
+        chunk = scores[:, g * S : (g + 1) * S]
+        cidx = base + g * S + slot_iota
+        take = chunk > acc_v
+        if keep2:
+            dem_v = jnp.where(take, acc_v, chunk)  # loser of the top duel
+            dem_i = jnp.where(take, acc_i, cidx)
+            take2 = dem_v > acc_v2
+            acc_v2 = jnp.where(take2, dem_v, acc_v2)
+            acc_i2 = jnp.where(take2, dem_i, acc_i2)
+        acc_v = jnp.where(take, chunk, acc_v)
+        acc_i = jnp.where(take, cidx, acc_i)
+    accs[0][:] = acc_v
+    accs[1][:] = acc_i
+    if keep2:
+        accs[2][:] = acc_v2
+        accs[3][:] = acc_i2
+
+
 def _fused_kernel(count_ref, q_ref, db_ref, *rest, block_n: int, banks: int,
                   exact: bool,
                   has_alive: bool = False):
@@ -374,22 +414,23 @@ def fused_score_topk_int8(
 
 
 def _fused_kernel_int8q(count_ref, q_ref, db_ref, scale_ref, *rest,
-                        block_n: int, banks: int, has_alive: bool = False):
-    if has_alive:
-        alive_ref, out_vals_ref, out_idx_ref, vals_acc, idx_acc = rest
-    else:
-        out_vals_ref, out_idx_ref, vals_acc, idx_acc = rest
-        alive_ref = None
+                        block_n: int, banks: int, has_alive: bool = False,
+                        keep2: bool = False):
+    rest = list(rest)
+    alive_ref = rest.pop(0) if has_alive else None
+    n_out = 4 if keep2 else 2
+    outs, accs = rest[:n_out], rest[n_out:]
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
     S = banks * _LANES
     Q = q_ref.shape[0]
-    G = block_n // S
 
     @pl.when(i == 0)
     def _init():
-        vals_acc[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
-        idx_acc[:] = jnp.zeros((Q, S), jnp.int32)
+        for a in accs[::2]:
+            a[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
+        for a in accs[1::2]:
+            a[:] = jnp.zeros((Q, S), jnp.int32)
 
     raw = jax.lax.dot_general(
         q_ref[:],
@@ -408,20 +449,12 @@ def _fused_kernel_int8q(count_ref, q_ref, db_ref, scale_ref, *rest,
     if has_alive:
         scores = jnp.where(alive_ref[:].reshape(1, block_n) > 0, scores, NEG_INF)
 
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-    acc_v, acc_i = vals_acc[:], idx_acc[:]
-    for g in range(G):
-        chunk = scores[:, g * S : (g + 1) * S]
-        take = chunk > acc_v
-        acc_v = jnp.where(take, chunk, acc_v)
-        acc_i = jnp.where(take, base + g * S + slot_iota, acc_i)
-    vals_acc[:] = acc_v
-    idx_acc[:] = acc_i
+    _fold_chunks(scores, base, S, block_n // S, accs, keep2)
 
     @pl.when(i == nblocks - 1)
     def _flush():
-        out_vals_ref[:] = vals_acc[:]
-        out_idx_ref[:] = idx_acc[:]
+        for o, a in zip(outs, accs):
+            o[:] = a[:]
 
 
 @functools.partial(
@@ -548,22 +581,22 @@ def np_quantize_rows_int4(vectors) -> tuple:
 
 def _fused_kernel_int4q(count_ref, qlo_ref, qhi_ref, db_ref, scale_ref,
                         *rest, block_n: int, banks: int, deferred: bool,
-                        has_alive: bool = False):
-    if has_alive:
-        alive_ref, out_vals_ref, out_idx_ref, vals_acc, idx_acc = rest
-    else:
-        out_vals_ref, out_idx_ref, vals_acc, idx_acc = rest
-        alive_ref = None
+                        has_alive: bool = False, keep2: bool = False):
+    rest = list(rest)
+    alive_ref = rest.pop(0) if has_alive else None
+    n_out = 4 if keep2 else 2
+    outs, accs = rest[:n_out], rest[n_out:]
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
     S = banks * _LANES
     Q = qlo_ref.shape[0]
-    G = block_n // S
 
     @pl.when(i == 0)
     def _init():
-        vals_acc[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
-        idx_acc[:] = jnp.zeros((Q, S), jnp.int32)
+        for a in accs[::2]:
+            a[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
+        for a in accs[1::2]:
+            a[:] = jnp.zeros((Q, S), jnp.int32)
 
     b = db_ref[:]  # [D/2, block_n] packed bytes (b = 16*hi + lo, signed)
     if deferred:
@@ -610,24 +643,17 @@ def _fused_kernel_int4q(count_ref, qlo_ref, qhi_ref, db_ref, scale_ref,
     if has_alive:
         scores = jnp.where(alive_ref[:].reshape(1, block_n) > 0, scores, NEG_INF)
 
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-    acc_v, acc_i = vals_acc[:], idx_acc[:]
-    for g in range(G):
-        chunk = scores[:, g * S : (g + 1) * S]
-        take = chunk > acc_v
-        acc_v = jnp.where(take, chunk, acc_v)
-        acc_i = jnp.where(take, base + g * S + slot_iota, acc_i)
-    vals_acc[:] = acc_v
-    idx_acc[:] = acc_i
+    _fold_chunks(scores, base, S, block_n // S, accs, keep2)
 
     @pl.when(i == nblocks - 1)
     def _flush():
-        out_vals_ref[:] = vals_acc[:]
-        out_idx_ref[:] = idx_acc[:]
+        for o, a in zip(outs, accs):
+            o[:] = a[:]
 
 
 def _int4q_candidates(db_p, scales4, queries, count_arr, alive=None, *,
-                      block_n: int, banks: int, deferred: bool, interpret: bool):
+                      block_n: int, banks: int, deferred: bool, interpret: bool,
+                      keep2: bool = False):
     """Run the int4 coarse kernel; returns ([Q, S] vals, [Q, S] idx) with the
     per-query int8 scale NOT folded in (ranking is scale-invariant).
     db_p is the TRANSPOSED packed array [D/2, N]."""
@@ -665,29 +691,29 @@ def _int4q_candidates(db_p, scales4, queries, count_arr, alive=None, *,
         in_specs.append(
             pl.BlockSpec((block_n,), lambda i, c: (i,), memory_space=pltpu.VMEM))
         inputs.append(alive)
+    pairs = 2 if keep2 else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-        ),
+        out_specs=tuple(
+            pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM)
+            for _ in range(2 * pairs)),
         scratch_shapes=[
-            pltpu.VMEM((q_pad, S), jnp.float32),
-            pltpu.VMEM((q_pad, S), jnp.int32),
+            pltpu.VMEM((q_pad, S), jnp.float32 if j % 2 == 0 else jnp.int32)
+            for j in range(2 * pairs)
         ],
     )
     kernel = functools.partial(_fused_kernel_int4q, block_n=block_n,
                                banks=banks, deferred=deferred,
-                               has_alive=has_alive)
-    cand_vals, cand_idx = pl.pallas_call(
+                               has_alive=has_alive, keep2=keep2)
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((q_pad, S), jnp.float32),
-            jax.ShapeDtypeStruct((q_pad, S), jnp.int32),
-        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((q_pad, S), jnp.float32 if j % 2 == 0
+                                 else jnp.int32)
+            for j in range(2 * pairs)),
         cost_estimate=pl.CostEstimate(
             flops=2 * q_pad * n * 2 * d2,
             bytes_accessed=n * d2 + n * 4 + 2 * q_pad * d2 + 2 * q_pad * S * 4,
@@ -698,12 +724,17 @@ def _int4q_candidates(db_p, scales4, queries, count_arr, alive=None, *,
         ),
         interpret=interpret,
     )(*inputs)
+    # keep2: the second-best slot winners append as extra bank columns —
+    # downstream argsort/rerank sees one [Q, 2S] candidate bank.
+    cand_vals = jnp.concatenate(out[0::2], axis=1)
+    cand_idx = jnp.concatenate(out[1::2], axis=1)
     return cand_vals[:q_n], cand_idx[:q_n]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "rerank", "block_n", "banks", "deferred", "interpret"),
+    static_argnames=("k", "rerank", "block_n", "banks", "deferred", "keep2",
+                     "interpret"),
 )
 def fused_score_topk_int4_rerank(
     db_p: jnp.ndarray,
@@ -718,6 +749,7 @@ def fused_score_topk_int4_rerank(
     block_n: int = 32768,
     banks: int = 8,
     deferred: bool = False,
+    keep2: bool = False,
     interpret: bool = False,
 ):
     """Two-stage fused search: int4 coarse scan -> exact int8 rerank.
@@ -739,6 +771,7 @@ def fused_score_topk_int4_rerank(
     cand_vals, cand_idx = _int4q_candidates(
         db_p, scales4, queries, count_arr, alive,
         block_n=block_n, banks=banks, deferred=deferred, interpret=interpret,
+        keep2=keep2,
     )
     # Coarse top-R candidate rows (argsort beats lax.top_k on TPU for these
     # widths, measured 0.05 vs 0.13 ms at [32, 1024]), then exact int8
@@ -764,7 +797,8 @@ def fused_score_topk_int4_rerank(
     return vals, idx
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_n", "banks", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "block_n", "banks", "keep2",
+                                             "interpret"))
 def fused_score_topk_int8q(
     db_q: jnp.ndarray,
     scales: jnp.ndarray,
@@ -775,6 +809,7 @@ def fused_score_topk_int8q(
     *,
     block_n: int = 8192,
     banks: int = 8,
+    keep2: bool = False,
     interpret: bool = False,
 ):
     """All-int8 fused MIPS: queries quantized per-row on device, s8xs8->s32
@@ -807,28 +842,28 @@ def fused_score_topk_int8q(
         in_specs.append(
             pl.BlockSpec((block_n,), lambda i, c: (i,), memory_space=pltpu.VMEM))
         inputs.append(alive)
+    pairs = 2 if keep2 else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-        ),
+        out_specs=tuple(
+            pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM)
+            for _ in range(2 * pairs)),
         scratch_shapes=[
-            pltpu.VMEM((q_pad, S), jnp.float32),
-            pltpu.VMEM((q_pad, S), jnp.int32),
+            pltpu.VMEM((q_pad, S), jnp.float32 if j % 2 == 0 else jnp.int32)
+            for j in range(2 * pairs)
         ],
     )
     kernel = functools.partial(_fused_kernel_int8q, block_n=block_n, banks=banks,
-                               has_alive=has_alive)
-    cand_vals, cand_idx = pl.pallas_call(
+                               has_alive=has_alive, keep2=keep2)
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((q_pad, S), jnp.float32),
-            jax.ShapeDtypeStruct((q_pad, S), jnp.int32),
-        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((q_pad, S), jnp.float32 if j % 2 == 0
+                                 else jnp.int32)
+            for j in range(2 * pairs)),
         cost_estimate=pl.CostEstimate(
             flops=2 * q_pad * n * d,
             bytes_accessed=n * d + n * 4 + q_pad * d + 2 * q_pad * S * 4,
@@ -839,6 +874,9 @@ def fused_score_topk_int8q(
         ),
         interpret=interpret,
     )(*inputs)
+    # keep2: second-best slot winners extend the candidate bank to [Q, 2S].
+    cand_vals = jnp.concatenate(out[0::2], axis=1)
+    cand_idx = jnp.concatenate(out[1::2], axis=1)
     args = jnp.argsort(-cand_vals, axis=1)[:, :k]
     vals = jnp.take_along_axis(cand_vals, args, axis=1)
     idx = jnp.take_along_axis(cand_idx, args, axis=1)
