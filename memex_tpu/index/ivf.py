@@ -1077,7 +1077,15 @@ class IVFIndex:
                 # is read once per query BATCH; chunk width S = banks*128
                 # picked from the bucket alignment (_batch_banks).
                 banks = self._batch_banks()
-                S = banks * 128
+                # Rerank callers are recall-sensitive: keep2 folds the
+                # best TWO rows per slot (bank 2S wide), eliminating
+                # two-winner slot collisions — two true top-k rows at
+                # positions congruent mod S shadow each other in the
+                # single-winner fold and no rerank depth recovers the
+                # loser (measured at 1M: refine recall 0.9906 -> 1.0,
+                # fold cost free at Q=32; ops/fused_topk._fold_chunks).
+                keep2 = bool(self.rerank)
+                S = (2 if keep2 else 1) * banks * 128
                 if self.rerank and kk > S:
                     # The batch kernel's candidate bank is S wide — a
                     # wider rerank depth than the bank holds is moot, and
@@ -1102,7 +1110,7 @@ class IVFIndex:
                                 self.rscales, self.sizes,
                                 jnp.asarray(queries), self.nprobe, kk,
                                 banks=banks, prune_margin=self.prune_margin,
-                                interpret=self._interpret,
+                                interpret=self._interpret, keep2=keep2,
                             )
                         else:
                             from ..ops.ivf_batch import ivf_batch_search
@@ -1114,6 +1122,7 @@ class IVFIndex:
                                 banks=banks, prune_margin=self.prune_margin,
                                 interpret=self._interpret,
                                 exact=self.scan_precision == "highest",
+                                keep2=keep2,
                             )
                         fused_ok = True
                     except Exception:

@@ -106,9 +106,14 @@ def _chunk_walk(sizes32, cluster_list, n_active, M: int, S: int):
 
 
 def _kernel(walk_ref, nchunk_ref, sizes_ref, q_ref, db_hbm, rs_hbm,
-            out_v_ref, out_i_ref, buf, rsbuf, acc_v, acc_i,
-            db_sems, rs_sems, *, M: int, banks: int, scaled: bool,
-            exact: bool = False):
+            *rest, M: int, banks: int, scaled: bool,
+            exact: bool = False, keep2: bool = False):
+    if keep2:
+        (out_v_ref, out_i_ref, out_v2_ref, out_i2_ref, buf, rsbuf,
+         acc_v, acc_i, acc_v2, acc_i2, db_sems, rs_sems) = rest
+    else:
+        (out_v_ref, out_i_ref, buf, rsbuf, acc_v, acc_i,
+         db_sems, rs_sems) = rest
     """Chunked variable-length streaming: each active cluster is read in
     CHUNK(=S)-row pieces, stopping at ceil(size/CHUNK) — scan bytes track
     LIVE rows, not the padded bucket M, so bucket_factor stops costing
@@ -141,6 +146,9 @@ def _kernel(walk_ref, nchunk_ref, sizes_ref, q_ref, db_hbm, rs_hbm,
 
     acc_v[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
     acc_i[:] = jnp.zeros((Q, S), jnp.int32)
+    if keep2:
+        acc_v2[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
+        acc_i2[:] = jnp.zeros((Q, S), jnp.int32)
 
     def body(t, carry):
         slot = jax.lax.rem(t, 2)
@@ -182,21 +190,36 @@ def _kernel(walk_ref, nchunk_ref, sizes_ref, q_ref, db_hbm, rs_hbm,
 
         # CHUNK == S: exactly one lane-aligned fold per chunk, straight
         # into the accumulator (no reshape relayout; see fused_topk.py).
+        # keep2 keeps the best TWO rows per slot (fused_topk._fold_chunks
+        # rationale: two true top-k rows at positions congruent mod S
+        # shadow each other in a single-winner fold, and no rerank depth
+        # recovers the loser — the pair update is exact because each
+        # chunk contributes one candidate per slot).
+        cidx = cid * M + base + col
         take = scores > acc_v[:]
+        if keep2:
+            dem_v = jnp.where(take, acc_v[:], scores)
+            dem_i = jnp.where(take, acc_i[:], cidx)
+            take2 = dem_v > acc_v2[:]
+            acc_v2[:] = jnp.where(take2, dem_v, acc_v2[:])
+            acc_i2[:] = jnp.where(take2, dem_i, acc_i2[:])
         acc_v[:] = jnp.where(take, scores, acc_v[:])
-        acc_i[:] = jnp.where(take, cid * M + base + col, acc_i[:])
+        acc_i[:] = jnp.where(take, cidx, acc_i[:])
         return carry
 
     jax.lax.fori_loop(0, n_chunks, body, jnp.int32(0))
     out_v_ref[:] = acc_v[:]
     out_i_ref[:] = acc_i[:]
+    if keep2:
+        out_v2_ref[:] = acc_v2[:]
+        out_i2_ref[:] = acc_i2[:]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "banks", "interpret",
-                                              "exact"))
+                                              "exact", "keep2"))
 def ivf_batch_topk(data, rscales, sizes, cluster_list, n_active, queries,
                    k: int, *, banks: int = 4, interpret: bool = False,
-                   exact: bool = False):
+                   exact: bool = False, keep2: bool = False):
     """(data [C,M,D] (f32/bf16/int8), rscales [C,M] f32, sizes [C] int32,
     cluster_list [C] int32 actives-first, n_active [1] int32, queries
     [Q,D] f32) -> (vals [Q,k], cluster [Q,k], slot [Q,k])."""
@@ -229,30 +252,30 @@ def ivf_batch_topk(data, rscales, sizes, cluster_list, n_active, queries,
             pl.BlockSpec(memory_space=pl.ANY),  # data stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # rscales stay in HBM
         ],
-        out_specs=(
+        out_specs=tuple(
             pl.BlockSpec((q_pad, S), lambda i, w, nc, sz: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_pad, S), lambda i, w, nc, sz: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4 if keep2 else 2)),
         scratch_shapes=[
             pltpu.VMEM((2, S, D), data.dtype),      # double-buffered chunk
             pltpu.VMEM((2, 1, S), jnp.float32),     # double-buffered scales
-            pltpu.VMEM((q_pad, S), jnp.float32),
-            pltpu.VMEM((q_pad, S), jnp.int32),
+        ] + [
+            pltpu.VMEM((q_pad, S), jnp.float32 if j % 2 == 0 else jnp.int32)
+            for j in range(4 if keep2 else 2)
+        ] + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_kernel, M=M, banks=banks, scaled=scaled,
-                               exact=exact)
-    cand_v, cand_i = pl.pallas_call(
+                               exact=exact, keep2=keep2)
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((q_pad, S), jnp.float32),
-            jax.ShapeDtypeStruct((q_pad, S), jnp.int32),
-        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((q_pad, S), jnp.float32 if j % 2 == 0
+                                 else jnp.int32)
+            for j in range(4 if keep2 else 2)),
         cost_estimate=pl.CostEstimate(
             flops=2 * q_pad * C * M * D,
             bytes_accessed=C * M * (D * data.dtype.itemsize + 4),
@@ -261,6 +284,9 @@ def ivf_batch_topk(data, rscales, sizes, cluster_list, n_active, queries,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(walk, n_chunks, sizes32, q16, data, rscales3)
+    # keep2: second-best slot winners extend the bank to [Q, 2S].
+    cand_v = jnp.concatenate(out[0::2], axis=1)
+    cand_i = jnp.concatenate(out[1::2], axis=1)
 
     vals, args = jax.lax.top_k(cand_v[:Q], k)
     idx = jnp.take_along_axis(cand_i[:Q], args, axis=1)
@@ -268,20 +294,23 @@ def ivf_batch_topk(data, rscales, sizes, cluster_list, n_active, queries,
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "k", "banks",
-                                              "interpret", "exact"))
+                                              "interpret", "exact", "keep2"))
 def _ivf_batch_search(centroids, data, rscales, sizes, queries, prune_margin,
                       nprobe: int, k: int, banks: int = 4,
-                      interpret: bool = False, exact: bool = False):
+                      interpret: bool = False, exact: bool = False,
+                      keep2: bool = False):
     clist, nact = route_union(centroids, queries, nprobe,
                               prune_margin=prune_margin)
     return ivf_batch_topk(data, rscales, sizes, clist, nact, queries, k,
-                          banks=banks, interpret=interpret, exact=exact)
+                          banks=banks, interpret=interpret, exact=exact,
+                          keep2=keep2)
 
 
 def ivf_batch_search(centroids, data, rscales, sizes, queries,
                      nprobe: int, k: int, banks: int = 4,
                      prune_margin: float | None = None,
-                     interpret: bool = False, exact: bool = False):
+                     interpret: bool = False, exact: bool = False,
+                     keep2: bool = False):
     """Routing + dedupe + the batch-union kernel in one jit.
 
     `prune_margin` enters the executable as a DYNAMIC f32 scalar (None ->
@@ -291,4 +320,4 @@ def ivf_batch_search(centroids, data, rscales, sizes, queries,
     margin = 4.0 if prune_margin is None else prune_margin
     return _ivf_batch_search(centroids, data, rscales, sizes, queries,
                              margin, nprobe=nprobe, k=k, banks=banks,
-                             interpret=interpret, exact=exact)
+                             interpret=interpret, exact=exact, keep2=keep2)

@@ -101,8 +101,13 @@ def pack_int4_buckets(data_i8, rscales, c_blk: int = 64, banks: int = 4):
 
 
 def _kernel4(walk_ref, nchunk_ref, sizes_ref, q_ref, db_hbm,
-             rs_hbm, out_v_ref, out_i_ref, buf, rsbuf, acc_v, acc_i,
-             db_sems, rs_sems, *, M: int, banks: int):
+             rs_hbm, *rest, M: int, banks: int, keep2: bool = False):
+    if keep2:
+        (out_v_ref, out_i_ref, out_v2_ref, out_i2_ref, buf, rsbuf,
+         acc_v, acc_i, acc_v2, acc_i2, db_sems, rs_sems) = rest
+    else:
+        (out_v_ref, out_i_ref, buf, rsbuf, acc_v, acc_i,
+         db_sems, rs_sems) = rest
     """ops/ivf_batch.py::_kernel with row-pair-packed int4 chunks: DMA a
     contiguous [S/2, D] slice (half the int8 bytes), extract ONE nibble,
     score both row halves via the deferred identity. Column ordering,
@@ -132,6 +137,9 @@ def _kernel4(walk_ref, nchunk_ref, sizes_ref, q_ref, db_hbm,
 
     acc_v[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
     acc_i[:] = jnp.zeros((Q, S), jnp.int32)
+    if keep2:
+        acc_v2[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
+        acc_i2[:] = jnp.zeros((Q, S), jnp.int32)
 
     def body(t, carry):
         slot = jax.lax.rem(t, 2)
@@ -165,19 +173,32 @@ def _kernel4(walk_ref, nchunk_ref, sizes_ref, q_ref, db_hbm,
         col = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
         scores = jnp.where(col + base < csize, scores, NEG_INF)
 
+        # keep2: best-two-per-slot fold (see ivf_batch.py::_kernel).
+        cidx = cid * M + base + col
         take = scores > acc_v[:]
+        if keep2:
+            dem_v = jnp.where(take, acc_v[:], scores)
+            dem_i = jnp.where(take, acc_i[:], cidx)
+            take2 = dem_v > acc_v2[:]
+            acc_v2[:] = jnp.where(take2, dem_v, acc_v2[:])
+            acc_i2[:] = jnp.where(take2, dem_i, acc_i2[:])
         acc_v[:] = jnp.where(take, scores, acc_v[:])
-        acc_i[:] = jnp.where(take, cid * M + base + col, acc_i[:])
+        acc_i[:] = jnp.where(take, cidx, acc_i[:])
         return carry
 
     jax.lax.fori_loop(0, n_chunks, body, jnp.int32(0))
     out_v_ref[:] = acc_v[:]
     out_i_ref[:] = acc_i[:]
+    if keep2:
+        out_v2_ref[:] = acc_v2[:]
+        out_i2_ref[:] = acc_i2[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "banks", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "banks", "interpret",
+                                              "keep2"))
 def ivf_batch_topk4(data4, rscales4, sizes, cluster_list, n_active, queries,
-                    k: int, *, banks: int = 4, interpret: bool = False):
+                    k: int, *, banks: int = 4, interpret: bool = False,
+                    keep2: bool = False):
     """(data4 [C, M/2, D] row-pair packed int4, rscales4 [C, M] f32 (int8
     scale x16), sizes [C] int32, cluster_list [C] int32 actives-first,
     n_active [1], queries [Q, D] f32) -> (vals [Q, k], cluster [Q, k],
@@ -207,29 +228,29 @@ def ivf_batch_topk4(data4, rscales4, sizes, cluster_list, n_active, queries,
             pl.BlockSpec(memory_space=pl.ANY),  # data4 stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # rscales stay in HBM
         ],
-        out_specs=(
+        out_specs=tuple(
             pl.BlockSpec((q_pad, S), lambda i, w, nc, sz: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_pad, S), lambda i, w, nc, sz: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4 if keep2 else 2)),
         scratch_shapes=[
             pltpu.VMEM((2, S // 2, D), jnp.int8),   # double-buffered chunk
             pltpu.VMEM((2, 1, S), jnp.float32),     # double-buffered scales
-            pltpu.VMEM((q_pad, S), jnp.float32),
-            pltpu.VMEM((q_pad, S), jnp.int32),
+        ] + [
+            pltpu.VMEM((q_pad, S), jnp.float32 if j % 2 == 0 else jnp.int32)
+            for j in range(4 if keep2 else 2)
+        ] + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_kernel4, M=M, banks=banks)
-    cand_v, cand_i = pl.pallas_call(
+    kernel = functools.partial(_kernel4, M=M, banks=banks, keep2=keep2)
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((q_pad, S), jnp.float32),
-            jax.ShapeDtypeStruct((q_pad, S), jnp.int32),
-        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((q_pad, S), jnp.float32 if j % 2 == 0
+                                 else jnp.int32)
+            for j in range(4 if keep2 else 2)),
         cost_estimate=pl.CostEstimate(
             flops=2 * q_pad * C * M * D,
             bytes_accessed=C * M * (D // 2 + 4),
@@ -238,6 +259,9 @@ def ivf_batch_topk4(data4, rscales4, sizes, cluster_list, n_active, queries,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(walk, n_chunks, sizes32, q16, data4, rscales3)
+    # keep2: second-best slot winners extend the bank to [Q, 2S].
+    cand_v = jnp.concatenate(out[0::2], axis=1)
+    cand_i = jnp.concatenate(out[1::2], axis=1)
 
     vals, args = jax.lax.top_k(cand_v[:Q], k)
     idx = jnp.take_along_axis(cand_i[:Q], args, axis=1)
@@ -272,24 +296,25 @@ def rerank_int8(data, rscales, queries, vals4, cl, sl, k: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("nprobe", "k", "rerank", "banks",
-                                    "interpret"))
+                                    "interpret", "keep2"))
 def _ivf_batch_search4(centroids, data4, rscales4, data, rscales, sizes,
                        queries, prune_margin, nprobe: int, k: int,
                        rerank: int | None = None, banks: int = 4,
-                       interpret: bool = False):
-    S = banks * _LANES
+                       interpret: bool = False, keep2: bool = False):
+    S = (2 if keep2 else 1) * banks * _LANES
     clist, nact = route_union(centroids, queries, nprobe,
                               prune_margin=prune_margin)
     r = S if rerank is None else min(max(rerank * k, 64), S)
     v4, cl, sl = ivf_batch_topk4(data4, rscales4, sizes, clist, nact,
-                                 queries, r, banks=banks, interpret=interpret)
+                                 queries, r, banks=banks, interpret=interpret,
+                                 keep2=keep2)
     return rerank_int8(data, rscales, queries, v4, cl, sl, k)
 
 
 def ivf_batch_search4(centroids, data4, rscales4, data, rscales, sizes,
                       queries, nprobe: int, k: int, rerank: int | None = None,
                       banks: int = 4, prune_margin: float | None = None,
-                      interpret: bool = False):
+                      interpret: bool = False, keep2: bool = False):
     """Routing + dedupe + int4 batch-union scan + int8 rerank in one jit.
 
     By default the ENTIRE candidate bank (S = banks*128 per-lane maxima) is
@@ -303,4 +328,5 @@ def ivf_batch_search4(centroids, data4, rscales4, data, rscales, sizes,
     margin = 4.0 if prune_margin is None else prune_margin
     return _ivf_batch_search4(centroids, data4, rscales4, data, rscales,
                               sizes, queries, margin, nprobe=nprobe, k=k,
-                              rerank=rerank, banks=banks, interpret=interpret)
+                              rerank=rerank, banks=banks, interpret=interpret,
+                              keep2=keep2)

@@ -134,3 +134,60 @@ class TestKeep2RerankFused:
             db4t, sc, db8, rq8, rsc2, None, N, q, 10, 64, 128, BLOCK,
             True, True, "int4", True, False, 1, True)
         assert {5, 5 + S} <= set(np.asarray(idx)[0].tolist())
+
+
+class TestKeep2IVFBatch:
+    def _table(self, rng, C=4, M=256, D=128):
+        import jax
+
+        data = rng.standard_normal((C, M, D)).astype(np.float32)
+        data /= np.linalg.norm(data, axis=2, keepdims=True)
+        q = rng.standard_normal((1, D)).astype(np.float32)
+        q /= np.linalg.norm(q)
+        # two best rows in cluster 1 at slots 5 and 5+S (S=128, banks=1)
+        data[1, 5] = 0.99 * q[0] + np.sqrt(1 - 0.99**2) * data[1, 5]
+        data[1, 5 + 128] = 0.98 * q[0] + np.sqrt(1 - 0.98**2) * data[1, 5 + 128]
+        data[1, 5] /= np.linalg.norm(data[1, 5])
+        data[1, 5 + 128] /= np.linalg.norm(data[1, 5 + 128])
+        codes = np.clip(np.round(data / (np.abs(data).max(axis=2,
+                        keepdims=True) / 127.0)), -127, 127).astype(np.int8)
+        rscales = (np.abs(data).max(axis=2) / 127.0).astype(np.float32)
+        sizes = np.full((C,), M, np.int32)
+        clist = jnp.asarray(np.arange(C, dtype=np.int32))
+        nact = jnp.asarray([C], dtype=np.int32)
+        del jax
+        return (jnp.asarray(codes), jnp.asarray(rscales),
+                jnp.asarray(sizes), clist, nact, jnp.asarray(q))
+
+    def test_ivf_keep2_recovers_collided_row(self, rng):
+        from memex_tpu.ops.ivf_batch import ivf_batch_topk
+
+        data, rscales, sizes, clist, nact, q = self._table(rng)
+        M = data.shape[1]
+        _, cl1, sl1 = ivf_batch_topk(data, rscales, sizes, clist, nact, q,
+                                     10, banks=1, interpret=True)
+        got1 = {(int(c), int(s)) for c, s in zip(np.asarray(cl1)[0],
+                                                 np.asarray(sl1)[0])}
+        assert (1, 5) in got1 and (1, 5 + 128) not in got1
+        _, cl2, sl2 = ivf_batch_topk(data, rscales, sizes, clist, nact, q,
+                                     10, banks=1, interpret=True, keep2=True)
+        got2 = {(int(c), int(s)) for c, s in zip(np.asarray(cl2)[0],
+                                                 np.asarray(sl2)[0])}
+        assert {(1, 5), (1, 5 + 128)} <= got2
+        assert M  # silence unused
+
+    def test_ivf4_keep2_recovers_collided_row(self, rng):
+        from memex_tpu.ops.ivf_batch4 import ivf_batch_topk4, pack_int4_buckets
+
+        data, rscales, sizes, clist, nact, q = self._table(rng)
+        data4, rsc4 = pack_int4_buckets(data, rscales, banks=1)
+        _, cl1, sl1 = ivf_batch_topk4(data4, rsc4, sizes, clist, nact, q,
+                                      10, banks=1, interpret=True)
+        got1 = {(int(c), int(s)) for c, s in zip(np.asarray(cl1)[0],
+                                                 np.asarray(sl1)[0])}
+        assert (1, 5 + 128) not in got1
+        _, cl2, sl2 = ivf_batch_topk4(data4, rsc4, sizes, clist, nact, q,
+                                      10, banks=1, interpret=True, keep2=True)
+        got2 = {(int(c), int(s)) for c, s in zip(np.asarray(cl2)[0],
+                                                 np.asarray(sl2)[0])}
+        assert {(1, 5), (1, 5 + 128)} <= got2
