@@ -292,9 +292,13 @@ def bench_kernels(rpc: float, on_tier=None) -> dict:
     # re-scores at HIGHEST precision — composed into ONE executable
     # (_search_rerank_fused, the production path: the two-call form paid
     # a ~0.1ms second dispatch per batch, ~20% of the int8q batch time).
-    # kk=64: the true-f32 oracle reads 0.9906 at kk=32 already (the old
-    # 0.9844 "plateau" was bf16 ORACLE noise, not tier error); 64 buys
-    # corpus-shift margin for ~2% QPS.
+    # The defaults engage the keep2 fold (best-two-per-slot candidate
+    # bank) and banks=16 for the int4 coarse scan: the 0.9906/0.9812
+    # recall plateaus were two-winner slot collisions (the SAME 3/320
+    # oracle rows lost at every bank width, each congruent to another
+    # top-10 row mod S) — keep2 removes them, measured recall@10 1.0000
+    # vs the true f32 oracle at zero int8q QPS cost (40.26k vs 40.20k
+    # intra-run) and ~11%% int4 fold cost.
     from memex_tpu.index.flat import _search_rerank_fused
 
     def _int8q_refine(q):
