@@ -547,16 +547,24 @@ def bench_scale_10m(rpc: float) -> dict:
                   .at[jnp.where(rid_flat >= 0, rid_flat, N10)]
                   .set(jnp.arange(Cb * Mb, dtype=jnp.int32), mode="drop"))
 
+    # Big arrays MUST be jit arguments, not closure captures: a captured
+    # table lowers as a jaxpr CONSTANT — at 10M that duplicated the 4.8GB
+    # bucket table in HBM and OOMed the stage (r4 run 1; same failure
+    # mode as the >25-min remote-compile churn in CLAUDE.md).
     @jax.jit
-    def _score_rows(q, row_ids):
-        p = pos_of_row[row_ids]
-        r = jnp.take(ivf.data.reshape(-1, D), p, axis=0, mode="fill",
+    def _score_rows_impl(q, row_ids, data2d, rsc1d, pos):
+        p = pos[row_ids]
+        r = jnp.take(data2d, p, axis=0, mode="fill",
                      fill_value=0).astype(jnp.float32)
-        s = jnp.take(ivf.rscales.reshape(-1), p, mode="fill", fill_value=0.0)
+        s = jnp.take(rsc1d, p, mode="fill", fill_value=0.0)
         valid = (p < Cb * Mb)
         scores = jnp.einsum("qd,qkd->qk", q, r * s[..., None],
                             precision=jax.lax.Precision.HIGHEST)
         return jnp.where(valid, scores, -jnp.inf)
+
+    def _score_rows(q, row_ids):
+        return _score_rows_impl(q, row_ids, ivf.data.reshape(-1, D),
+                                ivf.rscales.reshape(-1), pos_of_row)
 
     def _tie_recall(hits_list) -> float:
         got = np.full((Q, K), N10, np.int64)  # N10 = sentinel (empty)
@@ -1511,6 +1519,18 @@ def _stage_guard(extras: dict, key: str, fn):
     except Exception as exc:
         traceback.print_exc()
         extras[f"{key}_error"] = str(exc)[:200]
+        # An OOMed stage can pin multi-GB device buffers via JAX's global
+        # executable/constant caches even after its frame dies (measured:
+        # the 10M stage's captured-constant OOM left every later stage
+        # RESOURCE_EXHAUSTED). Dropping the caches costs a few seconds of
+        # persistent-cache reloads for later stages — nothing next to an
+        # all-stages-dead round.
+        try:
+            import jax
+
+            jax.clear_caches()
+        except Exception:
+            pass
     # Drop dead device buffers before the next stage allocates: stage
     # failures can leave multi-GB arrays reachable only via collector
     # cycles (exception frames), and the next stage's peak needs them gone.
