@@ -92,24 +92,30 @@ def main(argv=None) -> int:
     carry = prefill(cfg, params, prompt, jnp.int32(P), key, sc)
     float(carry[1][0])
     prefill_s = time.perf_counter() - t0
-    carry, toks, _ = decode_chunk(cfg, params, carry, sc, 16, eos_id=-1)  # compile
+    c2, toks, _ = decode_chunk(cfg, params, carry, sc, 16, eos_id=-1)  # compile
     jax.block_until_ready(toks)
+    _, toks4, _ = decode_chunk(cfg, params, carry, sc, 4, eos_id=-1)  # compile
+    jax.block_until_ready(toks4)
     # One-chunk-lookahead pipeline, mirroring LocalLLM._stream: dispatch
     # chunk i+1 before fetching chunk i, so each ~30ms tunnel RPC fetch
     # overlaps the next chunk's compute (r3: the serial fetch loop held
-    # streaming at 0.62x of the batch path).
+    # streaming at 0.62x of the batch path). First chunk is the 4-token
+    # ramp (LocalLLM.FIRST_CHUNK): first visible token = prefill + 4
+    # tokens + one fetch instead of 16 tokens.
     t0 = time.perf_counter()
     n_stream = 0
     first_tok_s = None
-    pending = decode_chunk(cfg, params, carry, sc, 16, eos_id=-1)
+    pending = decode_chunk(cfg, params, carry, sc, 4, eos_id=-1)
+    dispatched = 4
     while n_stream < args.max_new:
         carry, toks, _ = pending
-        if n_stream + 16 < args.max_new:
+        if dispatched < args.max_new:
             pending = decode_chunk(cfg, params, carry, sc, 16, eos_id=-1)
-        np.asarray(toks)  # host fetch per chunk, like real streaming
+            dispatched += 16
+        toks = np.asarray(toks)  # host fetch per chunk, like real streaming
         if first_tok_s is None:
             first_tok_s = time.perf_counter() - t0
-        n_stream += 16
+        n_stream += len(toks)
     stream_s = time.perf_counter() - t0
 
     print(json.dumps({

@@ -215,7 +215,13 @@ class LocalLLM:
             out = self._stream(padded, len(ids), sub, max_new, on_token)
         return self.tokenizer.decode([int(t) for t in out])
 
-    STREAM_CHUNK = 16  # tokens per dispatch (~1 tunnel RPC each)
+    STREAM_CHUNK = 16  # steady-state tokens per dispatch (~1 tunnel RPC each)
+    # First dispatch is short: time-to-first-visible-token = prefill +
+    # first chunk + one fetch RPC, so a 16-token first chunk buries the
+    # first word under ~12 tokens of extra decode (~40ms at 285 tok/s).
+    # A 4-token ramp costs one extra compiled executable (chunk length is
+    # a static scan bound) and one extra dispatch per stream.
+    FIRST_CHUNK = 4
 
     def _stream(self, padded, n_ids, key, max_new, on_token) -> list[int]:
         eos = self.tokenizer.eos_id
@@ -248,16 +254,18 @@ class LocalLLM:
         # stalls. An eos inside chunk i wastes chunk i+1's <=STREAM_CHUNK
         # speculative tokens — harmless, the carry is discarded.
         pending = decode_chunk(
-            self.cfg, self.params, carry, self.sampler, self.STREAM_CHUNK,
+            self.cfg, self.params, carry, self.sampler, self.FIRST_CHUNK,
             eos_id=eos,
         )
+        dispatched = self.FIRST_CHUNK  # tokens covered by dispatched chunks
         while not done and len(out) < max_new:
             carry, toks, was_done = pending
-            if len(out) + self.STREAM_CHUNK < max_new:
+            if dispatched < max_new:
                 pending = decode_chunk(
                     self.cfg, self.params, carry, self.sampler,
                     self.STREAM_CHUNK, eos_id=eos,
                 )
+                dispatched += self.STREAM_CHUNK
             toks, wd = np.asarray(toks), np.asarray(was_done)
             for t, d in zip(toks, wd):
                 if d or len(out) >= max_new:
