@@ -317,7 +317,12 @@ def bench_kernels(rpc: float, on_tier=None) -> dict:
     # per-batch time; past the HBM/MXU crossover (Q~256) the tiers measure
     # how close the kernel sits to the s8xs8 roofline.
     tiers = [
-        ("f32", Q, lambda q: fused_score_topk(db, q, K, count=N, block_n=2048)),
+        # f32 is the EXACT tier: exact-precision MXU multi-pass + keep2
+        # fold, so selection is exact end-to-end (the bf16-input single-
+        # winner variant read 0.9844 — slot collisions + mantissa noise).
+        # Both ride in the HBM shadow: the f32 scan runs <20% compute peak.
+        ("f32", Q, lambda q: fused_score_topk(db, q, K, count=N, block_n=2048,
+                                              exact=True, keep2=True)),
         ("bf16", Q, lambda q: fused_score_topk(db16, q, K, count=N, block_n=1024)),
         ("int8", Q, lambda q: fused_score_topk_int8(
             db8, scales, q, K, count=N, block_n=1024)),

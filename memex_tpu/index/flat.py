@@ -70,18 +70,22 @@ def _write_block(buf, block, start, nvalid):
     return jax.lax.dynamic_update_slice(buf, merged, (start, 0))
 
 
-@partial(jax.jit, static_argnames=("k", "kk", "interpret", "exact"))
+@partial(jax.jit, static_argnames=("k", "kk", "interpret", "exact", "keep2"))
 def _search_masked_fused(buf, alive, count, queries, k: int, kk: int = 128,
                          block_n: int = 1024, interpret: bool = False,
-                         exact: bool = False):
+                         exact: bool = False, keep2: bool = False):
     """Fused path with tombstones masked INSIDE the kernel (alive=None when
     the index has no deletes — skips the mask read): dead rows never claim
-    candidate slots, so deletes cannot shadow live top-k rows."""
+    candidate slots, so deletes cannot shadow live top-k rows. keep2
+    removes mod-S slot-collision losses (ops/fused_topk._fold_chunks) —
+    exact mode enables it so "exact scan" is exact END-TO-END: with the
+    single-winner fold, an exact-scored f32 scan still read recall 0.9844
+    at 1M (5/320 true top-10 rows shadowed by a congruent better row)."""
     from ..ops.fused_topk import fused_score_topk
 
     vals, idx = fused_score_topk(buf, queries, kk, count=count, alive=alive,
                                  block_n=block_n, interpret=interpret,
-                                 exact=exact)
+                                 exact=exact, keep2=keep2)
     svals, order = jax.lax.top_k(vals, k)
     return svals, jnp.take_along_axis(idx, order, axis=1)
 
@@ -208,7 +212,7 @@ def _search_rerank_fused(buf, scales, buf8, rbuf, rscales, alive, count,
     else:
         vals, idx = _search_masked_fused(
             buf, alive, count, queries, k_ret, kk=kk, interpret=interpret,
-            exact=exact)
+            exact=exact, keep2=keep2)
         src = buf
     return _exact_flat_rerank(src, scales, queries, vals, idx, k,
                               rbuf=rbuf, rbuf_scales=rscales)
@@ -797,6 +801,7 @@ class FlatIndex:
                 self.buf, alive_arg, self.count, jnp.asarray(queries), k_ret,
                 kk=kk, interpret=self._interpret,
                 exact=self.scan_precision == "highest",
+                keep2=self.scan_precision == "highest",
             )
         else:
             # int4's XLA fallback scores from the int8 rerank copy (the

@@ -79,22 +79,22 @@ def _fold_chunks(scores, base, S: int, G: int, accs, keep2: bool):
 
 def _fused_kernel(count_ref, q_ref, db_ref, *rest, block_n: int, banks: int,
                   exact: bool,
-                  has_alive: bool = False):
-    if has_alive:
-        alive_ref, out_vals_ref, out_idx_ref, vals_acc, idx_acc = rest
-    else:
-        out_vals_ref, out_idx_ref, vals_acc, idx_acc = rest
-        alive_ref = None
+                  has_alive: bool = False, keep2: bool = False):
+    rest = list(rest)
+    alive_ref = rest.pop(0) if has_alive else None
+    n_out = 4 if keep2 else 2
+    outs, accs = rest[:n_out], rest[n_out:]
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
     S = banks * _LANES
     Q = q_ref.shape[0]
-    G = block_n // S  # slot-groups per block
 
     @pl.when(i == 0)
     def _init():
-        vals_acc[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
-        idx_acc[:] = jnp.zeros((Q, S), jnp.int32)
+        for a in accs[::2]:
+            a[:] = jnp.full((Q, S), NEG_INF, jnp.float32)
+        for a in accs[1::2]:
+            a[:] = jnp.zeros((Q, S), jnp.int32)
 
     # [Q, block_n] scores on the MXU, f32 accumulation. db may be stored
     # f32 or bf16 (bf16 halves HBM bytes -> ~2x scan throughput).
@@ -125,28 +125,20 @@ def _fused_kernel(count_ref, q_ref, db_ref, *rest, block_n: int, banks: int,
         scores = jnp.where(alive_ref[:].reshape(1, block_n) > 0, scores, NEG_INF)
 
     # Fold the block into S slots: col -> (g, slot); slot keeps its max
-    # over g. Statically-unrolled chunk loop: each S-wide lane-aligned
-    # slice merges straight into the accumulator — no [Q, G, S] reshape
-    # (which forces lane<->sublane relayouts of every score) and no
-    # block_max/argmax intermediates.
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-    acc_v, acc_i = vals_acc[:], idx_acc[:]
-    for g in range(G):
-        chunk = scores[:, g * S : (g + 1) * S]
-        take = chunk > acc_v
-        acc_v = jnp.where(take, chunk, acc_v)
-        acc_i = jnp.where(take, base + g * S + slot_iota, acc_i)
-    vals_acc[:] = acc_v
-    idx_acc[:] = acc_i
+    # over g (keep2: its best TWO). Statically-unrolled chunk loop: each
+    # S-wide lane-aligned slice merges straight into the accumulator — no
+    # [Q, G, S] reshape (which forces lane<->sublane relayouts of every
+    # score) and no block_max/argmax intermediates.
+    _fold_chunks(scores, base, S, block_n // S, accs, keep2)
 
     @pl.when(i == nblocks - 1)
     def _flush():
-        out_vals_ref[:] = vals_acc[:]
-        out_idx_ref[:] = idx_acc[:]
+        for o, a in zip(outs, accs):
+            o[:] = a[:]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_n", "banks", "interpret",
-                                              "exact"))
+                                              "exact", "keep2"))
 def fused_score_topk(
     db: jnp.ndarray,
     queries: jnp.ndarray,
@@ -158,6 +150,7 @@ def fused_score_topk(
     banks: int = 8,
     interpret: bool = False,
     exact: bool = False,
+    keep2: bool = False,
 ):
     """Fused brute-force MIPS top-k: ([N,D], [Q,D]) -> (vals [Q,k], idx [Q,k]).
 
@@ -200,28 +193,28 @@ def fused_score_topk(
         in_specs.append(
             pl.BlockSpec((block_n,), lambda i, c: (i,), memory_space=pltpu.VMEM))
         inputs.append(alive)
+    pairs = 2 if keep2 else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-        ),
+        out_specs=tuple(
+            pl.BlockSpec((q_pad, S), lambda i, c: (0, 0), memory_space=pltpu.VMEM)
+            for _ in range(2 * pairs)),
         scratch_shapes=[
-            pltpu.VMEM((q_pad, S), jnp.float32),
-            pltpu.VMEM((q_pad, S), jnp.int32),
+            pltpu.VMEM((q_pad, S), jnp.float32 if j % 2 == 0 else jnp.int32)
+            for j in range(2 * pairs)
         ],
     )
     kernel = functools.partial(_fused_kernel, block_n=block_n, banks=banks,
-                               has_alive=has_alive, exact=exact)
-    cand_vals, cand_idx = pl.pallas_call(
+                               has_alive=has_alive, exact=exact, keep2=keep2)
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((q_pad, S), jnp.float32),
-            jax.ShapeDtypeStruct((q_pad, S), jnp.int32),
-        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((q_pad, S), jnp.float32 if j % 2 == 0
+                                 else jnp.int32)
+            for j in range(2 * pairs)),
         cost_estimate=pl.CostEstimate(
             flops=2 * q_pad * n * d,
             bytes_accessed=n * d * 4 + q_pad * d * 4 + 2 * q_pad * S * 4,
@@ -232,6 +225,9 @@ def fused_score_topk(
         ),
         interpret=interpret,
     )(*inputs)
+    # keep2: second-best slot winners extend the candidate bank to [Q, 2S].
+    cand_vals = jnp.concatenate(out[0::2], axis=1)
+    cand_idx = jnp.concatenate(out[1::2], axis=1)
 
     # Exact top-k over the tiny candidate set (argsort-slice: measured
     # faster than lax.top_k on TPU at these widths).

@@ -191,3 +191,19 @@ class TestKeep2IVFBatch:
         got2 = {(int(c), int(s)) for c, s in zip(np.asarray(cl2)[0],
                                                  np.asarray(sl2)[0])}
         assert {(1, 5), (1, 5 + 128)} <= got2
+
+
+class TestKeep2F32Exact:
+    def test_exact_keep2_is_exact_end_to_end(self, rng):
+        from memex_tpu.ops.fused_topk import fused_score_topk
+
+        db, q = _collision_corpus(rng)
+        _, i1 = fused_score_topk(db, q, 10, count=N, block_n=BLOCK, banks=1,
+                                 exact=True, keep2=False, interpret=True)
+        assert (5 + S) not in set(np.asarray(i1)[0].tolist())
+        v2, i2 = fused_score_topk(db, q, 10, count=N, block_n=BLOCK, banks=1,
+                                  exact=True, keep2=True, interpret=True)
+        truth = np.asarray(jnp.einsum("qd,nd->qn", q, db))[0]
+        order = np.argsort(-truth)[:10]
+        np.testing.assert_array_equal(np.asarray(i2)[0], order)
+        np.testing.assert_allclose(np.asarray(v2)[0], truth[order], rtol=1e-6)
