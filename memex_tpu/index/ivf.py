@@ -1084,18 +1084,25 @@ class IVFIndex:
                 # single-winner fold and no rerank depth recovers the
                 # loser (measured at 1M: refine recall 0.9906 -> 1.0,
                 # fold cost free at Q=32; ops/fused_topk._fold_chunks).
-                keep2 = bool(self.rerank)
-                S = (2 if keep2 else 1) * banks * 128
-                if self.rerank and kk > S:
-                    # The batch kernel's candidate bank is S wide — a
+                # keep2 also covers the exact tier without rerank: the
+                # HIGHEST scan is only exact end-to-end if the fold
+                # itself cannot collide (flat.py does the same).
+                keep2 = bool(self.rerank) or self.scan_precision == "highest"
+                # Sk is the kernels' CHUNK width (alignment / chunk-count
+                # constraints live here); the candidate BANK is 2x wider
+                # under keep2 but that only affects how deep kk may go.
+                Sk = banks * 128
+                bank = (2 if keep2 else 1) * Sk
+                if self.rerank and kk > bank:
+                    # The batch kernel's candidate bank is `bank` wide — a
                     # wider rerank depth than the bank holds is moot, and
                     # falling off the batch path over it would cost far
                     # more than the extra candidates buy.
-                    kk = S
-                # M//S <= 256: the batch kernels' precomputed chunk walk
+                    kk = bank
+                # M//Sk <= 256: the batch kernels' precomputed chunk walk
                 # packs the chunk index into 8 bits (ops/ivf_batch.py).
-                batch_ok = (self.use_fused and kk <= S and M % S == 0
-                            and M // S <= 256 and vmem_need <= 12 * 2**20)
+                batch_ok = (self.use_fused and kk <= bank and M % Sk == 0
+                            and M // Sk <= 256 and vmem_need <= 12 * 2**20)
                 # Per-query kernel fallback for legacy 256-aligned buckets.
                 fused_ok = (self.use_fused and kk <= 256 and M % 256 == 0
                             and vmem_need <= 12 * 2**20)

@@ -217,7 +217,7 @@ def fused_score_topk(
             for j in range(2 * pairs)),
         cost_estimate=pl.CostEstimate(
             flops=2 * q_pad * n * d,
-            bytes_accessed=n * d * 4 + q_pad * d * 4 + 2 * q_pad * S * 4,
+            bytes_accessed=n * d * 4 + q_pad * d * 4 + 2 * pairs * q_pad * S * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -712,7 +712,8 @@ def _int4q_candidates(db_p, scales4, queries, count_arr, alive=None, *,
             for j in range(2 * pairs)),
         cost_estimate=pl.CostEstimate(
             flops=2 * q_pad * n * 2 * d2,
-            bytes_accessed=n * d2 + n * 4 + 2 * q_pad * d2 + 2 * q_pad * S * 4,
+            bytes_accessed=n * d2 + n * 4 + 2 * q_pad * d2
+            + 2 * pairs * q_pad * S * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -862,7 +863,8 @@ def fused_score_topk_int8q(
             for j in range(2 * pairs)),
         cost_estimate=pl.CostEstimate(
             flops=2 * q_pad * n * d,
-            bytes_accessed=n * d + n * 4 + q_pad * d + 2 * q_pad * S * 4,
+            bytes_accessed=n * d + n * 4 + q_pad * d
+            + 2 * pairs * q_pad * S * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(

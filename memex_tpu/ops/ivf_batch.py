@@ -278,7 +278,8 @@ def ivf_batch_topk(data, rscales, sizes, cluster_list, n_active, queries,
             for j in range(4 if keep2 else 2)),
         cost_estimate=pl.CostEstimate(
             flops=2 * q_pad * C * M * D,
-            bytes_accessed=C * M * (D * data.dtype.itemsize + 4),
+            bytes_accessed=C * M * (D * data.dtype.itemsize + 4)
+            + 2 * (2 if keep2 else 1) * q_pad * S * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),

@@ -253,7 +253,8 @@ def ivf_batch_topk4(data4, rscales4, sizes, cluster_list, n_active, queries,
             for j in range(4 if keep2 else 2)),
         cost_estimate=pl.CostEstimate(
             flops=2 * q_pad * C * M * D,
-            bytes_accessed=C * M * (D // 2 + 4),
+            bytes_accessed=C * M * (D // 2 + 4)
+            + 2 * (2 if keep2 else 1) * q_pad * S * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
