@@ -93,6 +93,25 @@ def cmd_serve(args: argparse.Namespace) -> int:
 
         from .api.server import start_async
 
+        # Warm every fused-query-path executable for existing collections
+        # BEFORE accepting traffic: an unwarmed microbatch bucket compiles
+        # inside a request (~20s+ through the remote-TPU tunnel; with the
+        # persistent cache above warm loads take seconds). MEMEX_WARM_SERVE=0
+        # opts out; CPU backends skip (compiles there are milliseconds).
+        if os.environ.get("MEMEX_WARM_SERVE", "1") != "0":
+            try:
+                import jax
+
+                if jax.default_backend() != "cpu":
+                    cols = rt.db.query(
+                        "SELECT DISTINCT collection FROM embeddings")
+                    for row in cols:
+                        n = rt.search_batcher.warmup(row["collection"])
+                        logger.info("serve warmup: %s -> %d executables",
+                                    row["collection"], n)
+            except Exception:
+                logger.exception("serve warmup failed (continuing)")
+
         async def main():
             shutdown_event = asyncio.Event()
 

@@ -398,6 +398,17 @@ def create_app(runtime: Runtime | None = None) -> web.Application:
 async def start_async(runtime: Runtime | None = None, shutdown_event: asyncio.Event | None = None):
     rt = runtime or get_runtime()
     os.makedirs(rt.settings.upload_dir, exist_ok=True)
+    # Blocking handler work (store access, batcher waits, SQL hydration)
+    # runs in the loop's default executor; the stdlib default of
+    # cpu_count+4 threads (5 on the 1-core axon host) would cap the
+    # number of in-flight requests — and therefore the microbatcher's
+    # batch fill — at 5. Size it to the search batch so concurrency is
+    # bounded by the batcher, not the thread pool.
+    from concurrent.futures import ThreadPoolExecutor
+
+    asyncio.get_running_loop().set_default_executor(ThreadPoolExecutor(
+        max_workers=rt.settings.search_max_batch + 8,
+        thread_name_prefix="memex-api"))
     app = create_app(rt)
     runner = web.AppRunner(app)
     await runner.setup()

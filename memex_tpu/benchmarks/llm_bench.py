@@ -17,6 +17,72 @@ import argparse
 import json
 import time
 
+def stream_decode_bench(cfg, params, prompt, prompt_len, key, sc, max_new,
+                        *, prefill_fn=None, decode_fn=None,
+                        first_chunk=4, chunk=16):
+    """Timed streaming decode (one-chunk-lookahead pipeline, mirroring
+    LocalLLM._stream: dispatch chunk i+1 before fetching chunk i so each
+    ~30ms tunnel fetch RPC overlaps the next chunk's compute; the first
+    chunk is the 4-token ramp, so first visible token = prefill + 4
+    tokens + one fetch).
+
+    DONATION CONTRACT (r4 postmortem): decode_fn donates its carry
+    argument — a carry that has been passed to decode_fn is DEAD and must
+    never be passed again. The r4 harness reused one carry across both
+    warmup compiles and the timed loop; XLA:CPU ignores donation so the
+    hermetic suite stayed green while the TPU run crashed with
+    use-after-donate, costing the round its entire LLM record. This
+    function chains every carry exactly once; tests/test_llm.py wraps
+    decode_fn with a donation tracker to enforce it hermetically.
+    Reference analogue: the GGML token loop,
+    /root/reference/lib/libmemex/src/llm/local/mod.rs:101-126."""
+    import jax
+    import numpy as np
+
+    if prefill_fn is None or decode_fn is None:
+        from ..llm.local.model import decode_chunk as _dc, prefill as _pf
+
+        prefill_fn = prefill_fn or _pf
+        decode_fn = decode_fn or _dc
+
+    # Warm compiles, carries chained (each consumed exactly once).
+    carry = prefill_fn(cfg, params, prompt, prompt_len, key, sc)
+    jax.block_until_ready(carry[1])
+    carry, toks, _ = decode_fn(cfg, params, carry, sc, chunk, eos_id=-1)
+    jax.block_until_ready(toks)
+    carry, toks, _ = decode_fn(cfg, params, carry, sc, first_chunk, eos_id=-1)
+    jax.block_until_ready(toks)
+    del carry  # consumed by the warmup chain; the timed run re-prefills
+
+    # Timed prefill: a FRESH carry for the timed stream.
+    t0 = time.perf_counter()
+    carry = prefill_fn(cfg, params, prompt, prompt_len, key, sc)
+    float(carry[1][0])
+    prefill_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_stream = 0
+    first_tok_s = None
+    pending = decode_fn(cfg, params, carry, sc, first_chunk, eos_id=-1)
+    dispatched = first_chunk
+    while n_stream < max_new:
+        next_carry, toks, _ = pending
+        if dispatched < max_new:
+            pending = decode_fn(cfg, params, next_carry, sc, chunk, eos_id=-1)
+            dispatched += chunk
+        toks = np.asarray(toks)  # host fetch per chunk, like real streaming
+        if first_tok_s is None:
+            first_tok_s = time.perf_counter() - t0
+        n_stream += len(toks)
+    stream_s = time.perf_counter() - t0
+    return {
+        "prefill_s": prefill_s,
+        "stream_s": stream_s,
+        "n_stream": n_stream,
+        "first_tok_s": first_tok_s,
+    }
+
+
 GEOMETRIES = {
     # TinyLlama-1.1B (hidden 2048, 22 layers, 32 heads / 4 kv, inter 5632)
     "tinyllama-1.1b": dict(vocab_size=32000, hidden_size=2048, num_layers=22,
@@ -86,37 +152,15 @@ def main(argv=None) -> int:
     batch_s = time.perf_counter() - t0
 
     # -- streaming path (prefill + chunked decode) -----------------------------
-    carry = prefill(cfg, params, prompt, jnp.int32(P), key, sc)
-    jax.block_until_ready(carry[1])
-    t0 = time.perf_counter()
-    carry = prefill(cfg, params, prompt, jnp.int32(P), key, sc)
-    float(carry[1][0])
-    prefill_s = time.perf_counter() - t0
-    c2, toks, _ = decode_chunk(cfg, params, carry, sc, 16, eos_id=-1)  # compile
-    jax.block_until_ready(toks)
-    _, toks4, _ = decode_chunk(cfg, params, carry, sc, 4, eos_id=-1)  # compile
-    jax.block_until_ready(toks4)
-    # One-chunk-lookahead pipeline, mirroring LocalLLM._stream: dispatch
-    # chunk i+1 before fetching chunk i, so each ~30ms tunnel RPC fetch
-    # overlaps the next chunk's compute (r3: the serial fetch loop held
-    # streaming at 0.62x of the batch path). First chunk is the 4-token
-    # ramp (LocalLLM.FIRST_CHUNK): first visible token = prefill + 4
-    # tokens + one fetch instead of 16 tokens.
-    t0 = time.perf_counter()
-    n_stream = 0
-    first_tok_s = None
-    pending = decode_chunk(cfg, params, carry, sc, 4, eos_id=-1)
-    dispatched = 4
-    while n_stream < args.max_new:
-        carry, toks, _ = pending
-        if dispatched < args.max_new:
-            pending = decode_chunk(cfg, params, carry, sc, 16, eos_id=-1)
-            dispatched += 16
-        toks = np.asarray(toks)  # host fetch per chunk, like real streaming
-        if first_tok_s is None:
-            first_tok_s = time.perf_counter() - t0
-        n_stream += len(toks)
-    stream_s = time.perf_counter() - t0
+    # stream_decode_bench owns the carry lifecycle: decode_chunk DONATES
+    # its carry, and the r4 harness's reuse of one crashed the TPU stage.
+    stream = stream_decode_bench(
+        cfg, params, prompt, jnp.int32(P), key, sc, args.max_new,
+        prefill_fn=prefill, decode_fn=decode_chunk)
+    prefill_s = stream["prefill_s"]
+    stream_s = stream["stream_s"]
+    n_stream = stream["n_stream"]
+    first_tok_s = stream["first_tok_s"]
 
     print(json.dumps({
         "geometry": args.geometry,

@@ -7,15 +7,30 @@ both stages into one jit keeps the query vectors on device and fetches
 only the [Q, k] winners: one round-trip, and XLA fuses the encoder's
 epilogue into the scan's prologue.
 
-One executable is compiled per (batch bucket, seq bucket, capacity, k,
-storage dtype) — all small, enumerable sets. The index buffers are passed
-as arguments (not captured), so ingest never forces a retrace until a
-capacity doubling changes shapes.
+One executable is compiled per (batch bucket, seq bucket, capacity,
+k bucket, storage dtype) — all small, enumerable sets. The index buffers
+are passed as arguments (not captured), so ingest never forces a retrace
+until a capacity doubling changes shapes.
+
+Serving-latency rules learned on hardware (r5):
+  - EVERY bucket must be warmed before traffic: a straggler microbatch
+    that buckets to an unwarmed Q shape compiles INSIDE the request
+    (~20s through the tunnel; the r4 serve stage lost 25 of its 26
+    seconds to exactly two such compiles). `warmup()` enumerates the
+    bucket lattice; serve startup and the bench both call it.
+  - k is bucketed too (`_K_BUCKETS`): the scan's top-k epilogue shape is
+    static, so per-client `limit` values would otherwise each compile a
+    fresh executable. Results are sliced to the requested k on host.
+  - dispatch and fetch are split (`dispatch()` / `_Dispatched.finish()`)
+    so the batcher can pipeline: dispatch batch N+1 while batch N's
+    ~30ms fetch RPC is in flight (device execution is in-order).
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
 from functools import partial
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +49,8 @@ from ..models.minilm import MiniLMEncoder
 
 logger = get_logger(__name__)
 
-_Q_BUCKETS = (1, 8, 32, 128, 256)
+_Q_BUCKETS = (1, 8, 32, 64, 128, 256)
+_K_BUCKETS = (16, 128)
 
 
 def _bucket(n, buckets):
@@ -73,6 +89,29 @@ def _encode_and_search(params, ids, mask, buf, scales, alive, count, buf8,
     return vals, rows
 
 
+@dataclass
+class _Dispatched:
+    """An in-flight fused query batch: device work is queued, the winner
+    fetch has not happened. `finish()` blocks on the fetch + hydrates."""
+
+    parts: list  # [(vals_dev, rows_dev, ids_snapshot, count, n_texts, k)]
+
+    def finish(self) -> list:
+        from ..ops.host import fetch
+
+        out = []
+        for vals_d, rows_d, ids_snapshot, count, n_texts, k in self.parts:
+            vals, rows = fetch(vals_d, rows_d)  # ONE round-trip per part
+            for qi in range(n_texts):
+                hits = []
+                for v, r in zip(vals[qi], rows[qi]):
+                    if v <= -1e29 or r >= count:
+                        continue
+                    hits.append((ids_snapshot[r], float(v)))
+                out.append(hits[:k])
+        return out
+
+
 class FusedQueryPath:
     """Glues an EmbeddingEngine to TpuFlatStore-backed collections."""
 
@@ -83,16 +122,22 @@ class FusedQueryPath:
         index = getattr(store, "index", None)
         return type(index) is FlatIndex and index.count > 0
 
+    # -- dispatch / finish ---------------------------------------------------
+
+    def dispatch(self, store, texts: list[str], k: int) -> _Dispatched:
+        """Queue the fused encode+scan for `texts`; device work starts now,
+        the blocking winner-fetch is deferred to `.finish()`."""
+        cap = _Q_BUCKETS[-1]
+        parts = []
+        for s in range(0, len(texts), cap):
+            parts.extend(self._dispatch_slice(store, texts[s : s + cap], k).parts)
+        return _Dispatched(parts)
+
     def search_texts(self, store, texts: list[str], k: int):
         """texts -> per-text [(id, score)] through one device dispatch."""
-        # The fixed query buckets top out at _Q_BUCKETS[-1]; larger
-        # microbatches (config allows any search_max_batch) run in slices.
-        cap = _Q_BUCKETS[-1]
-        if len(texts) > cap:
-            out = []
-            for s in range(0, len(texts), cap):
-                out.extend(self.search_texts(store, texts[s : s + cap], k))
-            return out
+        return self.dispatch(store, texts, k).finish()
+
+    def _dispatch_slice(self, store, texts: list[str], k: int) -> _Dispatched:
         index: FlatIndex = store.index
         tok = self.engine.tokenizer
         encoded = [tok.encode(t, add_special_tokens=True)[: self.engine.max_seq_length]
@@ -118,35 +163,70 @@ class FusedQueryPath:
         with getattr(store, "_lock", _NullLock()):
             count = index.count
             ids_snapshot = index.ids  # replaced (not mutated) by compaction
-            k_eff = min(k, count)
-            use_fused = index.use_fused and k_eff <= 128
-            if index.dtype == "int4":
-                bn = min(32768, index.capacity)
-            elif index.query_quantize:
-                bn = min(32768, index.capacity)
-            else:
-                bn = min(index.block_n, index.capacity)
-            mean = (jnp.asarray(index.mean)
-                    if index.mean is not None and index.mean.any() else None)
-            vals, rows = _encode_and_search(
-                self.engine.params, jnp.asarray(ids), jnp.asarray(mask),
-                index.buf, index.scales, index.alive, count, index.buf8,
-                mean,
-                enc_cfg=self.engine.cfg, k=k_eff, dtype=index.dtype,
-                use_fused=use_fused, qquant=index.query_quantize, block_n=bn,
-            )
-        from ..ops.host import fetch
+            vals, rows = self._dispatch_device(index, ids, mask, k, count)
+        return _Dispatched([(vals, rows, ids_snapshot, count, len(texts), k)])
 
-        vals, rows = fetch(vals, rows)  # overlapped transfers: ONE round-trip
-        out = []
-        for qi in range(len(texts)):
-            hits = []
-            for v, r in zip(vals[qi], rows[qi]):
-                if v <= -1e29 or r >= count:
-                    continue
-                hits.append((ids_snapshot[r], float(v)))
-            out.append(hits)
-        return out
+    def _dispatch_device(self, index: FlatIndex, ids, mask, k: int, count: int):
+        """The jitted call itself; caller holds the store lock."""
+        k_eff = min(_bucket(k, _K_BUCKETS), count)
+        use_fused = index.use_fused and k_eff <= 128
+        if index.dtype == "int4":
+            bn = min(32768, index.capacity)
+        elif index.query_quantize:
+            bn = min(32768, index.capacity)
+        else:
+            bn = min(index.block_n, index.capacity)
+        return _encode_and_search(
+            self.engine.params, jnp.asarray(ids), jnp.asarray(mask),
+            index.buf, index.scales, index.alive, count, index.buf8,
+            _mean_dev(index),
+            enc_cfg=self.engine.cfg, k=k_eff, dtype=index.dtype,
+            use_fused=use_fused, qquant=index.query_quantize, block_n=bn,
+        )
+
+    # -- warmup --------------------------------------------------------------
+
+    def warmup(self, store, k: int = 10, seq_lens: tuple[int, ...] = (32,),
+               q_buckets: tuple[int, ...] | None = None) -> int:
+        """Compile every (Q bucket, seq bucket) executable this store can
+        hit before serving traffic. A single unwarmed straggler bucket
+        costs a ~20s in-request compile through the tunnel (r4's serve
+        stage: 0.018x capability from exactly this). Returns the number
+        of executables touched (cached ones load in seconds)."""
+        if not self.supports(store):
+            return 0
+        index: FlatIndex = store.index
+        tok = self.engine.tokenizer
+        count = index.count
+        n = 0
+        last = None
+        for L in seq_lens:
+            for B in (q_buckets or _Q_BUCKETS):
+                ids = np.full((B, L), tok.pad_id, np.int32)
+                mask = np.zeros((B, L), np.int32)
+                mask[:, 0] = 1
+                with getattr(store, "_lock", _NullLock()):
+                    last = self._dispatch_device(index, ids, mask, k, count)
+                n += 1
+        if last is not None:
+            jax.block_until_ready(last)
+        logger.info("fused query path warm: %d executables", n)
+        return n
+
+
+def _mean_dev(index: FlatIndex):
+    """Device-resident copy of the centering mean, cached per index. The
+    per-batch `jnp.asarray(mean)` re-upload is cheap (~1ms) but this also
+    removes the host `.any()` sync from the serve loop entirely."""
+    mean = index.mean
+    if mean is None or not mean.any():
+        return None
+    cached = getattr(index, "_mean_dev_cache", None)
+    if cached is not None and cached[0] is mean:
+        return cached[1]
+    dev = jnp.asarray(mean)
+    index._mean_dev_cache = (mean, dev)
+    return dev
 
 
 class _NullLock:

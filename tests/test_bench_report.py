@@ -159,3 +159,29 @@ def test_stage_budget_skips_recorded(monkeypatch, capsys):
     full, compact = json.loads(lines[-2]), json.loads(lines[-1])
     assert full["skipped_stages"][0]["stage"] == "scale_10M"
     assert compact["skipped_stages"] == 1  # count in the compact line
+
+
+def test_stage_error_surfaces_in_compact_line(capsys):
+    """r4 verdict item 3: a crashed stage must be visible in the driver
+    line, not only in the sidecar — the r4 record read all-green
+    (`skipped_stages: 0`) while llm_decode had died with an *_error."""
+    rep = bench.Reporter()
+    rep.set_headline(_fake_results())
+
+    def boom():
+        raise RuntimeError("use-after-donate: buffer was donated")
+
+    bench._stage_guard(rep.doc["e2e"], "llm_decode", boom)
+    # nested stage-internal errors count too (e.g. ivf_int4_pruned_error
+    # inside scale_10M)
+    rep.doc["e2e"]["scale_10M"] = {
+        "ivf_pruned": {"ivf_int4_pruned_error": "Mosaic lowering failed"}}
+    c = rep.compact()
+    assert c["errors"] == 2
+    assert c["error_stages"] == ["ivf_int4_pruned", "llm_decode"]
+    # protected from the fit-trimming loop: errors sit ahead of every
+    # optional key
+    keys = list(c.keys())
+    assert keys.index("errors") < keys.index("skipped_stages")
+    # and the guard recorded the message itself
+    assert "use-after-donate" in rep.doc["e2e"]["llm_decode_error"]

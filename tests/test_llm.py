@@ -312,3 +312,45 @@ class TestSampler:
             jax.random.PRNGKey(0), sc,
         )
         assert int(tok) in {7, 3, 11, 20}
+
+
+class TestLlmBenchDonationDiscipline:
+    """r4 postmortem: decode_chunk donates its carry; the bench harness
+    reused one across warmups + the timed loop. XLA:CPU ignores donation
+    so the suite stayed green while the TPU stage crashed. This tracker
+    enforces the donation contract hermetically: every carry id passed to
+    decode_fn is dead afterwards, and passing a dead one fails the test."""
+
+    def test_stream_decode_bench_never_reuses_a_donated_carry(self):
+        import jax
+        import jax.numpy as jnp
+
+        from memex_tpu.benchmarks.llm_bench import stream_decode_bench
+        from memex_tpu.llm.local.model import (
+            LlamaConfig, SamplerConfig, decode_chunk, init_params, prefill,
+        )
+
+        cfg = LlamaConfig.tiny()
+        params = init_params(cfg, seed=0)
+        sc = SamplerConfig()
+        prompt = jnp.asarray(np.array([[5, 6, 7, 8]], np.int32))
+        key = jax.random.PRNGKey(0)
+
+        dead: set[int] = set()
+        dead_refs: list = []  # strong refs so CPython can't recycle the ids
+
+        def tracking_decode(cfg, params, carry, *a, **kw):
+            leaves = jax.tree.leaves(carry)
+            assert not ({id(leaf) for leaf in leaves} & dead), \
+                "use-after-donate: a carry leaf was passed to decode_chunk twice"
+            out = decode_chunk(cfg, params, carry, *a, **kw)
+            dead.update(id(leaf) for leaf in leaves)
+            dead_refs.extend(leaves)
+            return out
+
+        out = stream_decode_bench(
+            cfg, params, prompt, jnp.int32(4), key, sc, 24,
+            prefill_fn=prefill, decode_fn=tracking_decode)
+        assert out["n_stream"] >= 24
+        assert out["first_tok_s"] is not None
+        assert out["prefill_s"] > 0 and out["stream_s"] > 0
