@@ -51,17 +51,42 @@ logger = get_logger(__name__)
 NEG_INF = -1e30
 
 
+def _top_with_offset(merged: list[dict], off, k: int) -> list[list[tuple]]:
+    """Top-k per query with the centered-storage q.mean correction applied
+    on the way out (rank-neutral: the offset is query-constant)."""
+    out = []
+    for qi, m in enumerate(merged):
+        top = sorted(m.items(), key=lambda kv: -kv[1])[:k]
+        if off is not None:
+            o = float(off[qi])
+            top = [(sid, v + o) for sid, v in top]
+        out.append(top)
+    return out
+
+
 def make_ivf_search_fn(mesh: Mesh, axis: str, Cp: int, M: int, nprobe: int,
                        kk: int, use_fused: bool, dtype: str,
-                       interpret: bool = False):
+                       interpret: bool = False, refine: bool = False):
     """Jitted SPMD search: (centroids [C,D], data [C,M,D], rscales [C,M],
-    sizes [C], queries [Q,D], margin [] f32) -> (vals [Q,kk], gidx [Q,kk]
-    global bucket coords), replicated. `margin` is the DYNAMIC prune
-    scalar (ops/ivf_batch.route_union semantics; 4.0 = keep-all sentinel),
-    so retuning or calibrating the pruning operating point reuses this
-    executable instead of recompiling the SPMD program."""
+    sizes [C], [resid [C,M,D], resid_scales [C,M] when refine,] queries
+    [Q,D], margin [] f32) -> (vals [Q,kk], gidx [Q,kk] global bucket
+    coords), replicated. `margin` is the DYNAMIC prune scalar
+    (ops/ivf_batch.route_union semantics; 4.0 = keep-all sentinel), so
+    retuning or calibrating the pruning operating point reuses this
+    executable instead of recompiling the SPMD program.
 
-    def local_search(centroids, data, rscales, sizes, queries, margin):
+    refine (r4 verdict item 6): each shard re-scores its OWN top-kk
+    candidates at ~14 effective bits (base int8 code + int8 residual
+    code, HIGHEST-precision dot) BEFORE the collective merge — the
+    residual gather is [Q, kk, D] bytes per shard, negligible next to
+    the probed-union scan, and no extra collective is needed because the
+    merge already carries kk scores per shard. This is the sharded twin
+    of IVFIndex's refine rerank (ivf._exact_topk_rerank): without it the
+    100M tier had no route to f32-fidelity recall (plain int8 tie-recall
+    0.7234 on realtext)."""
+
+    def local_search(centroids, data, rscales, sizes, queries, margin,
+                     resid=None, resid_scales=None):
         # Per-device shapes: data [Cp, M, D], sizes [Cp]; centroids/queries
         # replicated. Routing is recomputed on every device — cheaper than
         # communicating probe tables.
@@ -120,16 +145,39 @@ def make_ivf_search_fn(mesh: Mesh, axis: str, Cp: int, M: int, nprobe: int,
                 flat_idx = jnp.pad(flat_idx, ((0, 0), (0, pad)))
             cl, sl = flat_idx // M, flat_idx % M
             del q_n
+        if refine:
+            # In-shard residual rerank: reconstruct each local candidate
+            # at base + residual precision and redo the dot exactly. The
+            # refined scores ride the existing merge — sentinel lanes
+            # (vals <= -1e29) keep their sentinel so the host filter and
+            # the merge ordering still drop them.
+            rows = data[cl, sl].astype(jnp.float32) * rscales[cl, sl][..., None]
+            rows = rows + (resid[cl, sl].astype(jnp.float32)
+                           * resid_scales[cl, sl][..., None])
+            scores = jnp.einsum("qd,qkd->qk", queries.astype(jnp.float32),
+                                rows, precision=jax.lax.Precision.HIGHEST)
+            vals = jnp.where(vals > -1e29, scores, vals)
         gidx = (cl + lo) * M + sl
         from ..parallel.collectives import merge_topk_across
 
         return merge_topk_across(vals, gidx, axis, kk)
 
+    if refine:
+        def entry(centroids, data, rscales, sizes, resid, resid_scales,
+                  queries, margin):
+            return local_search(centroids, data, rscales, sizes, queries,
+                                margin, resid, resid_scales)
+
+        in_specs = (P(), P(axis, None, None), P(axis, None), P(axis),
+                    P(axis, None, None), P(axis, None), P(), P())
+    else:
+        entry = local_search
+        in_specs = (P(), P(axis, None, None), P(axis, None), P(axis), P(),
+                    P())
     shmapped = jax.shard_map(
-        local_search,
+        entry,
         mesh=mesh,
-        in_specs=(P(), P(axis, None, None), P(axis, None), P(axis), P(),
-                  P()),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         check_vma=False,  # outputs replicated post-all_gather
     )
@@ -197,9 +245,33 @@ class ShardedIVFIndex:
         use_fused: bool | None = None,
         interpret: bool = False,
         prune_margin: float | None = None,
+        rerank: int | None = None,
+        refine: bool = False,
+        center: bool | None = None,
     ):
         self.dim = dim
         self.mesh = mesh
+        # Anisotropy-corrected storage (same contract as IVFIndex/FlatIndex
+        # `center`): table + spill codes quantize v - mean, and the
+        # query-constant q.mean is restored host-side after the merge
+        # (rank-neutral). On cos≈0.99+ corpora raw int8 resolution (~1e-2)
+        # exceeds the informative gaps; centered codes put quantization
+        # error at the residual scale (measured on the single-chip tier:
+        # recall 0.884 -> 0.953). Device-only builds pin mean=0
+        # (byte-identical to uncentered).
+        self.center = True if center is None else bool(center)
+        self.mean: np.ndarray | None = None  # pinned at first host ingest
+        # Residual-refinement store (r4 verdict item 6; same contract as
+        # IVFIndex.refine): a cluster-sharded [C, M, D] int8 table of
+        # quantization residuals, read only by the per-shard rerank in
+        # make_ivf_search_fn. Host-ingest builds derive residuals from the
+        # f32 source; streaming adds land in the spill WITHOUT residuals
+        # (zero residual = plain-int8 rerank for those rows) until a
+        # rebuild — table rows keep their residuals through rebuild().
+        self.refine = bool(refine)
+        if self.refine and rerank is None:
+            rerank = 256
+        self.rerank = None if rerank is None else min(int(rerank), 512)
         # Opt-in routing prune (see ops/ivf_batch.route_union): drops a
         # query's long-tail probes; per-shard unions shrink ~1:1 into
         # scan bytes. nprobe stays the recall-side upper bound.
@@ -228,6 +300,10 @@ class ShardedIVFIndex:
         self.data: jnp.ndarray | None = None       # [C, M, D] int8, sharded
         self.rscales: jnp.ndarray | None = None    # [C, M] f32
         self.sizes: jnp.ndarray | None = None      # [C] int32
+        self.resid: jnp.ndarray | None = None          # [C, M, D] int8 (refine)
+        self.resid_scales: jnp.ndarray | None = None   # [C, M] f32 (refine)
+        self._host_resid: np.ndarray | None = None     # row-aligned shadows
+        self._host_resid_scales: np.ndarray | None = None
         self._rowids_dev = None                    # [C, M] int32, sharded
         self.rowids: np.ndarray | None = None      # host cache
         self.ids: list = []
@@ -253,6 +329,24 @@ class ShardedIVFIndex:
     def count(self) -> int:
         return len(self._live)
 
+    def _pin_mean(self, vectors: np.ndarray | None) -> None:
+        """Pin the shared quantization center (idempotent; must run before
+        the first code lands in the table or the spill — the spill holds
+        centered rows too, so the merge compares like with like)."""
+        if self.mean is not None:
+            return
+        if self.center and vectors is not None and len(vectors):
+            self.mean = np.asarray(vectors, np.float32).mean(axis=0)
+        else:
+            self.mean = np.zeros((self.dim,), np.float32)
+        assert self.spill.count == 0 or not self.mean.any(), \
+            "spill holds raw codes; cannot center after the fact"
+
+    def _centered(self, vectors: np.ndarray) -> np.ndarray:
+        if self.mean is not None and self.mean.any():
+            return vectors - self.mean
+        return vectors
+
     # -- build ----------------------------------------------------------------
 
     def build(self, vectors: np.ndarray, ids: list) -> None:
@@ -262,18 +356,34 @@ class ShardedIVFIndex:
         vectors = np.asarray(vectors, np.float32)
         n = vectors.shape[0]
         assert n == len(ids)
+        self._pin_mean(vectors)
+        vectors = self._centered(vectors)
         if n < self.C * 4:
             logger.info("sharded ivf build: n=%d too small for C=%d, spill only",
                         n, self.C)
             self.spill.add(vectors, ids)
             self._live.update(ids)
             return
-        from ..native_lib import np_quantize_rows_int8
-
-        q, s = np_quantize_rows_int8(vectors)
+        rqp = rsp = resid_d = resid_s_d = None
         # Row-sharded device_put needs N % P == 0: pad with drop-rows
         # (excluded from the build via n_valid).
         n_pad = -(-n // self.P) * self.P
+        if self.refine:
+            # One fused C++ pass: coarse codes AND residual codes (the
+            # host has one core; see IVFIndex._pack).
+            from ..native_lib import np_quantize_rows_int8_refine
+
+            q, s, rq, rs = np_quantize_rows_int8_refine(vectors)
+            rqp = np.zeros((n_pad, self.dim), np.int8)
+            rqp[:n] = rq
+            rsp = np.zeros((n_pad,), np.float32)
+            rsp[:n] = rs
+            resid_d = jax.device_put(jnp.asarray(rqp), self._row_sh)
+            resid_s_d = jax.device_put(jnp.asarray(rsp), self._vec_sh)
+        else:
+            from ..native_lib import np_quantize_rows_int8
+
+            q, s = np_quantize_rows_int8(vectors)
         qp = np.zeros((n_pad, self.dim), np.int8)
         qp[:n] = q
         sp = np.zeros((n_pad,), np.float32)
@@ -281,12 +391,15 @@ class ShardedIVFIndex:
         vecs_q = jax.device_put(jnp.asarray(qp), self._row_sh)
         scales = jax.device_put(jnp.asarray(sp), self._vec_sh)
         self.build_device(vecs_q, scales,
-                          list(ids) + [None] * (n_pad - n), n_valid=n)
+                          list(ids) + [None] * (n_pad - n), n_valid=n,
+                          resid=resid_d, resid_scales=resid_s_d)
         # build_device clears the shadow (device-only path); restore it,
         # padded to align with the (padded) ids table — save() maps rows
         # through rowids, which only ever reference indices < n.
         self._host_codes = qp
         self._host_scales = sp
+        self._host_resid = rqp
+        self._host_resid_scales = rsp
 
     def _pack_scatter_sharded(self):
         """Memoized cluster-sharded variant of ivf.pack_scatter_int8 (same
@@ -311,8 +424,27 @@ class ShardedIVFIndex:
             self._pack_scatter_fn = fn
         return fn
 
+    def _pack_scatter_resid_sharded(self):
+        """Residual-table twin of _pack_scatter_sharded: scatter residual
+        codes/scales to the same cluster-sharded destinations."""
+        fn = getattr(self, "_pack_scatter_resid_fn", None)
+        if fn is None:
+            @partial(jax.jit, static_argnames=("C", "M"),
+                     out_shardings=(self._c_sh, self._cm_sh))
+            def fn(rq, rs, dest, C, M):
+                dim_ = rq.shape[1]
+                resid = (jnp.zeros((C * M, dim_), jnp.int8)
+                         .at[dest].set(rq, mode="drop").reshape(C, M, dim_))
+                rsc = (jnp.zeros((C * M,), jnp.float32)
+                       .at[dest].set(rs, mode="drop").reshape(C, M))
+                return resid, rsc
+
+            self._pack_scatter_resid_fn = fn
+        return fn
+
     def build_device(self, vecs_q, scales, ids: list,
-                     n_valid: int | None = None) -> None:
+                     n_valid: int | None = None,
+                     resid=None, resid_scales=None) -> None:
         """SPMD build from a device-resident int8 corpus: replicated-sample
         k-means, sharded blockwise assignment, ONE global scatter into the
         cluster-sharded bucket table (GSPMD all-to-all). Mirrors
@@ -322,8 +454,11 @@ class ShardedIVFIndex:
             n_valid = n
         assert d == self.dim and n == len(ids)
         assert n_valid >= self.C * 4, f"n={n_valid} too small for C={self.C}"
+        if self.mean is None:
+            self._pin_mean(None)  # caller-quantized raw codes: zero mean
         self._live.update(i for i in ids[:n_valid] if i is not None)
         self._host_codes = self._host_scales = None
+        self._host_resid = self._host_resid_scales = None
 
         TRAIN_CAP = max(self.C * 64, 65536)
         m_samp = min(n_valid, TRAIN_CAP)
@@ -357,6 +492,20 @@ class ShardedIVFIndex:
         dest, order = bucket_pack_dest(assign, counts, C, M)
         self.data, self.rscales, self._rowids_dev = self._pack_scatter_sharded()(
             vecs_q, scales, dest, C, M)
+        if self.refine:
+            if resid is None:
+                # No f32 source for residuals (device-only corpus): zero
+                # residual table = plain-int8 rerank, never wrong.
+                logger.info("sharded ivf build: refine on but no residual "
+                            "source; zero residual table")
+                resid = jax.device_put(
+                    jnp.zeros_like(vecs_q), self._row_sh)
+                resid_scales = jax.device_put(
+                    jnp.zeros((vecs_q.shape[0],), jnp.float32), self._vec_sh)
+            self.resid, self.resid_scales = self._pack_scatter_resid_sharded()(
+                resid, resid_scales, dest, C, M)
+        else:
+            self.resid = self.resid_scales = None
         self.sizes = jax.device_put(
             jnp.minimum(counts, M).astype(jnp.int32), self._c1_sh)
         self.rowids = None
@@ -413,6 +562,8 @@ class ShardedIVFIndex:
         get their id entry nulled so they cannot resurrect); ids already
         live are idempotent no-ops (mirrors IVFIndex.add)."""
         vectors = np.asarray(vectors, np.float32)
+        self._pin_mean(vectors)
+        vectors = self._centered(vectors)
         readd = self._deleted.intersection(ids)
         if readd:
             for i, sid in enumerate(self.ids):
@@ -446,6 +597,9 @@ class ShardedIVFIndex:
 
     def delete_all(self) -> None:
         self.centroids = self.data = self.rscales = self.sizes = None
+        self.mean = None  # re-pinned at the next ingestion
+        self.resid = self.resid_scales = None
+        self._host_resid = self._host_resid_scales = None
         self._rowids_dev = None
         self.rowids = None
         self.ids = []
@@ -532,10 +686,21 @@ class ShardedIVFIndex:
                     [self._host_codes, self.spill._sh_rows[ssel]])
                 self._host_scales = np.concatenate(
                     [self._host_scales, self.spill._sh_scales[ssel]])
+                if self._host_resid is not None:
+                    # Folded spill rows carry no residuals (they bypassed
+                    # the host refine pass): zero-extend the shadow so it
+                    # stays row-aligned for checkpoints.
+                    self._host_resid = np.concatenate(
+                        [self._host_resid,
+                         np.zeros((n, self.dim), np.int8)])
+                    self._host_resid_scales = np.concatenate(
+                        [self._host_resid_scales, np.zeros((n,), np.float32)])
             else:  # alignment lost (shouldn't happen) — degrade gracefully
                 self._host_codes = self._host_scales = None
+                self._host_resid = self._host_resid_scales = None
         else:
             self._host_codes = self._host_scales = None
+            self._host_resid = self._host_resid_scales = None
         self.ids.extend(new_ids.tolist())
         # Re-add leftovers to a fresh spill via the host shadow (sharded
         # spill rows always came through the host).
@@ -580,11 +745,20 @@ class ShardedIVFIndex:
             cl_ids = ids_arr[rowids[valid]].tolist()
             flat = self.data.reshape(-1, self.dim)
             psel = jnp.asarray(_pad_to(sel, flat.shape[0]))
+            # Residual rows follow their base rows through the rebuild
+            # (same gather indices; spill rows below carry zero residuals
+            # until their next host ingest).
+            part_r = part_rs = None
+            if self.refine and self.resid is not None:
+                part_r = jnp.take(self.resid.reshape(-1, self.dim), psel,
+                                  axis=0, mode="fill", fill_value=0)
+                part_rs = jnp.take(self.resid_scales.reshape(-1), psel,
+                                   mode="fill", fill_value=0.0)
             parts.append((
                 jnp.take(flat, psel, axis=0, mode="fill", fill_value=0),
                 jnp.take(self.rscales.reshape(-1), psel, mode="fill",
                          fill_value=0.0),
-                cl_ids, len(sel),
+                cl_ids, len(sel), part_r, part_rs,
             ))
             # Free the bucket table the moment its rows are gathered
             # (async-safe): holding it through the landing loop puts table
@@ -592,6 +766,7 @@ class ShardedIVFIndex:
             # budget at the tier's design scale.
             del flat
             self.data = self.rscales = self.sizes = None
+            self.resid = self.resid_scales = None
             self._rowids_dev = None
             self.rowids = None
         if self.spill.count:
@@ -603,7 +778,7 @@ class ShardedIVFIndex:
                 jnp.take(self.spill.buf, psel, axis=0, mode="fill",
                          fill_value=0),
                 jnp.take(self.spill.scales, psel, mode="fill", fill_value=0.0),
-                sp_ids, len(sel),
+                sp_ids, len(sel), None, None,
             ))
         n_valid = sum(p[3] for p in parts)
         T = max(PAD, -(-n_valid // PAD) * PAD)
@@ -619,27 +794,37 @@ class ShardedIVFIndex:
 
         codes = jax.device_put(jnp.zeros((T, self.dim), jnp.int8), self._row_sh)
         scales = jax.device_put(jnp.zeros((T,), jnp.float32), self._vec_sh)
+        r_codes = r_scales = None
+        if self.refine:
+            r_codes = jax.device_put(jnp.zeros((T, self.dim), jnp.int8),
+                                     self._row_sh)
+            r_scales = jax.device_put(jnp.zeros((T,), jnp.float32),
+                                      self._vec_sh)
         ids_all: list = []
         base = 0
         for pi in range(len(parts)):
-            pc, ps, pids, nreal = parts[pi]
+            pc, ps, pids, nreal, pr, prs = parts[pi]
             parts[pi] = None  # release the gathered part once landed
             idx = jnp.asarray(_pad_to(base + np.arange(nreal, dtype=np.int64),
                                       T)[: pc.shape[0]])
             codes, scales = _land(codes, scales, pc, ps, idx)
+            if self.refine and pr is not None:
+                r_codes, r_scales = _land(r_codes, r_scales, pr, prs, idx)
             ids_all.extend(pids)
             base += nreal
-            del pc, ps
+            del pc, ps, pr, prs
         ids_all.extend([None] * (T - n_valid))
         del parts
         self.data = self.rscales = self.sizes = None
+        self.resid = self.resid_scales = None
         self._rowids_dev = None
         self.rowids = None
         self.spill.delete_all()
         self._deleted.clear()
         self._live.clear()
         self.ids = []
-        self.build_device(codes, scales, ids_all, n_valid=n_valid)
+        self.build_device(codes, scales, ids_all, n_valid=n_valid,
+                          resid=r_codes, resid_scales=r_scales)
 
     # -- search ---------------------------------------------------------------
 
@@ -670,6 +855,8 @@ class ShardedIVFIndex:
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         Q = queries.shape[0]
         merged: list[dict] = [dict() for _ in range(Q)]
+        off = (queries @ self.mean
+               if self.mean is not None and self.mean.any() else None)
         if self.data is not None:
             total = int(np.asarray(self.sizes).sum())
             kk = min(k + len(self._deleted), total)
@@ -701,34 +888,48 @@ class ShardedIVFIndex:
                 for sid, v in hits:
                     if sid not in self._deleted:
                         merged[qi][sid] = v
-        return [
-            sorted(m.items(), key=lambda kv: -kv[1])[:k] for m in merged
-        ]
+        return _top_with_offset(merged, off, k)
 
     def _search_once(self, queries: np.ndarray, k: int) -> list[list[tuple]]:
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         Q = queries.shape[0]
         merged: list[dict] = [dict() for _ in range(Q)]
+        # Centered codes (table AND spill): restore true cosines with the
+        # query-constant q.mean after the merge (rank-neutral per query).
+        off = (queries @ self.mean
+               if self.mean is not None and self.mean.any() else None)
         if self.data is not None:
-            kk = min(k + len(self._deleted),
-                     int(np.asarray(self.sizes).sum()), 512)
+            total = int(np.asarray(self.sizes).sum())
+            kk = min(k + len(self._deleted), total, 512)
+            if self.rerank:
+                # Wider candidate bank for the per-shard residual rerank
+                # (the refined scores ride the existing kk-wide merge, so
+                # depth costs only the [Q, kk, D] gather per shard).
+                kk = min(max(kk, self.rerank), total, 512)
             if kk > 0:
                 M = self.data.shape[1]
                 # Keyed by (kk, nprobe): recall-target calibration searches
                 # once at nprobe=C, and a kk-only key would serve that
                 # all-probe executable a stale routing width.
-                fn = self._search_cache.get((kk, self.nprobe))
+                use_refine = self.refine and self.resid is not None
+                fn = self._search_cache.get((kk, self.nprobe, use_refine))
                 if fn is None:
                     fn = make_ivf_search_fn(
                         self.mesh, self.axis, self.Cp, M, self.nprobe, kk,
-                        self.use_fused, self.dtype, interpret=self.interpret)
-                    self._search_cache[(kk, self.nprobe)] = fn
+                        self.use_fused, self.dtype, interpret=self.interpret,
+                        refine=use_refine)
+                    self._search_cache[(kk, self.nprobe, use_refine)] = fn
                 # The margin rides in as a dynamic scalar (4.0 = keep-all
                 # sentinel): retuning prune_margin reuses the executable.
                 margin = jnp.float32(4.0 if self.prune_margin is None
                                      else self.prune_margin)
-                vals, gidx = fn(self.centroids, self.data, self.rscales,
-                                self.sizes, jnp.asarray(queries), margin)
+                if use_refine:
+                    vals, gidx = fn(self.centroids, self.data, self.rscales,
+                                    self.sizes, self.resid, self.resid_scales,
+                                    jnp.asarray(queries), margin)
+                else:
+                    vals, gidx = fn(self.centroids, self.data, self.rscales,
+                                    self.sizes, jnp.asarray(queries), margin)
                 # Map winners to original rows ON DEVICE (rowid table fetch
                 # is prohibitive through a remote tunnel; a [Q, kk] gather
                 # is free).
@@ -750,9 +951,7 @@ class ShardedIVFIndex:
                 for sid, v in hits:
                     if sid not in self._deleted:
                         merged[qi][sid] = v
-        return [
-            sorted(m.items(), key=lambda kv: -kv[1])[:k] for m in merged
-        ]
+        return _top_with_offset(merged, off, k)
 
     def calibrate_margin(self, queries: np.ndarray | None = None,
                          k: int = 10, target_overlap: float = 0.97,
@@ -823,6 +1022,22 @@ class ShardedIVFIndex:
                         jnp.take(self.data.reshape(-1, self.dim), sel, axis=0))
                     arrs["cluster_scales"] = np.asarray(
                         jnp.take(self.rscales.reshape(-1), sel))
+                if self.refine:
+                    # Residuals follow codes through checkpoints (same
+                    # contract as IVFIndex): host shadow when the corpus
+                    # came through the host, slot-order device gather
+                    # otherwise.
+                    if (self._host_resid is not None
+                            and len(self._host_resid) > rid_sel.max(initial=-1)):
+                        arrs["cluster_resid"] = self._host_resid[rid_sel]
+                        arrs["cluster_resid_scales"] = (
+                            self._host_resid_scales[rid_sel])
+                    elif self.resid is not None:
+                        sel = jnp.asarray(np.nonzero(valid.reshape(-1))[0])
+                        arrs["cluster_resid"] = np.asarray(jnp.take(
+                            self.resid.reshape(-1, self.dim), sel, axis=0))
+                        arrs["cluster_resid_scales"] = np.asarray(
+                            jnp.take(self.resid_scales.reshape(-1), sel))
             else:
                 arrs["cluster_assign"] = np.zeros((0,), np.int32)
                 arrs["cluster_ids"] = np.zeros((0,), np.str_)
@@ -839,8 +1054,12 @@ class ShardedIVFIndex:
             "nprobe": self.nprobe,
             "bucket_factor": self.bucket_factor,
             "dtype": self.dtype,
+            "refine": self.refine,
+            "rerank": self.rerank,
             "deleted": sorted(str(s) for s in self._deleted),
         }
+        if self.mean is not None:
+            meta["mean"] = [float(x) for x in self.mean]
         tmp = path + ".meta.json.tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
             _json.dump(meta, fh)
@@ -858,6 +1077,10 @@ class ShardedIVFIndex:
         with open(path + ".meta.json", "r", encoding="utf-8") as fh:
             meta = _json.load(fh)
         deleted = set(meta.get("deleted", []))
+        if "mean" in meta:
+            # Pin BEFORE any codes land: table and spill rows on disk are
+            # stored centered against this mean.
+            self.mean = np.asarray(meta["mean"], np.float32)
         arrs = np.load(path + ".npz")
         restored = 0
         cids = arrs["cluster_ids"]
@@ -867,13 +1090,20 @@ class ShardedIVFIndex:
             codes = arrs["cluster_codes"][keep]
             scales = arrs["cluster_scales"][keep]
             kept_ids = [str(s) for s in cids[keep]]
+            r_codes = r_scales = None
+            if self.refine and "cluster_resid" in arrs:
+                r_codes = arrs["cluster_resid"][keep]
+                r_scales = arrs["cluster_resid_scales"][keep]
             # Re-pack with the saved centroids: call build_device but skip
             # retraining by seeding centroids first.
             self.centroids = jax.device_put(
                 jnp.asarray(arrs["centroids"]), self._rep)
-            self._pack_with_centroids(codes, scales, kept_ids)
+            self._pack_with_centroids(codes, scales, kept_ids,
+                                      resid=r_codes, resid_scales=r_scales)
             self._host_codes = codes
             self._host_scales = scales
+            self._host_resid = r_codes
+            self._host_resid_scales = r_scales
             restored += len(kept_ids)
         if _os.path.exists(path + ".spill.meta.json"):
             n = self.spill.restore(path + ".spill")
@@ -887,7 +1117,8 @@ class ShardedIVFIndex:
         return restored
 
     def _pack_with_centroids(self, codes: np.ndarray, scales: np.ndarray,
-                             ids: list) -> None:
+                             ids: list, resid: np.ndarray | None = None,
+                             resid_scales: np.ndarray | None = None) -> None:
         """Assign + scatter host rows against existing centroids (restore
         path — no k-means)."""
         n = codes.shape[0]
@@ -917,6 +1148,20 @@ class ShardedIVFIndex:
         dest, _ = bucket_pack_dest(assign, counts, C, M)
         self.data, self.rscales, self._rowids_dev = self._pack_scatter_sharded()(
             vecs_q, dscales, dest, C, M)
+        if self.refine:
+            if resid is not None:
+                rp = np.zeros((n_pad, self.dim), np.int8)
+                rp[:n] = resid
+                rsp = np.zeros((n_pad,), np.float32)
+                rsp[:n] = resid_scales
+                r_dev = jax.device_put(jnp.asarray(rp), self._row_sh)
+                rs_dev = jax.device_put(jnp.asarray(rsp), self._vec_sh)
+            else:  # pre-refine checkpoint: zero residuals (plain rerank)
+                r_dev = jax.device_put(jnp.zeros_like(vecs_q), self._row_sh)
+                rs_dev = jax.device_put(jnp.zeros((n_pad,), jnp.float32),
+                                        self._vec_sh)
+            self.resid, self.resid_scales = self._pack_scatter_resid_sharded()(
+                r_dev, rs_dev, dest, C, M)
         self.sizes = jax.device_put(
             jnp.minimum(counts, M).astype(jnp.int32), self._c1_sh)
         self.rowids = None
