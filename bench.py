@@ -525,7 +525,7 @@ def bench_scale_10m(rpc: float) -> dict:
                        precision=jax.lax.Precision.HIGHEST)
         bv, bi = blockwise_topk(s, K)
         allv = jnp.concatenate([run_v, bv], axis=1)
-        alli = jnp.concatenate([run_i, bi.astype(jnp.int64) + base], axis=1)
+        alli = jnp.concatenate([run_i, bi.astype(jnp.int32) + base], axis=1)
         sel_v, sel = jax.lax.top_k(allv, K)
         return sel_v, jnp.take_along_axis(alli, sel, axis=1)
 
@@ -544,7 +544,7 @@ def bench_scale_10m(rpc: float) -> dict:
 
     t0 = time.perf_counter()
     run_v = jnp.full((Q, K), -jnp.inf, jnp.float32)
-    run_i = jnp.full((Q, K), N10, jnp.int64)
+    run_i = jnp.full((Q, K), N10, jnp.int32)
     for i in range(N10 // BLK):
         run_v, run_i = oracle_block(jax.random.PRNGKey(100 + i), qs32[0],
                                     run_v, run_i, i * BLK)
@@ -554,7 +554,7 @@ def bench_scale_10m(rpc: float) -> dict:
 
     def true_scores(ids_np: np.ndarray) -> np.ndarray:
         acc = jnp.zeros(ids_np.shape, jnp.float32)
-        idsd = jnp.asarray(ids_np, jnp.int64)
+        idsd = jnp.asarray(ids_np, jnp.int32)
         for i in range(N10 // BLK):
             acc = gather_block_scores(jax.random.PRNGKey(100 + i), qs32[0],
                                       idsd, i * BLK, acc)
