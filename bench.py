@@ -1183,27 +1183,27 @@ def bench_realtext_ivf() -> dict:
     ids_all, mask_all = _enc_win(windows, engine.tokenizer,
                                  engine.max_seq_length)
     tokenize_s = time.perf_counter() - t0
-    jit_fn = engine._jit_apply()
     B = engine.max_batch
+    # Warm the bulk-ingest executable BEFORE the timed section. r3/r4
+    # both timed the first-call compile inside "device_s" (r3: 1,235 w/s,
+    # r4: 729 — the "regression" was compile/cache-load noise of two
+    # different executables, ~10-15s of a ~19s reading); steady-state
+    # device throughput is ~4,300 w/s at B=512 with the bf16 residual
+    # stream. The timed pass drives the PRODUCTION large-ingest path
+    # (EmbeddingEngine._encode_bulk: fixed-shape super-chunk uploads +
+    # on-device dynamic_slice per batch); `phases` is its own telemetry.
+    engine._encode_padded(ids_all[: 8 * B], mask_all[: 8 * B])
+    phases: dict = {}
     t0 = time.perf_counter()
-    chunks = []
-    for lo in range(0, NW, B):
-        ci, cm = ids_all[lo:lo + B], mask_all[lo:lo + B]
-        if len(ci) < B:  # pad the tail chunk to the compiled shape
-            pad = B - len(ci)
-            ci = np.concatenate([ci, np.zeros((pad, ci.shape[1]), np.int32)])
-            cm = np.concatenate([cm, np.zeros((pad, cm.shape[1]), np.int32)])
-            cm[len(cm) - pad:, 0] = 1
-        chunks.append(jit_fn(engine.params, _jnp.asarray(ci),
-                             _jnp.asarray(cm)))
-    float(chunks[-1][0, 0])  # device completion sync (execution in-order)
-    device_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    vecs = np.concatenate([np.asarray(c).astype(np.float32, copy=False)
-                           for c in chunks])[:NW]
-    fetch_s = time.perf_counter() - t0
-    del chunks
-    encode_s = tokenize_s + device_s + fetch_s
+    vecs = engine._encode_bulk(ids_all, mask_all,
+                               np.empty((NW, engine.dim), np.float32),
+                               phases=phases)
+    encode_pass_s = time.perf_counter() - t0
+    # dispatch_s includes the (overlapped) super-chunk uploads; the sync
+    # point is pure remaining device time; fetch is the f16 result pull.
+    device_s = phases["dispatch_s"] + phases["device_sync_s"]
+    fetch_s = phases["fetch_s"]
+    encode_s = tokenize_s + encode_pass_s
     vecs = vecs / np.maximum(
         np.linalg.norm(vecs, axis=1, keepdims=True), 1e-9)
     # Encoder FLOPs: 12 layers x (QKV+out projections 4*D^2, FFN 2*D*I)
@@ -1218,6 +1218,7 @@ def bench_realtext_ivf() -> dict:
     tflops = NW * L * per_tok / max(device_s, 1e-9) / 1e12
     encode_roofline = {
         "tokenize_s": round(tokenize_s, 2),
+        "dispatch_s": round(phases["dispatch_s"], 2),
         "device_s": round(device_s, 2),
         "fetch_s": round(fetch_s, 2),
         "fetch_dtype": engine.fetch_dtype,
