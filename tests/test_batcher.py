@@ -134,3 +134,37 @@ def test_fused_query_path_int8_and_deletes(tmp_path):
     store.delete(["q7"])
     top = fused.search_texts(store, [corpus[7]], 3)[0]
     assert top and top[0][0] != "q7"
+
+
+def test_search_batcher_warmup_compiles_bucket_lattice(tmp_path):
+    """r5: warmup() must touch every (Q bucket <= max_batch) executable
+    for a fused-path store — an unwarmed straggler bucket compiles inside
+    a request (~20s through the tunnel; the r4 serve stage's 0.018x).
+    On a non-fused store it is a 0-executable no-op."""
+    settings = Settings.from_env(
+        db_uri=f"sqlite://{tmp_path}/w.db",
+        vector_uri=f"tpu://{tmp_path}/vec?dtype=float32&capacity=256",
+        embedding_model="random",
+    )
+    settings.embedding_dim = 64
+    settings.search_max_batch = 100  # buckets to 128
+    rt = Runtime(settings)
+    rt._engine = tiny_engine()
+    store = rt.store("wcol")
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((32, 64)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    store.add_vectors(
+        [VectorData(id=f"s{i}", document_id="d", text="t", vector=vecs[i])
+         for i in range(32)]
+    )
+    # _Q_BUCKETS = (1, 8, 32, 64, 128, 256); max_batch=100 -> top bucket
+    # 128 -> exactly 5 executables warmed for one seq bucket.
+    n = rt.search_batcher.warmup("wcol")
+    assert n == 5
+    hits = rt.search_batcher.search("wcol", "query", 3)
+    assert len(hits) == 3
+    # empty store -> no fused path -> no-op
+    rt.store("empty_col")
+    assert rt.search_batcher.warmup("empty_col") == 0
+    rt.search_batcher.close()
