@@ -137,8 +137,15 @@ class Microbatcher:
             if self.run_batch_async is not None:
                 self._sem.acquire()  # blocks at the pipeline-depth limit
                 try:
+                    import time as _t
+
+                    _t0 = _t.perf_counter()
                     with METRICS.timer(f"batcher.{self.name}.dispatch"):
                         finish = self.run_batch_async([p.item for p in batch])
+                    # Delta-able totals (the timer ring mixes history
+                    # across workloads; stage telemetry needs deltas).
+                    METRICS.inc(f"batcher.{self.name}.dispatch_us",
+                                int((_t.perf_counter() - _t0) * 1e6))
                 except Exception as exc:
                     self._sem.release()
                     logger.exception("batch %s dispatch failed", self.name)
@@ -163,8 +170,13 @@ class Microbatcher:
 
     def _complete_one(self, batch: list[_Pending], finish) -> None:
         try:
+            import time as _t
+
+            _t0 = _t.perf_counter()
             with METRICS.timer(f"batcher.{self.name}.complete"):
                 results = finish()
+            METRICS.inc(f"batcher.{self.name}.complete_us",
+                        int((_t.perf_counter() - _t0) * 1e6))
             self._resolve(batch, results)
         except Exception as exc:
             logger.exception("batch %s completion failed", self.name)
