@@ -145,11 +145,16 @@ def main(argv=None) -> int:
                              args.max_new, eos_id=-1)
     jax.block_until_ready(toks)
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    toks, _ = generate(cfg, params, prompt, jnp.int32(P), key, sc,
-                       args.max_new, eos_id=-1)
-    float(toks[-1])
-    batch_s = time.perf_counter() - t0
+    # Best-of-3: a single sample through the tunnel can eat a multi-second
+    # RPC stall (one full-bench run recorded 12.6 tok/s batch vs 290
+    # steady-state purely from such a stall).
+    batch_s = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        toks, _ = generate(cfg, params, prompt, jnp.int32(P), key, sc,
+                           args.max_new, eos_id=-1)
+        float(toks[-1])
+        batch_s = min(batch_s, time.perf_counter() - t0)
 
     # -- streaming path (prefill + chunked decode) -----------------------------
     # stream_decode_bench owns the carry lifecycle: decode_chunk DONATES
