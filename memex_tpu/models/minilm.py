@@ -295,9 +295,13 @@ class MiniLMEncoder:
         # Boolean key mask for jax.nn.dot_product_attention (XLA's fused
         # attention path — ~40% faster than hand-rolled einsum+softmax at
         # [256, 256] on v5e, numerically equivalent under
-        # --xla_allow_excess_precision; the pallas flash kernel was tried
-        # and is 2.4x SLOWER here — head_dim 32 wastes 3/4 of its 128-lane
-        # MXU tiles).
+        # --xla_allow_excess_precision). Two pallas replacements were
+        # measured and REJECTED at this geometry (r5): the stock flash
+        # kernel is 2.4x slower (block sizes sized for head_dim >= 128),
+        # and a custom VMEM-resident per-head kernel lands at ~8ms/layer
+        # vs XLA's ~5.7 — the per-head [256,32]x[32,256] dots cap the MXU
+        # at 25% lane utilization, so XLA's bf16-scores path is already
+        # within ~10% of this shape's structural floor.
         key_mask = mask.astype(bool)[:, None, None, :]
 
         for lp in params["layers"]:
