@@ -1109,6 +1109,12 @@ class ShardedIVFIndex:
             n = self.spill.restore(path + ".spill")
             self._live.update(self.spill._id_to_row)
             restored += n
+        if restored and self.mean is None:
+            # Pre-centering checkpoint (no "mean" in meta): its codes are
+            # RAW. Pin zero-mean NOW — otherwise the next add() would pin
+            # a fresh mean and center new spill rows against a table of
+            # raw codes, skewing every merged score by q.mean.
+            self.mean = np.zeros((self.dim,), np.float32)
         self._ckpt_path = path
         # When deletes were filtered, the on-disk base still contains the
         # dead rows while _deleted is left empty — rewrite the compacted

@@ -332,3 +332,53 @@ class TestShardedIVFRefine:
             f"tpu+ivf+mesh://{tmp_path}/vec?refine=1&nprobe=16",
             "c_refine", dim=32)
         assert store.index.refine and store.index.rerank
+
+
+class TestShardedCenteringCompat:
+    def test_legacy_checkpoint_pins_zero_mean(self, rng, mesh, tmp_path):
+        """A pre-centering checkpoint stores RAW codes and no mean; restore
+        must pin mean=0 so later adds don't center new rows against a raw
+        table (every merged score would shift by q.mean)."""
+        import json as _json
+
+        v = clustered(rng, 2048, 32)
+        idx = ShardedIVFIndex(dim=32, mesh=mesh, n_clusters=8, nprobe=8,
+                              use_fused=False, center=False)  # raw codes
+        idx.build(v, [f"v{i}" for i in range(len(v))])
+        assert not idx.mean.any()
+        path = os.path.join(tmp_path, "legacy")
+        idx.save(path)
+        # simulate a pre-r5 meta: strip the mean key
+        meta = _json.load(open(path + ".meta.json"))
+        meta.pop("mean", None)
+        _json.dump(meta, open(path + ".meta.json", "w"))
+
+        back = ShardedIVFIndex(dim=32, mesh=mesh, n_clusters=8, nprobe=8,
+                               use_fused=False)  # center defaults ON
+        assert back.restore(path) == len(v)
+        assert back.mean is not None and not back.mean.any()
+        # adds stay in the raw code space; scores agree with true cosines
+        back.add(v[:2] * 0.995 + 0.001, ["x0", "x1"])
+        hits = back.search(v[:2], 3)
+        for qi in range(2):
+            for sid, score in hits[qi]:
+                assert score <= 1.01, (sid, score)  # no q.mean inflation
+
+    def test_centered_checkpoint_roundtrip_scores(self, rng, mesh, tmp_path):
+        v = clustered(rng, 2048, 32)
+        idx = ShardedIVFIndex(dim=32, mesh=mesh, n_clusters=8, nprobe=8,
+                              use_fused=False)
+        idx.build(v, [f"v{i}" for i in range(len(v))])
+        assert idx.mean is not None
+        path = os.path.join(tmp_path, "centered")
+        idx.save(path)
+        back = ShardedIVFIndex(dim=32, mesh=mesh, n_clusters=8, nprobe=8,
+                               use_fused=False)
+        assert back.restore(path) == len(v)
+        np.testing.assert_allclose(back.mean, idx.mean)
+        a = idx.search(v[:4], 5)
+        b = back.search(v[:4], 5)
+        for qi in range(4):
+            assert [s for s, _ in a[qi]] == [s for s, _ in b[qi]]
+            np.testing.assert_allclose([x for _, x in a[qi]],
+                                       [x for _, x in b[qi]], atol=1e-5)
