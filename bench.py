@@ -1082,7 +1082,73 @@ def bench_sharded_ivf(rpc: float) -> dict:
             len({int(s) for s, _ in hits_p[i]} & set(ei[i].tolist())) / K
             for i in range(Q)
         ])), 4)
+    del sivf
+
+    # --- refine variant ON HARDWARE (r5): host-built 256k anisotropic
+    # corpus (residual codes need an f32 source), centered int8 + per-
+    # shard residual rerank before the collective merge, recall vs a
+    # true-f32 HIGHEST oracle computed on device. The CPU-mesh suite
+    # proves N-way partitioning; this proves the refine SPMD program
+    # runs the real MXU and holds f32-fidelity recall where plain int8
+    # cannot (the whole reason the tier exists, r4 verdict item 6).
+    try:
+        row["refine"] = _sharded_refine_hw(rpc)
+    except Exception as exc:  # pragma: no cover - bench resilience
+        row["refine_error"] = repr(exc)[:200]
     return row
+
+
+def _sharded_refine_hw(rpc: float) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from memex_tpu.index.sharded_ivf import ShardedIVFIndex
+    from memex_tpu.native_lib import np_normalize_rows
+
+    Nr = 1 << 18
+    rng = np.random.default_rng(11)
+    # Anisotropic mixture at pairwise cos ~0.99: ranking information sits
+    # below raw-int8 resolution — the regime centering + refine exist for
+    # (random-weight sentence embeddings measure mean cos ~0.995).
+    mu = np_normalize_rows(rng.standard_normal((1, D)).astype(np.float32))[0]
+    v = mu[None, :] + 0.07 * rng.standard_normal((Nr, D)).astype(np.float32)
+    v = np_normalize_rows(v)
+    qs = v[rng.choice(Nr, Q, replace=False)].copy()
+
+    # True-f32 oracle on device (one HIGHEST matmul over the f32 corpus).
+    vd = jnp.asarray(v)
+    sc = jnp.einsum("qd,nd->qn", jnp.asarray(qs), vd,
+                    precision=jax.lax.Precision.HIGHEST)
+    from memex_tpu.ops.topk import blockwise_topk
+
+    _, oracle = blockwise_topk(sc, K)
+    oracle = np.asarray(oracle)
+    del vd, sc
+
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    out = {}
+    for name, kw in (("plain", {}), ("refine", {"refine": True})):
+        idx = ShardedIVFIndex(dim=D, mesh=mesh, n_clusters=256, nprobe=64,
+                              **kw)
+        t0 = time.perf_counter()
+        idx.build(v, list(range(Nr)))
+        build_s = time.perf_counter() - t0
+        hits = idx.search(qs, K)  # warm: SPMD executable compiles HERE
+        t0 = time.perf_counter()
+        for _ in range(4):  # production path, per-call fetch included
+            idx.search(qs, K)
+        qps = 4 * Q / max(time.perf_counter() - t0, 1e-9)
+        rec = float(np.mean([
+            len({int(s) for s, _ in hits[i]} & set(oracle[i].tolist())) / K
+            for i in range(Q)
+        ]))
+        out[name] = {"build_s": round(build_s, 1),
+                     "qps_q32_e2e": round(qps, 1),
+                     "recall_at_10_vs_exact_f32": round(rec, 4)}
+        del idx
+    return out
 
 
 def bench_recall_vs_hnsw(rpc: float) -> dict:
@@ -1945,7 +2011,7 @@ def main() -> None:
 
     stages = [
         ("scale_10M", 600, lambda: bench_scale_10m(rpc)),
-        ("sharded_ivf_1M", 240, lambda: bench_sharded_ivf(rpc)),
+        ("sharded_ivf_1M", 420, lambda: bench_sharded_ivf(rpc)),
         ("recall_vs_hnsw", 300, lambda: bench_recall_vs_hnsw(rpc)),
         ("llm_decode", 420, bench_llm),
         ("ivf_prune_realtext", 360, bench_realtext_ivf),
