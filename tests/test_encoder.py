@@ -132,3 +132,35 @@ def test_fetch_dtype_f16_close_and_pipelined_chunks_ordered():
     # single-chunk path agrees with the multi-chunk pipeline
     one = tiny_engine(max_batch=64).encode_batch(texts)
     np.testing.assert_allclose(one, va, atol=1e-5)
+
+
+def test_bulk_encode_matches_chunked_path():
+    """r5: large ingests (> 8 x max_batch rows) take _encode_bulk
+    (fixed-shape super-chunk uploads + on-device dynamic_slice). Must be
+    bit-equal to the per-chunk path, including the padded tail, and must
+    reuse ONE slice executable across different corpus sizes."""
+    eng = tiny_engine(max_batch=8)  # bulk path at N >= 64
+    texts = [f"bulk window text number {i}" for i in range(70)]
+    import numpy as np
+
+    from memex_tpu.text import encode_windows
+
+    ids, mask = encode_windows(texts, eng.tokenizer, eng.max_seq_length)
+    out_bulk = np.empty((len(texts), eng.dim), np.float32)
+    phases: dict = {}
+    out_bulk = eng._encode_bulk(ids, mask, out_bulk, phases=phases)
+    assert set(phases) == {"dispatch_s", "device_sync_s", "fetch_s"}
+
+    # chunked reference: force the small path by raising the threshold
+    eng2 = tiny_engine(max_batch=128)  # 70 < 8*128 -> chunked
+    eng2.params = eng.params  # same weights
+    out_chunk = eng2._encode_padded(ids, mask)
+    np.testing.assert_allclose(out_bulk, out_chunk, atol=1e-5)
+
+    # different N, same executable (no recompile per corpus size)
+    fn_before = eng._bulk_fn
+    ids2, mask2 = encode_windows(texts[:65], eng.tokenizer, eng.max_seq_length)
+    out2 = eng._encode_bulk(ids2, mask2,
+                            np.empty((65, eng.dim), np.float32))
+    assert eng._bulk_fn is fn_before
+    np.testing.assert_allclose(out2, out_chunk[:65], atol=1e-5)
