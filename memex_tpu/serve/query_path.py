@@ -37,9 +37,11 @@ import numpy as np
 
 from ..index.flat import (
     FlatIndex,
+    _exact_flat_rerank,
     _search_masked_fused,
     _search_masked_fused_int4,
     _search_masked_fused_int8,
+    _search_rerank_fused,
     _search_xla,
 )
 from ..embed.engine import seq_bucket
@@ -59,31 +61,60 @@ def _bucket(n, buckets):
     return buckets[-1]
 
 
-@partial(jax.jit, static_argnames=("enc_cfg", "k", "dtype", "use_fused",
-                                   "qquant", "block_n"))
+@partial(jax.jit, static_argnames=("enc_cfg", "k", "k_ret", "dtype",
+                                   "use_fused", "qquant", "block_n", "exact"))
 def _encode_and_search(params, ids, mask, buf, scales, alive, count, buf8,
-                       mean, *, enc_cfg, k: int, dtype: str, use_fused: bool,
-                       qquant: bool, block_n: int):
+                       rbuf, rbuf_scales, mean, *, enc_cfg, k: int,
+                       k_ret: int, dtype: str, use_fused: bool,
+                       qquant: bool, block_n: int, exact: bool):
+    """Encoder forward + the EXACT branch structure of FlatIndex.search
+    (flat.py), composed into one executable — including the fused
+    scan+rerank path for rerank/refine stores (r5: the serve path used
+    to drop the rerank on int8 stores, silently serving coarse-int8
+    rankings from a store configured for f32-fidelity recall)."""
     queries = MiniLMEncoder(enc_cfg).apply(params, ids, mask)  # unit vectors
-    if use_fused and dtype == "int4":
+    kk = min(max(4 * k, k_ret), 128)
+    if use_fused and k_ret > k:
+        # Scan + exact/refine rerank in ONE executable (FlatIndex.search
+        # rerank branch; rbuf/rbuf_scales are the residual store or None).
+        if dtype == "int4":
+            kk_arg = min(max(64, 2 * k_ret), 1024)
+            deferred = ids.shape[0] <= 64
+        else:
+            kk_arg, deferred = kk, False
+        vals, rows = _search_rerank_fused(
+            buf, scales, buf8 if dtype == "int4" else None,
+            rbuf, rbuf_scales, alive, count, queries, k, k_ret, kk_arg,
+            block_n, qquant, deferred, dtype, False, exact)
+    elif use_fused and dtype == "int4":
         vals, rows = _search_masked_fused_int4(
             buf, scales, buf8, alive, count, queries, k, block_n=block_n,
             rerank=min(max(64, 2 * k), 1024),
+            deferred=ids.shape[0] <= 64,
         )
     elif use_fused and dtype == "int8":
         vals, rows = _search_masked_fused_int8(
             buf, scales, alive, count, queries, k, block_n=block_n, qquant=qquant
         )
     elif use_fused:
-        vals, rows = _search_masked_fused(buf, alive, count, queries, k)
-    elif dtype == "int4":  # XLA fallback scores from the int8 rerank copy
-        vals, rows = _search_xla(buf8, scales, alive, count, queries, k)
+        vals, rows = _search_masked_fused(buf, alive, count, queries, k,
+                                          exact=exact, keep2=exact)
     else:
-        vals, rows = _search_xla(buf, scales, alive, count, queries, k)
+        # XLA fallback (CPU tests / wide k): int4 scores from the int8
+        # rerank copy; rerank composes as a second stage like
+        # FlatIndex.search's cold path.
+        src = buf8 if dtype == "int4" else buf
+        vals, rows = _search_xla(src, scales, alive, count, queries, k_ret,
+                                 exact=exact)
+        if k_ret > k:
+            vals, rows = _exact_flat_rerank(
+                src, scales, queries, vals, rows, k,
+                rbuf=rbuf, rbuf_scales=rbuf_scales)
     if mean is not None:
         # Centered storage: the kernels ranked by the (rank-equivalent)
         # residual score; restore true cosines with the query-constant
         # q.mean — here it stays on device, fused into the same dispatch.
+        # Rank-safe after the rerank too: the offset is query-constant.
         vals = vals + (queries @ mean)[:, None]
     return vals, rows
 
@@ -166,9 +197,13 @@ class FusedQueryPath:
         return _Dispatched([(vals, rows, ids_snapshot, count, len(texts), k)])
 
     def _dispatch_device(self, index: FlatIndex, ids, mask, k: int, count: int):
-        """The jitted call itself; caller holds the store lock."""
+        """The jitted call itself; caller holds the store lock. Mirrors
+        FlatIndex.search's operating-point math (k_ret/use_fused/block)
+        so rerank/refine stores keep their quality through the batcher."""
         k_eff = min(_bucket(k, _K_BUCKETS), count)
-        use_fused = index.use_fused and k_eff <= 128
+        rer = index.rerank or 0
+        k_ret = min(max(k_eff, rer), count) if rer else k_eff
+        use_fused = index.use_fused and k_ret <= 128
         if index.dtype == "int4":
             bn = min(32768, index.capacity)
         elif index.query_quantize:
@@ -178,9 +213,11 @@ class FusedQueryPath:
         return _encode_and_search(
             self.engine.params, jnp.asarray(ids), jnp.asarray(mask),
             index.buf, index.scales, index.alive, count, index.buf8,
-            _mean_dev(index),
-            enc_cfg=self.engine.cfg, k=k_eff, dtype=index.dtype,
-            use_fused=use_fused, qquant=index.query_quantize, block_n=bn,
+            index.rbuf, index.rbuf_scales, _mean_dev(index),
+            enc_cfg=self.engine.cfg, k=k_eff, k_ret=k_ret,
+            dtype=index.dtype, use_fused=use_fused,
+            qquant=index.query_quantize, block_n=bn,
+            exact=index.scan_precision == "highest",
         )
 
     # -- warmup --------------------------------------------------------------

@@ -168,3 +168,45 @@ def test_search_batcher_warmup_compiles_bucket_lattice(tmp_path):
     rt.store("empty_col")
     assert rt.search_batcher.warmup("empty_col") == 0
     rt.search_batcher.close()
+
+
+def test_fused_query_path_keeps_refine_rerank(tmp_path):
+    """r5: a rerank/refine store must keep its exact-rerank quality
+    through the serve path — the fused path used to drop the rerank for
+    int8 stores (coarse-int8 rankings from an f32-fidelity store)."""
+    import numpy as np
+
+    from memex_tpu.serve.query_path import FusedQueryPath
+    from memex_tpu.store.base import VectorData
+    from test_encoder import tiny_engine
+
+    settings = Settings.from_env(
+        db_uri=f"sqlite://{tmp_path}/r.db",
+        vector_uri=f"tpu://{tmp_path}/vec?dtype=int8&refine=1&capacity=4096",
+        embedding_model="random",
+    )
+    settings.embedding_dim = 64
+    rt = Runtime(settings)
+    rt._engine = tiny_engine()
+    store = rt.store("rcol")
+    assert store.index.refine and store.index.rerank
+
+    # near-tie corpus IN EMBEDDING SPACE: many texts whose tiny-encoder
+    # vectors sit close — plain int8 misranks, the refine rerank fixes it
+    texts = [f"common shared prefix words tail{i}" for i in range(512)]
+    vecs = rt.engine.encode_batch(texts)
+    store.add_vectors(
+        [VectorData(id=f"s{i}", document_id="d", text=texts[i], vector=vecs[i])
+         for i in range(len(texts))]
+    )
+    fused = FusedQueryPath(rt.engine)
+    queries = [texts[7], texts[300]]
+    got = fused.search_texts(store, queries, 5)
+    want = store.search_batch(
+        np.stack([vecs[7], vecs[300]]), 5)
+    for qi in range(2):
+        assert [sid for sid, _ in got[qi]] == [h.id for h in want[qi]], (
+            got[qi], [(h.id, h.score) for h in want[qi]])
+        np.testing.assert_allclose(
+            [s for _, s in got[qi]], [h.score for h in want[qi]], atol=1e-4)
+    rt.search_batcher.close()
