@@ -210,3 +210,46 @@ def test_fused_query_path_keeps_refine_rerank(tmp_path):
         np.testing.assert_allclose(
             [s for _, s in got[qi]], [h.score for h in want[qi]], atol=1e-4)
     rt.search_batcher.close()
+
+
+def test_pipelined_batcher_bounds_inflight_and_propagates_finish_errors():
+    """r5 pipeline mode: dispatches must stop at the semaphore depth when
+    completions stall (backpressure, not unbounded queueing), and a
+    finish() exception must land on that batch's futures only."""
+    import time
+
+    gate = threading.Event()
+    dispatched = []
+
+    def run_async(items):
+        dispatched.append(list(items))
+
+        def finish():
+            gate.wait(10)
+            if items[0] == "boom":
+                raise ValueError("finish failed")
+            return [x * 2 for x in items]
+
+        return finish
+
+    mb = Microbatcher(run_batch_async=run_async, max_batch=1,
+                      max_wait_ms=1.0, name="pipe", pipeline_depth=3,
+                      completer_threads=2)
+    futs = [mb.submit(i) for i in range(8)]
+    time.sleep(0.5)  # let the loop dispatch as far as backpressure allows
+    # depth 3 in flight + up to completer_threads already pulled = bounded
+    assert len(dispatched) <= 5, dispatched
+    gate.set()
+    assert [f.result(timeout=10) for f in futs] == [i * 2 for i in range(8)]
+
+    gate.clear()
+    bad = mb.submit("boom")
+    ok = mb.submit(21)
+    gate.set()
+    try:
+        bad.result(timeout=10)
+        raise AssertionError("expected finish() error")
+    except ValueError:
+        pass
+    assert ok.result(timeout=10) == 42  # later batch unaffected
+    mb.close()
