@@ -224,3 +224,32 @@ def test_fuzz_sharded_ivf_lifecycle(tmp_path, mesh, seed):
                                 use_fused=False),
         seed, tmp_path, steps=24,
     )
+
+
+@pytest.mark.parametrize("seed", [4, 13])
+def test_fuzz_ivf_refine_lifecycle(tmp_path, seed):
+    """Residual-refine store through the same random walk: residual codes
+    must survive every interleaving (fold/rebuild/save/load) without
+    resurrecting rows or losing the rerank's id mapping."""
+    _run_fuzz(
+        lambda: IVFIndex(dim=16, n_clusters=4, nprobe=4, dtype="int8",
+                         use_fused=False, refine=True),
+        seed, tmp_path,
+    )
+
+
+@pytest.mark.parametrize("seed", [9])
+def test_fuzz_flat_refine_lifecycle(tmp_path, seed):
+    _run_fuzz(lambda: FlatIndex(dim=16, dtype="int8", use_fused=False,
+                                refine=True), seed, tmp_path)
+
+
+@pytest.mark.parametrize("seed", [19])
+def test_fuzz_sharded_ivf_refine_lifecycle(tmp_path, mesh, seed):
+    from memex_tpu.index.sharded_ivf import ShardedIVFIndex
+
+    _run_fuzz_sharded(
+        lambda: ShardedIVFIndex(dim=16, mesh=mesh, n_clusters=4, nprobe=4,
+                                use_fused=False, refine=True),
+        seed, tmp_path, steps=24,
+    )
