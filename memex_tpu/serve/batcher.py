@@ -219,13 +219,31 @@ class SearchBatcher:
         bucket compiles inside a request (see FusedQueryPath.warmup)."""
         from .query_path import _Q_BUCKETS, FusedQueryPath, _bucket
 
+        import numpy as np
+
         store = self.rt.store(collection)
         if self._fused is None:
             self._fused = FusedQueryPath(self.rt.engine)
         top = _bucket(self._mb.max_batch, _Q_BUCKETS)
         buckets = tuple(b for b in _Q_BUCKETS if b <= top)
-        return self._fused.warmup(store, k=k, seq_lens=seq_lens,
-                                  q_buckets=buckets)
+        if self._fused.supports(store):
+            return self._fused.warmup(store, k=k, seq_lens=seq_lens,
+                                      q_buckets=buckets)
+        # Non-fused TPU-family stores (IVF/mesh): their index executables
+        # key on the query-batch bucket too; warm them through the same
+        # search_batch path the dispatch loop uses. Remote/HNSW stores
+        # have no device executables — skip (a remote warmup would fire
+        # real HTTP traffic).
+        index = getattr(store, "index", None)
+        if index is None or getattr(index, "count", 0) == 0:
+            return 0
+        dim = getattr(store, "dim", None) or getattr(index, "dim", 0)
+        n = 0
+        for B in buckets:
+            store.search_batch(np.zeros((B, dim), np.float32), k)
+            n += 1
+        logger.info("non-fused store warm: %d batch shapes", n)
+        return n
 
     def close(self) -> None:
         self._mb.close()
@@ -272,8 +290,17 @@ class SearchBatcher:
                 if vectors is None:
                     vectors = self.rt.engine.encode_batch(
                         [q for (_, q, _) in items])
-                batch_hits = store.search_batch(
-                    np.stack([vectors[i] for i in idxs]), max_limit)
+                # Bucket Q for the non-fused path too: index executables
+                # key on the (8-rounded) query-batch shape, so raw fill
+                # sizes would mint up to 16 executables per store —
+                # each a multi-minute compile on a remote TPU. Zero pad
+                # rows score 0 everywhere and are sliced off.
+                from .query_path import _Q_BUCKETS, _bucket
+
+                B = _bucket(len(idxs), _Q_BUCKETS)
+                qv = np.zeros((B, vectors.shape[1]), np.float32)
+                qv[: len(idxs)] = [vectors[i] for i in idxs]
+                batch_hits = store.search_batch(qv, max_limit)
                 for j, i in enumerate(idxs):
                     results[i] = batch_hits[j][: items[i][2]]
             return results

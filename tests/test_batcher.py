@@ -253,3 +253,56 @@ def test_pipelined_batcher_bounds_inflight_and_propagates_finish_errors():
         pass
     assert ok.result(timeout=10) == 42  # later batch unaffected
     mb.close()
+
+
+def test_direct_path_buckets_query_batch_and_warms_nonfused(tmp_path):
+    """r5: non-fused stores (IVF/mesh) get bucketed query batches (index
+    executables key on the padded Q shape — raw fill sizes would mint up
+    to 16 multi-minute compiles per store) and warmup() covers them."""
+    import numpy as np
+
+    from memex_tpu.store.base import VectorData
+    from test_encoder import tiny_engine
+
+    settings = Settings.from_env(
+        db_uri=f"sqlite://{tmp_path}/ivf.db",
+        vector_uri=f"tpu+ivf://{tmp_path}/vec?n_clusters=4&nprobe=4",
+        embedding_model="random",
+    )
+    settings.embedding_dim = 64
+    settings.search_max_batch = 32
+    rt = Runtime(settings)
+    rt._engine = tiny_engine()
+    store = rt.store("icol")
+    texts = [f"ivf doc {i} about topic {i % 7}" for i in range(64)]
+    vecs = rt.engine.encode_batch(texts)
+    store.add_vectors(
+        [VectorData(id=f"s{i}", document_id="d", text=texts[i], vector=vecs[i])
+         for i in range(64)]
+    )
+    seen_q: list[int] = []
+    orig = store.search_batch
+
+    def spy(vectors, limit):
+        seen_q.append(len(vectors))
+        return orig(vectors, limit)
+
+    store.search_batch = spy
+    # warmup covers the non-fused store: one call per reachable bucket
+    assert rt.search_batcher.warmup("icol") == 3  # buckets (1, 8, 32)
+    warm_qs = list(seen_q)
+    assert warm_qs == [1, 8, 32], warm_qs
+    seen_q.clear()
+    # 3 concurrent requests -> one direct batch, bucketed to 8
+    outs = [None] * 3
+    threads = [threading.Thread(target=lambda i=i: outs.__setitem__(
+        i, rt.search_batcher.search("icol", texts[i * 9], 3)))
+        for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(len(o) == 3 for o in outs)
+    assert all(q in (1, 8) for q in seen_q), seen_q  # bucketed, never raw 2/3
+    assert outs[0][0].id == "s0"
+    rt.search_batcher.close()
