@@ -394,9 +394,13 @@ def bench_kernels(rpc: float, on_tier=None) -> dict:
 
     results = {}
     for name, qb, fn in tiers:
+        # Chain length: the rpc estimate error divides by the chain's
+        # wall time. Big-Q tiers at ~0.7ms/batch need >=96 batches so the
+        # chain (~70ms) dwarfs the ~30ms rpc — at 48 the headline swung
+        # ~±4% run-to-run purely on the rpc sample.
         qs = [
             jax.random.normal(jax.random.PRNGKey(2 + i), (qb, D), jnp.float32)
-            for i in range(R if qb <= Q else 48)
+            for i in range(R if qb <= Q else 96)
         ]
         float(fn(qs[0])[0][0, 0])  # compile
         best = 1e9
